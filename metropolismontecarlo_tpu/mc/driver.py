@@ -1,0 +1,259 @@
+"""Chain-parallel MC driver: vmapped move kernel, lax.scan sweeps, block
+loop with drift-killing resync.
+
+Re-design of the reference's `Loop` (`Ewald/main.jl:460-696`) and the
+Poly/Monatomic drivers: C independent chains advance in lockstep; one
+jitted `run_step` performs a full sweep (every molecule once) plus the
+adaptive d_max update; `run_block` scans `n_steps` sweeps; the block
+boundary recomputes total energies (chunked over chains to bound memory)
+to both verify drift (reference `Poly/main.jl:232-235`) and resynchronize
+the carried accumulators.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metropolismontecarlo_tpu.mc.adjust import adjust_dmax
+from metropolismontecarlo_tpu.mc.moves import make_move_fn
+from metropolismontecarlo_tpu.mc.npt import make_volume_move_fn
+from metropolismontecarlo_tpu.models.energy import energy_breakdown
+from metropolismontecarlo_tpu.models.system import SimState
+from metropolismontecarlo_tpu.ops import ewald as ewald_ops
+from metropolismontecarlo_tpu.ops.quaternions import random_quaternion, rotate_vectors
+
+
+class MonteCarlo:
+    """Bundles a System + RunParams into jitted chain-parallel MC kernels.
+
+    Usage:
+        mc = MonteCarlo(system, params, n_chains=1024)
+        state = mc.init_state(jax.random.PRNGKey(0), com0, quat0, box0)
+        state, metrics = mc.run_block(state, n_steps=100, adjust=True)
+    """
+
+    def __init__(self, system, params, dtype=jnp.float32, recompute_chunk=8):
+        self.system = system
+        self.params = params
+        self.dtype = dtype
+        self.recompute_chunk = recompute_chunk
+        if params.coulomb == "ewald":
+            self.kvecs, self.kweights = ewald_ops.make_kvectors(
+                params.nk, params.ksq_max, strict=True
+            )
+        else:
+            self.kvecs, self.kweights = None, None
+        self._move = make_move_fn(system, params, self.kvecs, self.kweights, dtype)
+        self._volume_move = (
+            make_volume_move_fn(system, params, self.kvecs, self.kweights, dtype)
+            if params.pressure is not None and params.p_volume > 0.0
+            else None
+        )
+
+    # ---------------- state construction ----------------
+
+    def build_coords(self, com, quat):
+        """Atoms from molecular COM + orientation: r = com + R(q) b.
+        com (..., M, 3), quat (..., M, 4) -> (..., A, 3)."""
+        body = jnp.asarray(self.system.body, self.dtype)
+        atoms = com[..., :, None, :] + rotate_vectors(quat, body)
+        return atoms.reshape(atoms.shape[:-3] + (self.system.n_atoms, 3))
+
+    def init_state(self, key, com, quat=None, box=None, n_chains=None,
+                   perturb_key=None):
+        """Create a SimState.  com (M,3) or (C,M,3); quat likewise or None
+        (random orientations); box scalar or (C,)."""
+        M = self.system.n_mol
+        com = jnp.asarray(com, self.dtype)
+        if com.ndim == 2:
+            if n_chains is None:
+                raise ValueError("n_chains required when replicating one config")
+            com = jnp.broadcast_to(com[None], (n_chains, M, 3))
+        C = com.shape[0]
+        if quat is None:
+            quat = random_quaternion(key, (C, M), dtype=self.dtype)
+        else:
+            quat = jnp.asarray(quat, self.dtype)
+            if quat.ndim == 2:
+                quat = jnp.broadcast_to(quat[None], (C, M, 4))
+        box = jnp.asarray(box, self.dtype)
+        box = jnp.broadcast_to(jnp.atleast_1d(box), (C,))
+        coords = self.build_coords(com, quat)
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(key, jnp.arange(C))
+        p = self.params
+        state = SimState(
+            com=com, quat=quat, coords=coords, box=box,
+            sfac=jnp.zeros((C, 1, 2), self.dtype),
+            energy=jnp.zeros((C,), self.dtype),
+            virial=jnp.zeros((C,), self.dtype),
+            key=keys, step=jnp.zeros((), jnp.int32),
+            dr_max=jnp.full((C,), p.dr_max, self.dtype),
+            dphi_max=jnp.full((C,), p.dphi_max, self.dtype),
+            dv_max=jnp.full((C,), p.dv_max, self.dtype),
+            acc=jnp.zeros((C, 3), jnp.int32),
+            att=jnp.zeros((C, 3), jnp.int32),
+        )
+        return self.resync(state)
+
+    def init_from_coords(self, key, coords, com, box, n_chains):
+        """Replicate one explicit atom configuration (e.g. a NIST sample)
+        across chains.  Per-molecule quaternions are recovered from the
+        actual geometry by a Kabsch fit against the body template, and the
+        atoms are rebuilt as com + R(q) body so that state and move kernel
+        agree exactly (exact for rigid configurations)."""
+        import numpy as np
+
+        from metropolismontecarlo_tpu.ops.quaternions import fit_quaternions
+
+        M, P, A = self.system.n_mol, self.system.atoms_per_mol, self.system.n_atoms
+        C = n_chains
+        coords_np = np.asarray(coords, np.float64).reshape(M, P, 3)
+        com_np = np.asarray(com, np.float64)
+        box_np = float(np.asarray(box).reshape(-1)[0])
+        rel = coords_np - com_np[:, None, :]
+        rel -= box_np * np.round(rel / box_np)  # heal PBC-split molecules
+        quat_np = fit_quaternions(np.asarray(self.system.body, np.float64), rel)
+        com = jnp.broadcast_to(jnp.asarray(com_np, self.dtype)[None], (C, M, 3))
+        quat = jnp.broadcast_to(jnp.asarray(quat_np, self.dtype)[None], (C, M, 4))
+        coords = self.build_coords(com, quat)
+        box = jnp.broadcast_to(jnp.asarray(box, self.dtype)[None], (C,))
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(key, jnp.arange(C))
+        p = self.params
+        state = SimState(
+            com=com, quat=quat, coords=coords, box=box,
+            sfac=jnp.zeros((C, 1, 2), self.dtype),
+            energy=jnp.zeros((C,), self.dtype),
+            virial=jnp.zeros((C,), self.dtype),
+            key=keys, step=jnp.zeros((), jnp.int32),
+            dr_max=jnp.full((C,), p.dr_max, self.dtype),
+            dphi_max=jnp.full((C,), p.dphi_max, self.dtype),
+            dv_max=jnp.full((C,), p.dv_max, self.dtype),
+            acc=jnp.zeros((C, 3), jnp.int32),
+            att=jnp.zeros((C, 3), jnp.int32),
+        )
+        return self.resync(state)
+
+    # ---------------- full recompute / resync ----------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def full_energy(self, state):
+        """Chunked full-system energy over chains: (C,) totals, virials,
+        and (C, K, 2) structure factors."""
+        C = state.com.shape[0]
+        G = min(self.recompute_chunk, C)
+        n_chunks = C // G
+        assert n_chunks * G == C, "n_chains must be divisible by recompute_chunk"
+
+        def one(coords, com, box):
+            out = energy_breakdown(self.system, self.params, coords, com, box,
+                                   self.kvecs, self.kweights)
+            return out["total"], out["w"], out["sfac"]
+
+        def chunk(_, args):
+            coords, com, box = args
+            return None, jax.vmap(one)(coords, com, box)
+
+        rs = lambda x: x.reshape((n_chunks, G) + x.shape[1:])
+        _, (e, w, sfac) = jax.lax.scan(
+            chunk, None, (rs(state.coords), rs(state.com), rs(state.box))
+        )
+        merge = lambda x: x.reshape((C,) + x.shape[2:])
+        return merge(e), merge(w), merge(sfac)
+
+    def resync(self, state):
+        """Replace accumulated energy/virial/sfac with freshly recomputed
+        values; returns the corrected state."""
+        e, w, sfac = self.full_energy(state)
+        if self.params.coulomb != "ewald":
+            sfac = state.sfac
+        return state._replace(energy=e, virial=w, sfac=sfac)
+
+    # ---------------- sweeps ----------------
+
+    def _sweep_body(self, state, m):
+        """One move of molecule m across all chains."""
+        in_axes = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None)
+        com, quat, coords, sfac, energy, virial, is_trans, accept = jax.vmap(
+            self._move, in_axes=in_axes
+        )(state.com, state.quat, state.coords, state.box, state.sfac,
+          state.energy, state.virial, state.key, state.dr_max,
+          state.dphi_max, m, state.step)
+        it = is_trans.astype(jnp.int32)
+        ac = accept.astype(jnp.int32)
+        att = state.att.at[:, 0].add(it).at[:, 1].add(1 - it)
+        acc = state.acc.at[:, 0].add(it * ac).at[:, 1].add((1 - it) * ac)
+        state = state._replace(
+            com=com, quat=quat, coords=coords, sfac=sfac, energy=energy,
+            virial=virial, step=state.step + 1, att=att, acc=acc,
+        )
+        return state, None
+
+    def sweep(self, state):
+        """One sweep: every molecule attempted once (reference
+        `Ewald/main.jl:490`), plus an NPT volume-move attempt if enabled."""
+        order = jnp.arange(self.system.n_mol)
+        state, _ = jax.lax.scan(self._sweep_body, state, order)
+        if self._volume_move is not None:
+            state = self._volume_move(state)
+        return state
+
+    @functools.partial(jax.jit, static_argnums=(0, 2, 3))
+    def run_steps(self, state, n_steps, adjust=False):
+        """n_steps sweeps; optionally adapt d_max between sweeps toward the
+        target acceptance (reference `Ewald/main.jl:645-651`)."""
+
+        def step(state, _):
+            state = self.sweep(state)
+            if adjust:
+                p = self.params
+                dr = adjust_dmax(state.dr_max, state.acc[:, 0], state.att[:, 0],
+                                 p.move_accept, state.box / 2.0)
+                dphi = adjust_dmax(state.dphi_max, state.acc[:, 1], state.att[:, 1],
+                                   p.move_accept, jnp.pi)
+                dv = adjust_dmax(state.dv_max, state.acc[:, 2], state.att[:, 2],
+                                 p.move_accept, jnp.asarray(1.0, state.dv_max.dtype))
+                state = state._replace(
+                    dr_max=dr, dphi_max=dphi, dv_max=dv,
+                    acc=jnp.zeros_like(state.acc), att=jnp.zeros_like(state.att),
+                )
+            return state, None
+
+        state, _ = jax.lax.scan(step, state, None, length=n_steps)
+        return state
+
+    # ---------------- blocks ----------------
+
+    def run_block(self, state, n_steps, adjust=False, drift_tol=None):
+        """One block: n_steps sweeps, then recompute-vs-accumulated drift
+        check and resync.  Returns (state, metrics dict of host floats)."""
+        acc0, att0 = state.acc, state.att
+        state = self.run_steps(state, n_steps, adjust)
+        e, w, sfac = self.full_energy(state)
+        drift = jnp.max(jnp.abs(e - state.energy) / jnp.maximum(jnp.abs(e), 1.0))
+        metrics = {
+            "energy_mean": float(jnp.mean(e)),
+            "energy_min": float(jnp.min(e)),
+            "energy_max": float(jnp.max(e)),
+            "virial_mean": float(jnp.mean(w)),
+            "drift_max_rel": float(drift),
+            "dr_max_mean": float(jnp.mean(state.dr_max)),
+            "dphi_max_mean": float(jnp.mean(state.dphi_max)),
+        }
+        if not adjust:
+            d_att = state.att - att0
+            d_acc = state.acc - acc0
+            ratio = d_acc / jnp.maximum(d_att, 1)
+            metrics["acc_trans"] = float(jnp.mean(ratio[:, 0]))
+            metrics["acc_rot"] = float(jnp.mean(ratio[:, 1]))
+            metrics["acc_vol"] = float(jnp.mean(ratio[:, 2]))
+        if self.params.coulomb != "ewald":
+            sfac = state.sfac
+        state = state._replace(energy=e, virial=w, sfac=sfac)
+        if drift_tol is not None and metrics["drift_max_rel"] > drift_tol:
+            raise RuntimeError(
+                f"energy drift {metrics['drift_max_rel']:.3e} exceeds {drift_tol}"
+            )
+        return state, metrics

@@ -1,0 +1,94 @@
+"""NPT volume-change move with full-energy recompute.
+
+The reference only sketches this inside docstrings
+(`Ewald/volumeChange.jl:8-150`, `Poly/mainPoly.jl:960-1102` — dead
+pseudocode); here it is implemented for real, as BASELINE config #4
+requires.
+
+Move: a symmetric random walk in ln V.  Molecular COMs scale by
+s = (V'/V)^(1/3); rigid molecules translate with their COM (internal
+geometry and orientation unchanged).  The total energy at the new volume
+is recomputed from scratch (LJ + LRC + full Ewald/Wolf including the
+box-dependent kappa, cfac, self and intra terms).  Acceptance:
+
+  P_acc = min(1, exp(-beta (dU + P dV) + (M+1) ln(V'/V)))
+
+(the +1 from sampling in ln V).  Chains are independent; the recompute
+is vmapped in chunks to bound the O(A^2) memory.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from metropolismontecarlo_tpu.models.energy import energy_breakdown
+from metropolismontecarlo_tpu.ops.quaternions import rotate_vectors
+
+
+def make_volume_move_fn(system, params, kvecs, kweights, dtype=jnp.float32,
+                        chunk=8):
+    """Build `volume_move(state) -> state` over the full chain batch."""
+    M, P, A = system.n_mol, system.atoms_per_mol, system.n_atoms
+    body = jnp.asarray(system.body, dtype)
+    temperature = jnp.asarray(params.temperature, dtype)
+    pres = jnp.asarray(params.pressure, dtype)
+
+    def attempt_one(com, quat, box, energy, key, dv_max, step):
+        """Propose scaled config for one chain; returns proposal pieces."""
+        k_lnv, k_do = jax.random.split(jax.random.fold_in(key, step))
+        do_move = jax.random.uniform(k_do, dtype=dtype) < params.p_volume
+        u = jax.random.uniform(k_lnv, dtype=dtype)
+        dlnv = (2.0 * u - 1.0) * dv_max
+        vol_old = box**3
+        vol_new = vol_old * jnp.exp(dlnv)
+        box_new = vol_new ** (1.0 / 3.0)
+        scale = box_new / box
+        com_new = com * scale
+        coords_new = (com_new[:, None, :] + rotate_vectors(quat, body)).reshape(A, 3)
+        return do_move, box_new, com_new, coords_new, vol_old, vol_new
+
+    def recompute(coords, com, box):
+        out = energy_breakdown(system, params, coords, com, box, kvecs, kweights)
+        return out["total"], out["w"], out["sfac"]
+
+    def volume_move(state):
+        C = state.com.shape[0]
+        G = min(chunk, C)
+        assert C % G == 0
+        do_move, box_new, com_new, coords_new, vol_old, vol_new = jax.vmap(
+            attempt_one, in_axes=(0, 0, 0, 0, 0, 0, None)
+        )(state.com, state.quat, state.box, state.energy, state.key,
+          state.dv_max, state.step)
+
+        rs = lambda x: x.reshape((C // G, G) + x.shape[1:])
+        _, (e_new, w_new, sfac_new) = jax.lax.scan(
+            lambda _, args: (None, jax.vmap(recompute)(*args)),
+            None, (rs(coords_new), rs(com_new), rs(box_new)),
+        )
+        mg = lambda x: x.reshape((C,) + x.shape[2:])
+        e_new, w_new, sfac_new = mg(e_new), mg(w_new), mg(sfac_new)
+
+        d_e = e_new - state.energy
+        arg = -(d_e + pres * (vol_new - vol_old)) / temperature \
+            + (M + 1.0) * jnp.log(vol_new / vol_old)
+        keys = jax.vmap(jax.random.fold_in)(
+            state.key, jnp.full((C,), state.step + 1_000_003, jnp.int32))
+        u = jax.vmap(lambda k: jax.random.uniform(k, dtype=dtype))(keys)
+        accept = do_move & ((arg > 0.0) | (u < jnp.exp(jnp.minimum(arg, 0.0))))
+
+        sel = lambda new, old: jnp.where(
+            accept.reshape((C,) + (1,) * (new.ndim - 1)), new, old)
+        state = state._replace(
+            com=sel(com_new, state.com),
+            coords=sel(coords_new, state.coords),
+            box=jnp.where(accept, box_new, state.box),
+            energy=jnp.where(accept, e_new, state.energy),
+            virial=jnp.where(accept, w_new, state.virial),
+            sfac=sel(sfac_new, state.sfac) if params.coulomb == "ewald"
+            else state.sfac,
+            step=state.step + 1,
+            att=state.att.at[:, 2].add(do_move.astype(jnp.int32)),
+            acc=state.acc.at[:, 2].add(accept.astype(jnp.int32)),
+        )
+        return state
+
+    return volume_move

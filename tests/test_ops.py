@@ -1,0 +1,133 @@
+"""Unit tests for geometry/quaternion/LJ primitives, mirroring the
+reference's artisanal inline tests (`Ewald/tests.jl`) as real assertions:
+two-triangle LJ hand sum, COM, minimum-image mirror test, quaternion
+algebra."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from metropolismontecarlo_tpu.ops import pbc, quaternions as quat
+from metropolismontecarlo_tpu.ops.lj import lj_pair_terms, lj_masked_sum
+from metropolismontecarlo_tpu.ops.pairs import pair_dist2
+
+
+def test_min_image_basic():
+    box = 10.0
+    d = pbc.min_image(jnp.asarray([6.0, -6.0, 4.9]), box)
+    np.testing.assert_allclose(d, [-4.0, 4.0, 4.9], atol=1e-12)
+
+
+def test_wrap():
+    box = 10.0
+    r = pbc.wrap(jnp.asarray([-0.1, 10.2, 3.0]), box)
+    np.testing.assert_allclose(r, [9.9, 0.2, 3.0], atol=1e-12)
+
+
+def test_mirror_image_lj():
+    """3 particles, one outside r_cut whose mirror image is inside —
+    validates minimum-image (reference `Ewald/tests.jl:127-161`)."""
+    box, r_cut = 10.0, 3.0
+    r = jnp.asarray([[0.5, 0.0, 0.0], [2.0, 0.0, 0.0], [9.5, 0.0, 0.0]])
+    d2, _ = pair_dist2(r, r, box)
+    # particle 0 vs 2: direct distance 9.0, mirror distance 1.0
+    assert float(d2[0, 2]) == pytest.approx(1.0)
+    eps = jnp.ones((3, 3))
+    sig = jnp.ones((3, 3))
+    mask = (~jnp.eye(3, dtype=bool)) & (d2 < r_cut * r_cut)
+    dr = jnp.zeros((3, 3, 3))
+    d2s = jnp.where(mask, d2, 1.0)
+    pot, _ = lj_pair_terms(d2s, eps, sig, r_cut)
+    pot = jnp.sum(jnp.where(mask, pot, 0.0)) / 2.0
+
+    def u(rr):
+        return 4.0 * (rr**-12 - rr**-6)
+
+    expected = u(1.5) + u(1.0) + u(2.5)  # pairs (0,1), (0,2 mirror), (1,2 mirror 7.5->2.5)
+    assert float(pot) == pytest.approx(expected, rel=1e-12)
+
+
+def test_two_triangle_hand_sum():
+    """Two rigid triatomics at known separation vs an explicit 9-term sum
+    (reference `Ewald/tests.jl:8-82`)."""
+    box, r_cut = 100.0, 50.0
+    tri = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    a = tri
+    b = tri + np.array([3.0, 0.3, -0.2])
+    coords = jnp.asarray(np.concatenate([a, b]))
+    d2, dr = pair_dist2(coords, coords, box)
+    mol_id = jnp.repeat(jnp.arange(2), 3)
+    mask = mol_id[:, None] != mol_id[None, :]
+    eps = jnp.ones((6, 6)) * 0.25
+    sig = jnp.ones((6, 6)) * 1.1
+    pot, _ = lj_masked_sum(d2, dr, dr, mask, eps, sig, r_cut, "none", True)
+    hand = 0.0
+    for i in range(3):
+        for j in range(3):
+            rr = np.linalg.norm(a[i] - b[j])
+            hand += 4 * 0.25 * ((1.1 / rr) ** 12 - (1.1 / rr) ** 6)
+    assert float(pot) / 2.0 == pytest.approx(hand, rel=1e-12)
+
+
+def test_center_of_mass():
+    pts = jnp.asarray([[1.0, 2.0, 3.0], [2.0, 3.0, 4.0], [0.0, 1.0, 2.0]])
+    m = jnp.asarray([1.0, 1.0, 100.0])
+    com = quat.center_of_mass(pts, m)
+    np.testing.assert_allclose(
+        com, (pts[0] + pts[1] + 100 * pts[2]) / 102.0, rtol=1e-12
+    )
+
+
+def test_quat_rotation_roundtrip():
+    key = jax.random.PRNGKey(0)
+    q = quat.random_quaternion(key, (64,), dtype=jnp.float64)
+    # unit norm
+    np.testing.assert_allclose(jnp.linalg.norm(q, axis=-1), 1.0, atol=1e-12)
+    r = quat.quat_to_rot(q)
+    # orthonormality: R R^T = I, det = +1
+    rrt = jnp.einsum("...ij,...kj->...ik", r, r)
+    np.testing.assert_allclose(rrt, np.broadcast_to(np.eye(3), (64, 3, 3)), atol=1e-12)
+    np.testing.assert_allclose(jnp.linalg.det(r), 1.0, atol=1e-12)
+
+
+def test_quat_mul_matches_rotation_composition():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    qa = quat.random_quaternion(k1, (8,), dtype=jnp.float64)
+    qb = quat.random_quaternion(k2, (8,), dtype=jnp.float64)
+    r_ab = quat.quat_to_rot(quat.quat_mul(qa, qb))
+    r_a = quat.quat_to_rot(qa)
+    r_b = quat.quat_to_rot(qb)
+    np.testing.assert_allclose(r_ab, jnp.einsum("...ij,...jk->...ik", r_a, r_b),
+                               atol=1e-12)
+
+
+def test_identity_quaternion():
+    q = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    np.testing.assert_allclose(quat.quat_to_rot(q), np.eye(3), atol=1e-15)
+
+
+def test_rotation_about_z():
+    th = 0.3
+    q = jnp.asarray([np.cos(th / 2), 0.0, 0.0, np.sin(th / 2)])
+    v = jnp.asarray([[1.0, 0.0, 0.0]])
+    out = quat.rotate_vectors(q, v)
+    np.testing.assert_allclose(out[0], [np.cos(th), np.sin(th), 0.0], atol=1e-12)
+
+
+def test_random_rotate_small_angle():
+    key = jax.random.PRNGKey(2)
+    q0 = quat.random_quaternion(key, (16,), dtype=jnp.float64)
+    q1 = quat.random_rotate_quaternion(jax.random.PRNGKey(3), q0, 1e-4)
+    # stays unit and close to original
+    np.testing.assert_allclose(jnp.linalg.norm(q1, axis=-1), 1.0, atol=1e-12)
+    dot = jnp.abs(jnp.sum(q0 * q1, axis=-1))
+    assert float(jnp.min(dot)) > 1.0 - 1e-8
+
+
+def test_uniform_quaternion_statistics():
+    """Mean of each component ~ 0 and covariance ~ I/4 for uniform S^3."""
+    q = quat.random_quaternion(jax.random.PRNGKey(4), (20000,), dtype=jnp.float64)
+    assert float(jnp.max(jnp.abs(jnp.mean(q, axis=0)))) < 0.02
+    cov = q.T @ q / q.shape[0]
+    np.testing.assert_allclose(cov, np.eye(4) * 0.25, atol=0.02)
