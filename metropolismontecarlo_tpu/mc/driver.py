@@ -89,7 +89,8 @@ class MonteCarlo:
             sfac=jnp.zeros((C, 1, 2), self.dtype),
             energy=jnp.zeros((C,), self.dtype),
             virial=jnp.zeros((C,), self.dtype),
-            key=keys, step=jnp.zeros((), jnp.int32),
+            key=keys, temp=jnp.full((C,), p.temperature, self.dtype),
+            step=jnp.zeros((), jnp.int32),
             dr_max=jnp.full((C,), p.dr_max, self.dtype),
             dphi_max=jnp.full((C,), p.dphi_max, self.dtype),
             dv_max=jnp.full((C,), p.dv_max, self.dtype),
@@ -127,7 +128,8 @@ class MonteCarlo:
             sfac=jnp.zeros((C, 1, 2), self.dtype),
             energy=jnp.zeros((C,), self.dtype),
             virial=jnp.zeros((C,), self.dtype),
-            key=keys, step=jnp.zeros((), jnp.int32),
+            key=keys, temp=jnp.full((C,), p.temperature, self.dtype),
+            step=jnp.zeros((), jnp.int32),
             dr_max=jnp.full((C,), p.dr_max, self.dtype),
             dphi_max=jnp.full((C,), p.dphi_max, self.dtype),
             dv_max=jnp.full((C,), p.dv_max, self.dtype),
@@ -175,12 +177,12 @@ class MonteCarlo:
 
     def _sweep_body(self, state, m):
         """One move of molecule m across all chains."""
-        in_axes = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None)
+        in_axes = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None)
         com, quat, coords, sfac, energy, virial, is_trans, accept = jax.vmap(
             self._move, in_axes=in_axes
         )(state.com, state.quat, state.coords, state.box, state.sfac,
           state.energy, state.virial, state.key, state.dr_max,
-          state.dphi_max, m, state.step)
+          state.dphi_max, state.temp, m, state.step)
         it = is_trans.astype(jnp.int32)
         ac = accept.astype(jnp.int32)
         att = state.att.at[:, 0].add(it).at[:, 1].add(1 - it)

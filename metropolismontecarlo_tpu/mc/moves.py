@@ -55,7 +55,6 @@ def make_move_fn(system, params, kvecs, kweights, dtype=jnp.float32):
     kv = None if kvecs is None else jnp.asarray(kvecs)
     kw = None if kweights is None else jnp.asarray(kweights, dtype)
 
-    temperature = jnp.asarray(params.temperature, dtype)
     site = params.cutoff_mode == "site"
     use_rot = P > 1 and params.p_translate < 1.0
 
@@ -106,7 +105,7 @@ def make_move_fn(system, params, kvecs, kweights, dtype=jnp.float32):
         return pot, w, e_coul, overlap
 
     def move(com, quat, coords, box, sfac, energy, virial, key, dr_max,
-             dphi_max, m, step):
+             dphi_max, temp, m, step):
         """One MC move of molecule m for one chain. Returns updated fields
         plus (is_trans, accept) for the counters."""
         kappa = jnp.asarray(params.kappa_L, dtype) / box
@@ -157,7 +156,7 @@ def make_move_fn(system, params, kvecs, kweights, dtype=jnp.float32):
             dsfac = jnp.zeros_like(sfac)
 
         # Metropolis (`Ewald/auxillary.jl:106-114`) with overlap veto
-        beta_de = d_e / temperature
+        beta_de = d_e / temp
         u = jax.random.uniform(k_acc, dtype=dtype)
         accept = ((beta_de < 0.0) | (u < jnp.exp(-beta_de))) & (~ovr)
 

@@ -29,10 +29,9 @@ def make_volume_move_fn(system, params, kvecs, kweights, dtype=jnp.float32,
     """Build `volume_move(state) -> state` over the full chain batch."""
     M, P, A = system.n_mol, system.atoms_per_mol, system.n_atoms
     body = jnp.asarray(system.body, dtype)
-    temperature = jnp.asarray(params.temperature, dtype)
     pres = jnp.asarray(params.pressure, dtype)
 
-    def attempt_one(com, quat, box, energy, key, dv_max, step):
+    def attempt_one(com, quat, box, energy, key, dv_max, step):  # noqa: ARG001
         """Propose scaled config for one chain; returns proposal pieces."""
         k_lnv, k_do = jax.random.split(jax.random.fold_in(key, step))
         do_move = jax.random.uniform(k_do, dtype=dtype) < params.p_volume
@@ -68,7 +67,7 @@ def make_volume_move_fn(system, params, kvecs, kweights, dtype=jnp.float32,
         e_new, w_new, sfac_new = mg(e_new), mg(w_new), mg(sfac_new)
 
         d_e = e_new - state.energy
-        arg = -(d_e + pres * (vol_new - vol_old)) / temperature \
+        arg = -(d_e + pres * (vol_new - vol_old)) / state.temp \
             + (M + 1.0) * jnp.log(vol_new / vol_old)
         keys = jax.vmap(jax.random.fold_in)(
             state.key, jnp.full((C,), state.step + 1_000_003, jnp.int32))

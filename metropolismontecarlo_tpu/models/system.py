@@ -104,6 +104,7 @@ class SimState(NamedTuple):
     energy: jnp.ndarray     # (C,) running total potential energy (K)
     virial: jnp.ndarray     # (C,) running molecular virial sum(rij.fij)
     key: jnp.ndarray        # (C, 2) uint32 per-chain RNG keys
+    temp: jnp.ndarray       # (C,) per-chain temperature (REMC ladders, annealing)
     step: jnp.ndarray       # () int32 global move counter (RNG stream position)
     dr_max: jnp.ndarray     # (C,) adaptive max translation
     dphi_max: jnp.ndarray   # (C,) adaptive max rotation

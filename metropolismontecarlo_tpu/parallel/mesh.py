@@ -1,0 +1,77 @@
+"""Device-mesh scale-out for chain-parallel MC.
+
+The reference is a serial single-process code (SURVEY.md section 2.2); the
+TPU-native scaling story is data parallelism over independent chains:
+
+* a 1-D `jax.sharding.Mesh` over the "chains" axis,
+* every SimState field with a leading C axis sharded over it,
+* the move/sweep kernels are chain-local, so the hot loop runs with ZERO
+  cross-device traffic — XLA propagates the sharding through `lax.scan`,
+* pooled observables (`psum`-style means) and replica exchange
+  (`ppermute`, parallel.remc) ride the ICI when communication is needed.
+
+Works identically on real multi-chip TPU slices and on the CPU fake mesh
+(`--xla_force_host_platform_device_count=N`) used in tests.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+CHAINS = "chains"
+
+
+def make_mesh(n_devices=None, devices=None):
+    """1-D mesh over the chains axis.
+
+    Falls back to the CPU backend's virtual devices when the default
+    backend has fewer devices than requested (the single-real-chip +
+    `--xla_force_host_platform_device_count=N` development setup).
+    """
+    if devices is None:
+        devices = jax.devices()
+        want = n_devices or len(devices)
+        if len(devices) < want:
+            try:
+                cpus = jax.devices("cpu")
+            except RuntimeError:
+                cpus = []
+            if len(cpus) >= want:
+                devices = cpus
+        devices = devices[:want]
+    return Mesh(np.asarray(devices), (CHAINS,))
+
+
+def chain_sharding(mesh):
+    """NamedSharding that shards the leading (chains) axis."""
+    return NamedSharding(mesh, P(CHAINS))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_state(state, mesh):
+    """Place a SimState with its chain-batched fields sharded over the mesh
+    and scalar fields replicated."""
+    cs = chain_sharding(mesh)
+    rep = replicated(mesh)
+
+    def place(x):
+        x = jnp.asarray(x)
+        return jax.device_put(x, cs if x.ndim >= 1 and x.shape[0] % mesh.size == 0
+                              else rep)
+
+    # `step` is a scalar; everything else leads with C.
+    placed = state._replace(
+        **{f: place(getattr(state, f)) for f in state._fields if f != "step"},
+        step=jax.device_put(state.step, rep),
+    )
+    return placed
+
+
+def pooled_mean(x, axis=0):
+    """Cross-chain mean; under jit over a sharded array XLA lowers the
+    reduction to an all-reduce over ICI."""
+    return jnp.mean(x, axis=axis)

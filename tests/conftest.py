@@ -5,8 +5,12 @@ tests.  Must run before jax is imported anywhere."""
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+# NOTE: the JAX_PLATFORMS env var is NOT honored in this environment (an
+# axon TPU plugin overrides it) — only jax.config.update("jax_platforms")
+# below actually forces the CPU backend.  The env vars are still set for
+# subprocesses.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_ENABLE_X64"] = "1"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: repeated pytest runs skip recompiling the
 # big dense-energy graphs.
