@@ -77,13 +77,13 @@ def quat_mul(a, b):
     )
 
 
-def random_unit_vector(key, shape=()):
+def random_unit_vector(key, shape=(), dtype=jnp.float32):
     """Uniform random unit 3-vectors, shape (..., 3).
 
     Branch-free replacement for the reference's rejection sampler
     (`Ewald/quaternions.jl:52-74`): normalized standard Gaussians.
     """
-    g = jax.random.normal(key, shape + (3,))
+    g = jax.random.normal(key, shape + (3,), dtype=dtype)
     return normalize(g)
 
 
@@ -112,7 +112,7 @@ def random_rotate_quaternion(key, q, dphi_max):
     q: (..., 4); dphi_max scalar or (...,).  Returns (..., 4), renormalized.
     """
     kax, kang = jax.random.split(key)
-    axis = random_unit_vector(kax, q.shape[:-1])
+    axis = random_unit_vector(kax, q.shape[:-1], dtype=q.dtype)
     u = jax.random.uniform(kang, q.shape[:-1], dtype=q.dtype)
     angle = (2.0 * u - 1.0) * dphi_max
     half = 0.5 * angle

@@ -1,0 +1,159 @@
+"""MC-layer correctness: drift invariant, incremental Ewald consistency,
+Boltzmann sampling vs an independent NumPy implementation, exact ideal-gas
+NPT check, adaptive controller."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metropolismontecarlo_tpu.io.configs import cubic_lattice
+from metropolismontecarlo_tpu.mc.driver import MonteCarlo
+from metropolismontecarlo_tpu.models.monatomic import lj_box_for_density, lj_system
+from metropolismontecarlo_tpu.models.system import RunParams
+from metropolismontecarlo_tpu.models.water import spce_system
+
+
+def test_water_ewald_drift_f64():
+    """Accumulated per-move deltas vs full recompute (the reference's own
+    invariant, `Poly/main.jl:232-235`) — in f64 this must hold to ~1e-10."""
+    system = spce_system(8)
+    params = RunParams(temperature=300.0, r_cut=5.0, cutoff_mode="site",
+                       coulomb="ewald", nk=3, ksq_max=9, p_translate=0.5,
+                       dr_max=0.3, dphi_max=0.4)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=4)
+    state = mc.init_state(jax.random.PRNGKey(0), cubic_lattice(8, 12.0),
+                          box=12.0, n_chains=4)
+    state, metrics = mc.run_block(state, n_steps=20, adjust=False)
+    assert metrics["drift_max_rel"] < 1e-10
+    # and moves actually happened
+    assert metrics["acc_trans"] > 0.05
+
+
+def test_wolf_and_bare_drift():
+    for coulomb in ("wolf", "bare"):
+        system = spce_system(8)
+        params = RunParams(temperature=300.0, r_cut=5.0, cutoff_mode="site",
+                           coulomb=coulomb, p_translate=0.5, dr_max=0.3,
+                           dphi_max=0.4)
+        mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=4)
+        state = mc.init_state(jax.random.PRNGKey(1), cubic_lattice(8, 12.0),
+                              box=12.0, n_chains=4)
+        state, metrics = mc.run_block(state, n_steps=10, adjust=False)
+        assert metrics["drift_max_rel"] < 1e-10, coulomb
+
+
+def _numpy_lj_mc(n, box, t, r_cut, dr_max, n_equil, n_sweeps, seed):
+    """Independent plain-NumPy Metropolis MC of a truncated LJ fluid
+    (site cutoff, no LRC in the sampling; returns mean cut potential)."""
+    rng = np.random.default_rng(seed)
+    r = (np.indices((3, 3, 3)).reshape(3, -1).T[:n] + 0.5) * (box / 3.0)
+    rc2 = r_cut * r_cut
+
+    def e_one(i, pos):
+        d = r - pos
+        d -= box * np.round(d / box)
+        d2 = (d * d).sum(1)
+        d2[i] = 1e9
+        d2 = d2[d2 < rc2]
+        s6 = d2**-3
+        return float(np.sum(4.0 * (s6 * s6 - s6)))
+
+    samples = []
+    e_acc = 0.0
+    for sweep in range(n_equil + n_sweeps):
+        for i in range(n):
+            old = r[i].copy()
+            e_old = e_one(i, old)
+            new = (old + (rng.random(3) - 0.5) * dr_max) % box
+            e_new = e_one(i, new)
+            de = e_new - e_old
+            if de < 0 or rng.random() < np.exp(-de / t):
+                r[i] = new
+        if sweep >= n_equil:
+            e_tot = 0.0
+            for i in range(n):
+                e_tot += e_one(i, r[i])
+            samples.append(e_tot / 2.0)
+    return np.mean(samples), np.std(samples) / np.sqrt(len(samples))
+
+
+@pytest.mark.slow
+def test_lj_sampling_matches_independent_numpy():
+    """Same state point, two independent implementations: mean cut LJ
+    energy must agree within combined statistical error (x5 margin)."""
+    n, rho, t, r_cut = 27, 0.4, 2.0, 2.0
+    box = lj_box_for_density(n, rho)
+    e_np, err_np = _numpy_lj_mc(n, box, t, r_cut, 0.6, 150, 600, seed=7)
+
+    system = lj_system(n)
+    params = RunParams(temperature=t, r_cut=r_cut, cutoff_mode="site",
+                       coulomb="none", p_translate=1.0, dr_max=0.6,
+                       use_lrc=False)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=8)
+    state = mc.init_state(jax.random.PRNGKey(3), cubic_lattice(n, box),
+                          box=box, n_chains=32)
+    state, _ = mc.run_block(state, n_steps=150, adjust=False)  # equilibrate
+    means = []
+    for _ in range(6):
+        state, m = mc.run_block(state, n_steps=25, adjust=False)
+        means.append(m["energy_mean"])
+    e_fw = np.mean(means)
+    err_fw = np.std(means) / np.sqrt(len(means))
+    err = np.sqrt(err_np**2 + err_fw**2)
+    assert abs(e_fw - e_np) < 5.0 * max(err, 0.3), (e_fw, e_np, err)
+
+
+def test_npt_ideal_gas_exact():
+    """With all interactions off, ln-V NPT sampling gives exactly
+    <V> = (M+1) T / P — a closed-form validation of the volume-move
+    acceptance rule."""
+    n, t, p = 16, 2.0, 0.5
+    system = lj_system(n, eps=0.0, sigma=1.0)
+    params = RunParams(temperature=t, r_cut=1.0, cutoff_mode="site",
+                       coulomb="none", p_translate=1.0, dr_max=1.0,
+                       use_lrc=False, pressure=p, p_volume=1.0, dv_max=0.3)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=8)
+    box0 = (n * t / p) ** (1.0 / 3.0)
+    state = mc.init_state(jax.random.PRNGKey(4), cubic_lattice(n, box0),
+                          box=box0, n_chains=64)
+    state = mc.run_steps(state, 200, False)  # equilibrate volumes
+    vols = []
+    for _ in range(10):
+        state = mc.run_steps(state, 50, False)
+        vols.append(np.asarray(state.box) ** 3)
+    v_mean = float(np.mean(vols))
+    v_exact = (n + 1) * t / p
+    # 64 chains x 500 volume samples: expect ~1-2% statistical error
+    assert abs(v_mean - v_exact) / v_exact < 0.05, (v_mean, v_exact)
+
+
+def test_adjust_steers_acceptance():
+    n, rho, t = 27, 0.6, 1.5
+    box = lj_box_for_density(n, rho)
+    system = lj_system(n)
+    params = RunParams(temperature=t, r_cut=2.5, cutoff_mode="site",
+                       coulomb="none", p_translate=1.0, dr_max=0.01,
+                       move_accept=0.5, use_lrc=False)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=8)
+    state = mc.init_state(jax.random.PRNGKey(5), cubic_lattice(n, box),
+                          box=box, n_chains=16)
+    state, _ = mc.run_block(state, n_steps=60, adjust=True)
+    state, m = mc.run_block(state, n_steps=20, adjust=False)
+    assert 0.35 < m["acc_trans"] < 0.65, m["acc_trans"]
+    # dr_max moved well away from its tiny start
+    assert float(jnp.mean(state.dr_max)) > 0.05
+
+
+def test_overlap_veto_rejects_core_collision():
+    """Chains started from an overlapping charged configuration must not
+    accept moves into the hard core (energy must remain finite)."""
+    system = spce_system(8)
+    params = RunParams(temperature=300.0, r_cut=5.0, cutoff_mode="site",
+                       coulomb="ewald", nk=3, ksq_max=9, p_translate=0.7,
+                       dr_max=1.0, dphi_max=1.0)
+    mc = MonteCarlo(system, params, dtype=jnp.float32, recompute_chunk=4)
+    state = mc.init_state(jax.random.PRNGKey(6), cubic_lattice(8, 12.0),
+                          box=12.0, n_chains=4)
+    state = mc.run_steps(state, 30, False)
+    assert bool(jnp.all(jnp.isfinite(state.energy)))

@@ -1,0 +1,95 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh: sharded sweeps
+match unsharded bit-for-bit, REMC ladders order energies by temperature,
+and the incremental Ewald state survives exchanges."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metropolismontecarlo_tpu.io.configs import cubic_lattice
+from metropolismontecarlo_tpu.mc.driver import MonteCarlo
+from metropolismontecarlo_tpu.models.monatomic import lj_box_for_density, lj_system
+from metropolismontecarlo_tpu.models.system import RunParams
+from metropolismontecarlo_tpu.models.water import spce_system
+from metropolismontecarlo_tpu.parallel.mesh import make_mesh, shard_state
+from metropolismontecarlo_tpu.parallel.remc import exchange, temperature_ladder
+
+
+def _tiny_water_mc(n_chains, dtype=jnp.float32):
+    system = spce_system(8)
+    params = RunParams(temperature=300.0, r_cut=5.0, cutoff_mode="site",
+                       coulomb="ewald", nk=3, ksq_max=9, p_translate=0.5,
+                       dr_max=0.3, dphi_max=0.4)
+    mc = MonteCarlo(system, params, dtype=dtype, recompute_chunk=4)
+    state = mc.init_state(jax.random.PRNGKey(0), cubic_lattice(8, 12.0),
+                          box=12.0, n_chains=n_chains)
+    return mc, state
+
+
+def test_mesh_uses_8_devices():
+    mesh = make_mesh(8)
+    assert mesh.size == 8
+
+
+def test_sharded_sweep_matches_unsharded():
+    mc, state = _tiny_water_mc(16)
+    ref = mc.run_steps(state, 2, False)
+
+    mesh = make_mesh(8)
+    sstate = shard_state(state, mesh)
+    out = mc.run_steps(sstate, 2, False)
+    np.testing.assert_allclose(np.asarray(out.energy), np.asarray(ref.energy),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out.acc), np.asarray(ref.acc))
+
+
+def test_remc_orders_energy_by_temperature():
+    """LJ replica ladder: after exchanges + sampling, mean energy must be
+    monotone-ish in temperature and swaps must actually occur."""
+    n, rho = 27, 0.5
+    box = lj_box_for_density(n, rho)
+    system = lj_system(n)
+    params = RunParams(temperature=1.0, r_cut=2.5, cutoff_mode="site",
+                       coulomb="none", p_translate=1.0, dr_max=0.4,
+                       use_lrc=False)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=8)
+    C = 8
+    state = mc.init_state(jax.random.PRNGKey(2), cubic_lattice(n, box),
+                          box=box, n_chains=C)
+    ladder = temperature_ladder(0.8, 2.4, C, dtype=jnp.float64)
+    state = state._replace(temp=ladder)
+
+    fracs = []
+    e_by_t = np.zeros(C)
+    n_rounds = 60
+    for r in range(n_rounds):
+        state = mc.run_steps(state, 3, False)
+        state, frac = exchange(state, jax.random.fold_in(jax.random.PRNGKey(9), r),
+                               phase=r % 2)
+        fracs.append(float(frac))
+        if r >= n_rounds // 2:
+            e_by_t += np.asarray(state.energy)
+    e_by_t /= n_rounds / 2
+    mean_frac = np.mean(fracs)
+    assert 0.05 < mean_frac <= 1.0, mean_frac
+    # energies at the coldest vs hottest rungs must separate clearly
+    assert e_by_t[0] < e_by_t[-1] - 5.0, e_by_t
+    # temperatures stayed attached to slots
+    np.testing.assert_allclose(np.asarray(state.temp), np.asarray(ladder))
+
+
+def test_remc_preserves_ewald_consistency():
+    """After configuration swaps, carried structure factors must still
+    match a full recompute (they swap with the configuration)."""
+    mc, state = _tiny_water_mc(8, dtype=jnp.float64)
+    ladder = temperature_ladder(280.0, 400.0, 8, dtype=jnp.float64)
+    state = state._replace(temp=ladder)
+    state = mc.run_steps(state, 3, False)
+    state, _ = exchange(state, jax.random.PRNGKey(11), 0)
+    state = mc.run_steps(state, 3, False)
+    e, w, sfac = mc.full_energy(state)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(state.energy),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(sfac), np.asarray(state.sfac),
+                               rtol=1e-8, atol=1e-10)
