@@ -6,10 +6,17 @@ early-exit energy loops, every chain advances one move per call with
 
   * branchless proposals: BOTH the translation and the rotation are formed
     and `where`-selected by the per-chain move-type draw,
-  * delta energies as dense (P, A) masked reductions over all atoms,
+  * ONE stacked (2P, A) masked pair grid evaluating the old and new
+    positions together (distances computed once, shared by the cutoff
+    mask, the LJ terms, the erfc terms, and the overlap veto),
   * the Ewald reciprocal delta via carried structure factors, O(P*K)
     (the reference's RecipMove trick, `Ewald/ewalds.jl:718-826`),
   * accept/reject as `jnp.where` selection — no copy-backs.
+
+The virial is intentionally NOT accumulated per move: pressure is an
+observable, sampled from the exact full recompute at block boundaries
+(driver.run_block), which keeps ~40% of the per-move HBM traffic off the
+hot path.
 
 The same ops functions back the full-system recompute (models.energy), so
 accumulated deltas and recomputed totals agree to roundoff (the drift
@@ -18,17 +25,15 @@ invariant, reference `Poly/main.jl:232-235`).
 
 import jax
 import jax.numpy as jnp
+from jax.scipy.special import erfc as _erfc
 
-from metropolismontecarlo_tpu.ops import coulomb as coulomb_ops
 from metropolismontecarlo_tpu.ops import ewald as ewald_ops
-from metropolismontecarlo_tpu.ops import lj as lj_ops
-from metropolismontecarlo_tpu.ops import wolf as wolf_ops
-from metropolismontecarlo_tpu.ops.pairs import pair_dist2
 from metropolismontecarlo_tpu.ops.pbc import min_image, wrap
 from metropolismontecarlo_tpu.ops.quaternions import (
     random_rotate_quaternion,
     rotate_vectors,
 )
+from metropolismontecarlo_tpu.utils.constants import COULOMB_FACTOR
 
 
 def make_move_fn(system, params, kvecs, kweights, dtype=jnp.float32):
@@ -48,7 +53,7 @@ def make_move_fn(system, params, kvecs, kweights, dtype=jnp.float32):
     sig_t = jnp.asarray(system.sig_table, dtype)
     # (A, A) pair tables, rows sliced per move (P, A).  ~3*A^2*4 bytes.
     eps_rows = eps_t[tid[:, None], tid[None, :]]
-    sig_rows = sig_t[tid[:, None], tid[None, :]]
+    sig2_rows = (sig_t**2)[tid[:, None], tid[None, :]]
     qq_rows = charges_flat[:, None] * charges_flat[None, :]
 
     mol_of_atom = jnp.repeat(jnp.arange(M), P)                  # (A,)
@@ -57,52 +62,74 @@ def make_move_fn(system, params, kvecs, kweights, dtype=jnp.float32):
 
     site = params.cutoff_mode == "site"
     use_rot = P > 1 and params.p_translate < 1.0
+    use_coul = params.coulomb != "none"
+    factor = jnp.asarray(COULOMB_FACTOR, dtype)
+    rc2 = jnp.asarray(params.r_cut**2, dtype)
+    qrc2 = jnp.asarray(params.qq_cut**2, dtype)
+    if params.lj_shift == "linear":
+        from metropolismontecarlo_tpu.ops.lj import _shift_coeffs  # noqa: PLC0415
 
-    def pair_masks(ra, key_m, com, coords, m, box, r_cut):
-        """Include-mask for moved atoms vs all atoms; (P, A) or (1, A)."""
-        other = (mol_of_atom != m)[None, :]
+    def pair_energy_rows(ra2p, key_old, key_new, com, coords, m, box, kappa):
+        """Stacked old/new pair energies.
+
+        ra2p: (2P, 3) = [old atoms; new atoms].  Returns
+        (e_lj (2P,), e_coul (2P,), overlap ()) where row sums split as
+        old = rows[:P], new = rows[P:].
+        """
+        dr = min_image(ra2p[:, None, :] - coords[None, :, :], box)
+        d2 = jnp.maximum(jnp.sum(dr * dr, axis=-1), jnp.asarray(1e-12, dtype))
+
+        other = (mol_of_atom != m)[None, :]                     # (1, A)
         if site:
-            d2 = jnp.sum(
-                min_image(ra[:, None, :] - coords[None, :, :], box) ** 2, axis=-1
-            )
-            return other & (d2 < r_cut * r_cut)
-        keys = com if params.cutoff_mode == "com" else None
-        if keys is None:  # "first": key point is each molecule's first atom
-            keys = coords.reshape(M, P, 3)[:, 0, :]
-        d2m = jnp.sum(min_image(key_m[None, :] - keys, box) ** 2, axis=-1)
-        return other & (d2m < r_cut * r_cut)[mol_of_atom][None, :]
+            mask_lj = other & (d2 < rc2)
+            mask_qq = mask_lj if params.qq_r_cut is None else other & (d2 < qrc2)
+        else:
+            keys = com if params.cutoff_mode == "com" \
+                else coords.reshape(M, P, 3)[:, 0, :]
+            kpts = jnp.stack([key_old, key_new])                # (2, 3)
+            d2m = jnp.sum(min_image(kpts[:, None, :] - keys[None], box) ** 2,
+                          axis=-1)                              # (2, M)
+            halves = jnp.repeat(jnp.arange(2), P)               # (2P,)
+            inc = (d2m < rc2)[:, mol_of_atom]                   # (2, A)
+            mask_lj = other & inc[halves]
+            mask_qq = mask_lj if params.qq_r_cut is None \
+                else other & ((d2m < qrc2)[:, mol_of_atom])[halves]
 
-    def half_energy(ra, key_m, com, coords, m, box, kappa):
-        """Energy of molecule m's atoms `ra` against the rest of the system
-        (LJ + real-space Coulomb), plus molecular virial and overlap flag."""
-        d2, dr_ab = pair_dist2(ra, coords, box)
+        d2s = jnp.where(mask_lj | mask_qq, d2, jnp.ones((), dtype))
         eps_pa = jax.lax.dynamic_slice(eps_rows, (m * P, 0), (P, A))
-        sig_pa = jax.lax.dynamic_slice(sig_rows, (m * P, 0), (P, A))
-        mask_lj = pair_masks(ra, key_m, com, coords, m, box, params.r_cut)
-        # molecular displacement for the virial: com_m vs each atom's molecule
-        com_atoms = com[mol_of_atom]
-        dr_ij = min_image(key_m[None, :] - com_atoms, box)[None, :, :]
-        pot, w = lj_ops.lj_masked_sum(
-            d2, dr_ab, dr_ij, mask_lj, eps_pa, sig_pa,
-            params.r_cut, params.lj_shift, site_cutoff=False,
-        )
-        e_coul = jnp.zeros((), dtype)
+        sig2_pa = jax.lax.dynamic_slice(sig2_rows, (m * P, 0), (P, A))
+        eps2 = jnp.concatenate([eps_pa, eps_pa], axis=0)
+        sig2 = jnp.concatenate([sig2_pa, sig2_pa], axis=0)
+
+        s2 = sig2 / d2s
+        s6 = s2 * s2 * s2
+        pot = 4.0 * eps2 * (s6 * s6 - s6)
+        if params.lj_shift == "linear":
+            sig_pa = jnp.sqrt(sig2)
+            lam1, lam2 = _shift_coeffs(params.r_cut / sig_pa)
+            pot = pot + eps2 * (lam1 + lam2 * jnp.sqrt(d2s) / sig_pa)
+        e_lj = jnp.sum(jnp.where(mask_lj, pot, 0.0), axis=-1)
+
+        e_coul = jnp.zeros((2 * P,), dtype)
         overlap = jnp.zeros((), bool)
-        if params.coulomb != "none":
+        if use_coul:
             qq_pa = jax.lax.dynamic_slice(qq_rows, (m * P, 0), (P, A))
-            if params.qq_r_cut is None:
-                mask_qq = mask_lj
-            else:
-                mask_qq = pair_masks(ra, key_m, com, coords, m, box, params.qq_cut)
+            qq2 = jnp.concatenate([qq_pa, qq_pa], axis=0)
+            r = jnp.sqrt(d2s)
             if params.coulomb == "ewald":
-                e_coul = ewald_ops.real_space_sum(d2, qq_pa, mask_qq, kappa)
+                cpair = qq2 * _erfc(kappa * r) / r
             elif params.coulomb == "wolf":
-                e_coul = wolf_ops.wolf_pair_sum(d2, qq_pa, mask_qq, kappa,
-                                                params.qq_cut)
+                shift = _erfc(kappa * params.qq_cut) / params.qq_cut
+                cpair = qq2 * (_erfc(kappa * r) / r - shift)
             elif params.coulomb == "bare":
-                e_coul = coulomb_ops.bare_pair_sum(d2, qq_pa, mask_qq)
-            overlap = ewald_ops.overlap_any(d2, qq_pa, mask_qq, params.d2_overlap)
-        return pot, w, e_coul, overlap
+                cpair = qq2 / r
+            else:
+                raise ValueError(params.coulomb)
+            e_coul = factor * jnp.sum(jnp.where(mask_qq, cpair, 0.0), axis=-1)
+            # hard-overlap veto on the NEW half only
+            bad = (d2 < params.d2_overlap) & (qq2 < 0.0) & mask_qq
+            overlap = jnp.any(bad[P:])
+        return e_lj, e_coul, overlap
 
     def move(com, quat, coords, box, sfac, energy, virial, key, dr_max,
              dphi_max, temp, m, step):
@@ -137,11 +164,11 @@ def make_move_fn(system, params, kvecs, kweights, dtype=jnp.float32):
         key_old = ra_old[0] if params.cutoff_mode == "first" else com_m
         key_new = ra_new[0] if params.cutoff_mode == "first" else com_new
 
-        pot_o, w_o, ec_o, _ = half_energy(ra_old, key_old, com, coords, m, box, kappa)
-        pot_n, w_n, ec_n, ovr = half_energy(ra_new, key_new, com, coords, m, box, kappa)
-
-        d_e = (pot_n - pot_o) + (ec_n - ec_o)
-        d_w = w_n - w_o + (ec_n - ec_o)  # 1/r pair virial == pair energy
+        ra2p = jnp.concatenate([ra_old, ra_new], axis=0)
+        e_lj, e_coul, ovr = pair_energy_rows(
+            ra2p, key_old, key_new, com, coords, m, box, kappa)
+        d_e = (jnp.sum(e_lj[P:]) - jnp.sum(e_lj[:P])
+               + jnp.sum(e_coul[P:]) - jnp.sum(e_coul[:P]))
 
         if params.coulomb == "ewald":
             q_m = charges_mp[m]
@@ -151,7 +178,6 @@ def make_move_fn(system, params, kvecs, kweights, dtype=jnp.float32):
             cf = ewald_ops.cfac_coeffs(kv, kw, kappa, box, dtype)
             d_recip = ewald_ops.recip_energy_delta(sfac, dsfac, cf)
             d_e = d_e + d_recip
-            d_w = d_w + d_recip
         else:
             dsfac = jnp.zeros_like(sfac)
 
@@ -168,7 +194,6 @@ def make_move_fn(system, params, kvecs, kweights, dtype=jnp.float32):
             coords, jnp.where(accept, ra_new, ra_old), (m * P, 0))
         sfac = jnp.where(accept, sfac + dsfac, sfac)
         energy = jnp.where(accept, energy + d_e, energy)
-        virial = jnp.where(accept, virial + d_w, virial)
         return com, quat, coords, sfac, energy, virial, is_trans, accept
 
     return move
