@@ -226,6 +226,16 @@ class MonteCarlo:
         state, _ = jax.lax.scan(step, state, None, length=n_steps)
         return state
 
+    def quench(self, state, n_steps=20, temp=1e-6):
+        """Orientation/position descent: run sweeps at a near-zero
+        temperature so only downhill moves are accepted — the vectorized
+        equivalent of the reference's trial-rotation `EnergyMinimize`
+        (`Ewald/energy.jl:464-507`).  Restores the original temperatures."""
+        t0 = state.temp
+        state = state._replace(temp=jnp.full_like(state.temp, temp))
+        state = self.run_steps(state, n_steps, False)
+        return self.resync(state._replace(temp=t0))
+
     # ---------------- blocks ----------------
 
     def run_block(self, state, n_steps, adjust=False, drift_tol=None):

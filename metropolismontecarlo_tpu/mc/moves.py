@@ -51,10 +51,19 @@ def make_move_fn(system, params, kvecs, kweights, dtype=jnp.float32):
     tid = system.flat(system.type_ids)
     eps_t = jnp.asarray(system.eps_table, dtype)
     sig_t = jnp.asarray(system.sig_table, dtype)
-    # (A, A) pair tables, rows sliced per move (P, A).  ~3*A^2*4 bytes.
-    eps_rows = eps_t[tid[:, None], tid[None, :]]
-    sig2_rows = (sig_t**2)[tid[:, None], tid[None, :]]
-    qq_rows = charges_flat[:, None] * charges_flat[None, :]
+    # Pair-parameter strategy: for small systems precompute (A, A) rows and
+    # dynamic-slice (P, A) per move; for large A that is O(A^2) memory, so
+    # instead gather the (P, T) sub-table per move and expand via a one-hot
+    # (T, A) matmul (tiny K -> MXU-cheap).
+    big = system.n_atoms > 4096
+    tid_j = jnp.asarray(tid)
+    if big:
+        n_types = system.eps_table.shape[0]
+        type_onehot = jax.nn.one_hot(tid_j, n_types, dtype=dtype).T  # (T, A)
+        tid_mp = jnp.asarray(system.type_ids)                        # (M, P)
+    else:
+        eps_rows = eps_t[tid[:, None], tid[None, :]]
+        sig2_rows = (sig_t**2)[tid[:, None], tid[None, :]]
 
     mol_of_atom = jnp.repeat(jnp.arange(M), P)                  # (A,)
     kv = None if kvecs is None else jnp.asarray(kvecs)
@@ -96,8 +105,13 @@ def make_move_fn(system, params, kvecs, kweights, dtype=jnp.float32):
                 else other & ((d2m < qrc2)[:, mol_of_atom])[halves]
 
         d2s = jnp.where(mask_lj | mask_qq, d2, jnp.ones((), dtype))
-        eps_pa = jax.lax.dynamic_slice(eps_rows, (m * P, 0), (P, A))
-        sig2_pa = jax.lax.dynamic_slice(sig2_rows, (m * P, 0), (P, A))
+        if big:
+            tm = tid_mp[m]                                   # (P,) type ids
+            eps_pa = eps_t[tm] @ type_onehot                 # (P,T)@(T,A)
+            sig2_pa = (sig_t**2)[tm] @ type_onehot
+        else:
+            eps_pa = jax.lax.dynamic_slice(eps_rows, (m * P, 0), (P, A))
+            sig2_pa = jax.lax.dynamic_slice(sig2_rows, (m * P, 0), (P, A))
         eps2 = jnp.concatenate([eps_pa, eps_pa], axis=0)
         sig2 = jnp.concatenate([sig2_pa, sig2_pa], axis=0)
 
@@ -113,7 +127,8 @@ def make_move_fn(system, params, kvecs, kweights, dtype=jnp.float32):
         e_coul = jnp.zeros((2 * P,), dtype)
         overlap = jnp.zeros((), bool)
         if use_coul:
-            qq_pa = jax.lax.dynamic_slice(qq_rows, (m * P, 0), (P, A))
+            # charge products are separable: outer product, no table
+            qq_pa = charges_mp[m][:, None] * charges_flat[None, :]
             qq2 = jnp.concatenate([qq_pa, qq_pa], axis=0)
             r = jnp.sqrt(d2s)
             if params.coulomb == "ewald":
