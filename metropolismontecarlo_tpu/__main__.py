@@ -1,0 +1,4 @@
+from metropolismontecarlo_tpu.run import main
+
+if __name__ == "__main__":
+    main()

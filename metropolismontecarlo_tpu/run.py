@@ -1,0 +1,147 @@
+"""Command-line runner: `python -m metropolismontecarlo_tpu <config.json>`.
+
+The top-level driver the reference implements as editable script globals +
+`Loop(...)` (`Ewald/main.jl:62-107,460-696`), with the subsystems it only
+TODOs: JSON config, symmetric checkpoint/resume, structured metrics, RDF
+accumulation, and chain-parallel execution (optionally sharded over a
+device mesh).
+"""
+
+import argparse
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metropolismontecarlo_tpu.io.checkpoint import load_state, save_state
+from metropolismontecarlo_tpu.io.configs import cubic_lattice, read_cnf
+from metropolismontecarlo_tpu.mc.driver import MonteCarlo
+from metropolismontecarlo_tpu.models.energy import pressure as pressure_fn
+from metropolismontecarlo_tpu.models.system import SimState
+from metropolismontecarlo_tpu.observables import RDFAccumulator
+from metropolismontecarlo_tpu.utils.config import (
+    build_params,
+    build_system,
+    load_config,
+)
+from metropolismontecarlo_tpu.utils.logging import JsonlLogger, banner, block_line
+
+
+def _initial_state(mc, run_cfg, system, base_dir):
+    start = run_cfg.get("start", {"kind": "lattice"})
+    kind = start.get("kind", "lattice").lower()
+    seed = int(run_cfg.get("seed", 0))
+    key = jax.random.PRNGKey(seed)
+    n_chains = int(run_cfg.get("n_chains", 8))
+    if kind == "lattice":
+        if "box" in start and start["box"]:
+            box = float(start["box"])
+        else:
+            box = (system.n_mol / float(start["density"])) ** (1.0 / 3.0)
+        com = cubic_lattice(system.n_mol, box)
+        return mc.init_state(key, com, box=box, n_chains=n_chains)
+    if kind == "nist":
+        from metropolismontecarlo_tpu.io.configs import read_nist
+        from metropolismontecarlo_tpu.models.water import spce_from_nist
+        _, coords, com, box = spce_from_nist(
+            os.path.join(base_dir, start["path"]))
+        return mc.init_from_coords(key, coords, com, box, n_chains=n_chains)
+    if kind == "cnf":
+        com, quat, box = read_cnf(os.path.join(base_dir, start["path"]))
+        return mc.init_state(key, (com + box / 2.0) % box, quat=quat,
+                             box=box, n_chains=n_chains)
+    raise ValueError(f"unknown start kind {kind!r}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="metropolismontecarlo_tpu")
+    ap.add_argument("config", help="JSON run configuration")
+    ap.add_argument("--resume", help="checkpoint .npz to resume from")
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config)
+    base_dir = os.path.dirname(os.path.abspath(args.config))
+    run_cfg = cfg.get("run", {})
+    out_cfg = run_cfg.get("output", {})
+    out_dir = out_cfg.get("dir")
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+
+    if not args.quiet:
+        banner()
+
+    system = build_system(cfg, base_dir)
+    params = build_params(cfg)
+    dtype = jnp.float64 if run_cfg.get("dtype") == "float64" else jnp.float32
+    if dtype == jnp.float64:
+        jax.config.update("jax_enable_x64", True)
+    mc = MonteCarlo(system, params, dtype=dtype,
+                    recompute_chunk=int(run_cfg.get("recompute_chunk", 8)))
+
+    if args.resume:
+        state_np, meta = load_state(args.resume)
+        state = SimState(*[jnp.asarray(x) for x in state_np])
+        first_block = int(meta.get("block", 0))
+        print(f"resumed from {args.resume} at block {first_block}")
+    else:
+        state = _initial_state(mc, run_cfg, system, base_dir)
+        first_block = 0
+
+    rdf = None
+    if "rdf" in out_cfg:
+        r = out_cfg["rdf"]
+        rdf = RDFAccumulator(system, int(r.get("type_i", 0)),
+                             int(r.get("type_j", 0)),
+                             float(r.get("r_max", params.r_cut)),
+                             int(r.get("n_bins", 200)))
+
+    logger = JsonlLogger(os.path.join(out_dir, "metrics.jsonl")
+                         if out_dir else None)
+    n_blocks = int(run_cfg.get("n_blocks", 10))
+    n_steps = int(run_cfg.get("n_steps", 100))
+    equil = int(run_cfg.get("equil_blocks", 0))
+    pdb_every = int(out_cfg.get("pdb_every", 0))
+    ckpt_every = int(out_cfg.get("checkpoint_every", 0))
+
+    for block in range(first_block, n_blocks):
+        adjust = block < equil
+        state, metrics = mc.run_block(state, n_steps, adjust=adjust)
+        vol = float(jnp.mean(state.box**3))
+        metrics["pressure_mean"] = float(pressure_fn(
+            params, system.n_mol, vol, metrics["virial_mean"]))
+        if rdf is not None and not adjust:
+            rdf.update(state)
+        if not args.quiet:
+            print(block_line(block, metrics))
+        logger.write(dict(metrics, block=block, phase="equil" if adjust else "prod"))
+        if out_dir and pdb_every and (block + 1) % pdb_every == 0:
+            from metropolismontecarlo_tpu.io.pdb import write_pdb
+            tid = system.flat(system.type_ids)
+            names = [f"T{t}" for t in tid]
+            res = np.repeat(np.arange(system.n_mol) + 1, system.atoms_per_mol)
+            write_pdb(os.path.join(out_dir, f"frame_{block + 1}.pdb"),
+                      np.asarray(state.coords[0]), names,
+                      [system.name[:3].upper()] * system.n_atoms, res,
+                      box=float(state.box[0]))
+        if out_dir and ckpt_every and (block + 1) % ckpt_every == 0:
+            save_state(os.path.join(out_dir, "checkpoint.npz"), state,
+                       metadata={"block": block + 1})
+
+    if rdf is not None and out_dir:
+        r, g = rdf.result()
+        np.savetxt(os.path.join(out_dir, "rdf.txt"),
+                   np.column_stack([r, g]), header="r g(r)")
+    if out_dir:
+        save_state(os.path.join(out_dir, "final.npz"), state,
+                   metadata={"block": n_blocks})
+    logger.close()
+    if not args.quiet:
+        print("done.")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""JSON run-configuration layer.
+
+The reference configures runs by editing globals at the top of each main
+file and lists JSON input as a TODO (`Ewald/main.jl:49,62-107`); this
+module honors that TODO: one JSON document describes the model, the
+RunParams, and the run schedule.
+
+Schema (all sections optional except model):
+{
+  "model": {"kind": "spce"|"tip3p"|"lj"|"triatomic"|"topology",
+            "n_mol": 750,                        // spce/tip3p/lj/triatomic
+            "top": "topol.top",                  // topology kind
+            "templates": {"SOL": "tip3p.pdb"},   // topology kind
+            "molecules": [["SOL", 100]]},        // optional override
+  "params": { ... RunParams fields ... },
+  "run":   {"n_chains": 64, "n_blocks": 10, "n_steps": 100,
+            "equil_blocks": 2, "seed": 0, "dtype": "float32",
+            "start": {"kind": "lattice"|"nist"|"cnf", "path": "...",
+                      "box": 20.0, "density": null},
+            "output": {"dir": "out", "pdb_every": 0,
+                       "checkpoint_every": 0,
+                       "rdf": {"type_i": 0, "type_j": 0,
+                               "r_max": 10.0, "n_bins": 200}}}
+}
+"""
+
+import dataclasses
+import json
+import os
+
+from metropolismontecarlo_tpu.models.system import RunParams
+
+
+def load_config(path):
+    with open(path) as f:
+        cfg = json.load(f)
+    return cfg
+
+
+def build_params(cfg):
+    fields = {f.name for f in dataclasses.fields(RunParams)}
+    given = cfg.get("params", {})
+    unknown = set(given) - fields
+    if unknown:
+        raise ValueError(f"unknown RunParams fields: {sorted(unknown)}")
+    return RunParams(**given)
+
+
+def build_system(cfg, base_dir="."):
+    model = cfg["model"]
+    kind = model["kind"].lower()
+    if kind == "spce":
+        from metropolismontecarlo_tpu.models.water import spce_system
+        return spce_system(int(model["n_mol"]))
+    if kind == "tip3p":
+        from metropolismontecarlo_tpu.models.water import tip3p_system
+        return tip3p_system(int(model["n_mol"]))
+    if kind == "lj":
+        from metropolismontecarlo_tpu.models.monatomic import lj_system
+        return lj_system(int(model["n_mol"]),
+                         eps=model.get("eps", 1.0), sigma=model.get("sigma", 1.0))
+    if kind == "triatomic":
+        from metropolismontecarlo_tpu.models.polyatomic import triatomic_system
+        return triatomic_system(int(model["n_mol"]),
+                                alpha_deg=model.get("alpha_deg", 75.0))
+    if kind == "topology":
+        from metropolismontecarlo_tpu.io.topology import read_top
+        from metropolismontecarlo_tpu.models.from_topology import (
+            system_from_topology,
+            templates_from_pdbs,
+        )
+        top = read_top(os.path.join(base_dir, model["top"]),
+                       defines=model.get("defines", ()))
+        templates = templates_from_pdbs(top, {
+            k: os.path.join(base_dir, v)
+            for k, v in model["templates"].items()
+        })
+        molecules = [tuple(x) for x in model["molecules"]] \
+            if "molecules" in model else None
+        return system_from_topology(top, templates, molecules=molecules,
+                                    name=kind)
+    raise ValueError(f"unknown model kind {kind!r}")

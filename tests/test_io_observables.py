@@ -1,0 +1,133 @@
+"""Checkpoint/resume determinism, RDF sanity, PDB round-trip, JSON config,
+and the CLI runner end-to-end."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metropolismontecarlo_tpu.io.checkpoint import load_state, save_state
+from metropolismontecarlo_tpu.io.configs import cubic_lattice
+from metropolismontecarlo_tpu.io.pdb import read_pdb, write_pdb
+from metropolismontecarlo_tpu.mc.driver import MonteCarlo
+from metropolismontecarlo_tpu.models.monatomic import lj_box_for_density, lj_system
+from metropolismontecarlo_tpu.models.system import RunParams, SimState
+from metropolismontecarlo_tpu.models.water import spce_system
+from metropolismontecarlo_tpu.observables import RDFAccumulator
+
+
+def _water_mc():
+    system = spce_system(8)
+    params = RunParams(temperature=300.0, r_cut=5.0, cutoff_mode="site",
+                       coulomb="ewald", nk=3, ksq_max=9, p_translate=0.5,
+                       dr_max=0.3, dphi_max=0.4)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=4)
+    state = mc.init_state(jax.random.PRNGKey(0), cubic_lattice(8, 12.0),
+                          box=12.0, n_chains=4)
+    return mc, state
+
+
+def test_checkpoint_resume_exact_trajectory(tmp_path):
+    """A resumed run must continue the EXACT stochastic trajectory: run
+    10+10 sweeps vs save@10 / load / 10 sweeps — identical states."""
+    mc, state = _water_mc()
+    mid = mc.run_steps(state, 10, False)
+    ref = mc.run_steps(mid, 10, False)
+
+    path = tmp_path / "ck.npz"
+    save_state(path, mid, metadata={"block": 1})
+    loaded_np, meta = load_state(path)
+    assert int(meta["block"]) == 1
+    loaded = SimState(*[jnp.asarray(x) for x in loaded_np])
+    out = mc.run_steps(loaded, 10, False)
+    for f in SimState._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(out, f)),
+                                      np.asarray(getattr(ref, f)), err_msg=f)
+
+
+def test_rdf_ideal_gas_is_flat():
+    """Non-interacting particles must give g(r) ~ 1 everywhere."""
+    n = 64
+    system = lj_system(n, eps=0.0)
+    params = RunParams(temperature=1.0, r_cut=2.0, cutoff_mode="site",
+                       coulomb="none", p_translate=1.0, dr_max=2.0,
+                       use_lrc=False)
+    box = lj_box_for_density(n, 0.5)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=8)
+    state = mc.init_state(jax.random.PRNGKey(1), cubic_lattice(n, box),
+                          box=box, n_chains=16)
+    state = mc.run_steps(state, 30, False)  # randomize
+    rdf = RDFAccumulator(system, 0, 0, r_max=box / 2, n_bins=24)
+    for _ in range(5):
+        state = mc.run_steps(state, 5, False)
+        rdf.update(state)
+    r, g = rdf.result()
+    # skip the first bins (few counts); the rest must be ~1
+    assert np.all(np.abs(g[4:] - 1.0) < 0.15), g
+
+
+def test_rdf_excluded_core_for_lj():
+    """Interacting LJ fluid: g(r)=0 inside the core, peak near r=1."""
+    n, rho, t = 64, 0.7, 1.2
+    box = lj_box_for_density(n, rho)
+    system = lj_system(n)
+    params = RunParams(temperature=t, r_cut=2.5, cutoff_mode="site",
+                       coulomb="none", p_translate=1.0, dr_max=0.25,
+                       use_lrc=False)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=8)
+    state = mc.init_state(jax.random.PRNGKey(2), cubic_lattice(n, box),
+                          box=box, n_chains=16)
+    state = mc.run_steps(state, 60, False)
+    rdf = RDFAccumulator(system, 0, 0, r_max=box / 2, n_bins=40)
+    for _ in range(5):
+        state = mc.run_steps(state, 10, False)
+        rdf.update(state)
+    r, g = rdf.result()
+    assert np.all(g[r < 0.85] < 0.05)
+    assert g[(r > 1.0) & (r < 1.35)].max() > 1.5
+
+
+def test_pdb_roundtrip(tmp_path):
+    coords = np.random.default_rng(0).uniform(0, 10, (6, 3))
+    path = tmp_path / "t.pdb"
+    write_pdb(path, coords, ["OW", "HW", "HW"] * 2, ["WAT"] * 6,
+              np.repeat([1, 2], 3), box=10.0)
+    data = read_pdb(path)
+    np.testing.assert_allclose(data["coords"], coords, atol=2e-3)
+    assert data["box"][0] == pytest.approx(10.0)
+
+
+def test_cli_end_to_end(tmp_path):
+    """Full CLI run from a JSON config: metrics, RDF, checkpoint, resume."""
+    cfg = {
+        "model": {"kind": "lj", "n_mol": 27},
+        "params": {"temperature": 1.5, "r_cut": 2.5, "cutoff_mode": "site",
+                   "coulomb": "none", "p_translate": 1.0, "dr_max": 0.3,
+                   "use_lrc": True},
+        "run": {"n_chains": 8, "n_blocks": 3, "n_steps": 10,
+                "equil_blocks": 1, "seed": 1, "dtype": "float32",
+                "start": {"kind": "lattice", "density": 0.6},
+                "output": {"dir": str(tmp_path / "out"),
+                           "checkpoint_every": 1, "pdb_every": 2,
+                           "rdf": {"type_i": 0, "type_j": 0, "r_max": 1.5,
+                                   "n_bins": 20}}},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    from metropolismontecarlo_tpu.run import main
+    out_dir = tmp_path / "out"
+    main([str(cfg_path), "--quiet"])
+    assert (out_dir / "metrics.jsonl").exists()
+    assert (out_dir / "rdf.txt").exists()
+    assert (out_dir / "final.npz").exists()
+    assert (out_dir / "checkpoint.npz").exists()
+    assert (out_dir / "frame_2.pdb").exists()
+    lines = [json.loads(l) for l in (out_dir / "metrics.jsonl").read_text().splitlines()]
+    assert len(lines) == 3
+    assert all(np.isfinite(l["energy_mean"]) for l in lines)
+    # resume from the checkpoint
+    main([str(cfg_path), "--quiet", "--resume", str(out_dir / "checkpoint.npz")])
