@@ -57,10 +57,12 @@ class MonteCarlo:
 
     def build_coords(self, com, quat):
         """Atoms from molecular COM + orientation: r = com + R(q) b.
-        com (..., M, 3), quat (..., M, 4) -> (..., A, 3)."""
+        com (..., M, 3), quat (..., M, 4) -> (..., 3, A) (transposed
+        atoms-on-lanes layout, see SimState)."""
         body = jnp.asarray(self.system.body, self.dtype)
         atoms = com[..., :, None, :] + rotate_vectors(quat, body)
-        return atoms.reshape(atoms.shape[:-3] + (self.system.n_atoms, 3))
+        flat = atoms.reshape(atoms.shape[:-3] + (self.system.n_atoms, 3))
+        return jnp.swapaxes(flat, -1, -2)
 
     def init_state(self, key, com, quat=None, box=None, n_chains=None,
                    perturb_key=None):
@@ -149,9 +151,9 @@ class MonteCarlo:
         n_chunks = C // G
         assert n_chunks * G == C, "n_chains must be divisible by recompute_chunk"
 
-        def one(coords, com, box):
-            out = energy_breakdown(self.system, self.params, coords, com, box,
-                                   self.kvecs, self.kweights)
+        def one(coords_t, com, box):
+            out = energy_breakdown(self.system, self.params, coords_t.T, com,
+                                   box, self.kvecs, self.kweights)
             return out["total"], out["w"], out["sfac"]
 
         def chunk(_, args):

@@ -78,15 +78,15 @@ def make_move_fn(system, params, kvecs, kweights, dtype=jnp.float32):
     if params.lj_shift == "linear":
         from metropolismontecarlo_tpu.ops.lj import _shift_coeffs  # noqa: PLC0415
 
-    def pair_energy_rows(ra2p, key_old, key_new, com, coords, m, box, kappa):
+    def pair_energy_rows(ra2p, key_old, key_new, com, coords_t, m, box, kappa):
         """Stacked old/new pair energies.
 
-        ra2p: (2P, 3) = [old atoms; new atoms].  Returns
+        ra2p: (2P, 3) = [old atoms; new atoms]; coords_t: (3, A).  Returns
         (e_lj (2P,), e_coul (2P,), overlap ()) where row sums split as
         old = rows[:P], new = rows[P:].
         """
-        dr = min_image(ra2p[:, None, :] - coords[None, :, :], box)
-        d2 = jnp.maximum(jnp.sum(dr * dr, axis=-1), jnp.asarray(1e-12, dtype))
+        dr = min_image(ra2p.T[:, :, None] - coords_t[:, None, :], box)
+        d2 = jnp.maximum(jnp.sum(dr * dr, axis=0), jnp.asarray(1e-12, dtype))
 
         other = (mol_of_atom != m)[None, :]                     # (1, A)
         if site:
@@ -94,7 +94,7 @@ def make_move_fn(system, params, kvecs, kweights, dtype=jnp.float32):
             mask_qq = mask_lj if params.qq_r_cut is None else other & (d2 < qrc2)
         else:
             keys = com if params.cutoff_mode == "com" \
-                else coords.reshape(M, P, 3)[:, 0, :]
+                else coords_t.reshape(3, M, P)[:, :, 0].T
             kpts = jnp.stack([key_old, key_new])                # (2, 3)
             d2m = jnp.sum(min_image(kpts[:, None, :] - keys[None], box) ** 2,
                           axis=-1)                              # (2, M)
@@ -157,7 +157,7 @@ def make_move_fn(system, params, kvecs, kweights, dtype=jnp.float32):
         com_m = com[m]
         quat_m = quat[m]
         body_m = body[m]
-        ra_old = jax.lax.dynamic_slice(coords, (m * P, 0), (P, 3))
+        ra_old = jax.lax.dynamic_slice(coords, (0, m * P), (3, P)).T  # (P, 3)
 
         if use_rot:
             is_trans = jax.random.uniform(k_sel, dtype=dtype) < params.p_translate
@@ -206,7 +206,7 @@ def make_move_fn(system, params, kvecs, kweights, dtype=jnp.float32):
         quat = jax.lax.dynamic_update_slice(
             quat, jnp.where(accept, quat_new, quat_m)[None, :], (m, 0))
         coords = jax.lax.dynamic_update_slice(
-            coords, jnp.where(accept, ra_new, ra_old), (m * P, 0))
+            coords, jnp.where(accept, ra_new, ra_old).T, (0, m * P))
         sfac = jnp.where(accept, sfac + dsfac, sfac)
         energy = jnp.where(accept, energy + d_e, energy)
         return com, quat, coords, sfac, energy, virial, is_trans, accept

@@ -42,11 +42,13 @@ def make_volume_move_fn(system, params, kvecs, kweights, dtype=jnp.float32,
         box_new = vol_new ** (1.0 / 3.0)
         scale = box_new / box
         com_new = com * scale
-        coords_new = (com_new[:, None, :] + rotate_vectors(quat, body)).reshape(A, 3)
+        coords_new = (com_new[:, None, :] + rotate_vectors(quat, body)) \
+            .reshape(A, 3).T  # (3, A) transposed layout
         return do_move, box_new, com_new, coords_new, vol_old, vol_new
 
-    def recompute(coords, com, box):
-        out = energy_breakdown(system, params, coords, com, box, kvecs, kweights)
+    def recompute(coords_t, com, box):
+        out = energy_breakdown(system, params, coords_t.T, com, box,
+                               kvecs, kweights)
         return out["total"], out["w"], out["sfac"]
 
     def volume_move(state):

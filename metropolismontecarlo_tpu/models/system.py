@@ -98,7 +98,10 @@ class SimState(NamedTuple):
 
     com: jnp.ndarray        # (C, M, 3) molecular centers of mass
     quat: jnp.ndarray       # (C, M, 4) orientations
-    coords: jnp.ndarray     # (C, A, 3) atom positions (A = M*P)
+    coords: jnp.ndarray     # (C, 3, A) atom positions, TRANSPOSED layout:
+                            #   atoms on the minor (lane) axis so dense
+                            #   pair grids and Pallas tiles are (8,128)-
+                            #   shaped without padding waste (A = M*P)
     box: jnp.ndarray        # (C,) box edge length
     sfac: jnp.ndarray       # (C, K, 2) Ewald structure factors ([re, im]); (C,1,2) dummy otherwise
     energy: jnp.ndarray     # (C,) running total potential energy (K)

@@ -46,12 +46,12 @@ class RDFAccumulator:
         n_bins_ = self.n_bins
         r_max_ = self.r_max
 
-        def one_chain(coords, box):
-            ri = coords[ii]
-            rj = coords[jj]
-            dr = ri[:, None, :] - rj[None, :, :]
+        def one_chain(coords_t, box):
+            ri = coords_t[:, ii]                     # (3, Ni)
+            rj = coords_t[:, jj]                     # (3, Nj)
+            dr = ri[:, :, None] - rj[:, None, :]
             dr = dr - box * jnp.round(dr / box)
-            r = jnp.sqrt(jnp.maximum(jnp.sum(dr * dr, -1), 1e-12))
+            r = jnp.sqrt(jnp.maximum(jnp.sum(dr * dr, 0), 1e-12))
             inter = mi[:, None] != mj[None, :]
             keep = inter & (r < r_max_)
             bins = jnp.clip((r * (n_bins_ / r_max_)).astype(jnp.int32),
