@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from metropolismontecarlo_tpu.mc.adjust import adjust_dmax
-from metropolismontecarlo_tpu.mc.moves import make_move_fn
+from metropolismontecarlo_tpu.mc.moves import make_sweep_fn
 from metropolismontecarlo_tpu.mc.npt import make_volume_move_fn
 from metropolismontecarlo_tpu.models.energy import energy_breakdown
 from metropolismontecarlo_tpu.models.system import SimState
@@ -35,7 +35,11 @@ class MonteCarlo:
         state, metrics = mc.run_block(state, n_steps=100, adjust=True)
     """
 
-    def __init__(self, system, params, dtype=jnp.float32, recompute_chunk=8):
+    def __init__(self, system, params, dtype=jnp.float32, recompute_chunk=8,
+                 pallas="auto"):
+        """pallas: "auto" (compiled kernel on TPU when supported),
+        True/"tpu" (force), "interpret" (Pallas interpreter, CPU testing),
+        or False/None (pure-jnp path)."""
         self.system = system
         self.params = params
         self.dtype = dtype
@@ -46,7 +50,24 @@ class MonteCarlo:
             )
         else:
             self.kvecs, self.kweights = None, None
-        self._move = make_move_fn(system, params, self.kvecs, self.kweights, dtype)
+        supported = (params.cutoff_mode == "site"
+                     and params.lj_shift == "none"
+                     and dtype == jnp.float32)
+        if pallas == "auto":
+            pallas_mode = "tpu" if (supported
+                                    and jax.default_backend() == "tpu") else None
+        elif pallas in (True, "tpu"):
+            pallas_mode = "tpu"
+        elif pallas == "interpret":
+            pallas_mode = "interpret"
+        else:
+            pallas_mode = None
+        if pallas_mode and not supported:
+            raise ValueError("Pallas path requires site cutoff, unshifted "
+                             "LJ, and float32")
+        self.pallas_mode = pallas_mode
+        self._sweep_move = make_sweep_fn(system, params, self.kvecs,
+                                         self.kweights, dtype, pallas_mode)
         self._volume_move = (
             make_volume_move_fn(system, params, self.kvecs, self.kweights, dtype)
             if params.pressure is not None and params.p_volume > 0.0
@@ -57,12 +78,17 @@ class MonteCarlo:
 
     def build_coords(self, com, quat):
         """Atoms from molecular COM + orientation: r = com + R(q) b.
-        com (..., M, 3), quat (..., M, 4) -> (..., 3, A) (transposed
-        atoms-on-lanes layout, see SimState)."""
+        com (..., M, 3), quat (..., M, 4) -> (..., 3, A_pad): transposed
+        atoms-on-lanes layout with zero-filled lane padding (see
+        SimState/System.n_atoms_padded)."""
         body = jnp.asarray(self.system.body, self.dtype)
         atoms = com[..., :, None, :] + rotate_vectors(quat, body)
         flat = atoms.reshape(atoms.shape[:-3] + (self.system.n_atoms, 3))
-        return jnp.swapaxes(flat, -1, -2)
+        out = jnp.swapaxes(flat, -1, -2)
+        pad = self.system.n_atoms_padded - self.system.n_atoms
+        if pad:
+            out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, pad)])
+        return out
 
     def init_state(self, key, com, quat=None, box=None, n_chains=None,
                    perturb_key=None):
@@ -151,9 +177,12 @@ class MonteCarlo:
         n_chunks = C // G
         assert n_chunks * G == C, "n_chains must be divisible by recompute_chunk"
 
+        A = self.system.n_atoms
+
         def one(coords_t, com, box):
-            out = energy_breakdown(self.system, self.params, coords_t.T, com,
-                                   box, self.kvecs, self.kweights)
+            out = energy_breakdown(self.system, self.params,
+                                   coords_t[:, :A].T, com, box,
+                                   self.kvecs, self.kweights)
             return out["total"], out["w"], out["sfac"]
 
         def chunk(_, args):
@@ -177,29 +206,11 @@ class MonteCarlo:
 
     # ---------------- sweeps ----------------
 
-    def _sweep_body(self, state, m):
-        """One move of molecule m across all chains."""
-        in_axes = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None)
-        com, quat, coords, sfac, energy, virial, is_trans, accept = jax.vmap(
-            self._move, in_axes=in_axes
-        )(state.com, state.quat, state.coords, state.box, state.sfac,
-          state.energy, state.virial, state.key, state.dr_max,
-          state.dphi_max, state.temp, m, state.step)
-        it = is_trans.astype(jnp.int32)
-        ac = accept.astype(jnp.int32)
-        att = state.att.at[:, 0].add(it).at[:, 1].add(1 - it)
-        acc = state.acc.at[:, 0].add(it * ac).at[:, 1].add((1 - it) * ac)
-        state = state._replace(
-            com=com, quat=quat, coords=coords, sfac=sfac, energy=energy,
-            virial=virial, step=state.step + 1, att=att, acc=acc,
-        )
-        return state, None
-
     def sweep(self, state):
         """One sweep: every molecule attempted once (reference
         `Ewald/main.jl:490`), plus an NPT volume-move attempt if enabled."""
         order = jnp.arange(self.system.n_mol)
-        state, _ = jax.lax.scan(self._sweep_body, state, order)
+        state, _ = jax.lax.scan(self._sweep_move, state, order)
         if self._volume_move is not None:
             state = self._volume_move(state)
         return state

@@ -1,4 +1,4 @@
-"""Single-molecule MC move kernel: proposal, delta energy, Metropolis.
+"""Single-molecule MC move kernels: proposal, delta energy, Metropolis.
 
 The TPU-native re-design of the reference's hot loop body
 (`Ewald/main.jl:490-639`): instead of one molecule mutated in place with
@@ -7,24 +7,27 @@ early-exit energy loops, every chain advances one move per call with
   * branchless proposals: BOTH the translation and the rotation are formed
     and `where`-selected by the per-chain move-type draw,
   * ONE stacked (2P, A) masked pair grid evaluating the old and new
-    positions together (distances computed once, shared by the cutoff
-    mask, the LJ terms, the erfc terms, and the overlap veto),
+    positions together — either as fused jnp ops or as the Pallas TPU
+    kernel (ops.pallas.delta_energy) operating on coordinate planes,
   * the Ewald reciprocal delta via carried structure factors, O(P*K)
     (the reference's RecipMove trick, `Ewald/ewalds.jl:718-826`),
   * accept/reject as `jnp.where` selection — no copy-backs.
 
 The virial is intentionally NOT accumulated per move: pressure is an
 observable, sampled from the exact full recompute at block boundaries
-(driver.run_block), which keeps ~40% of the per-move HBM traffic off the
-hot path.
+(driver.run_block).  The same ops functions back the full-system
+recompute (models.energy), so accumulated deltas and recomputed totals
+agree to roundoff (the drift invariant, reference `Poly/main.jl:232-235`).
 
-The same ops functions back the full-system recompute (models.energy), so
-accumulated deltas and recomputed totals agree to roundoff (the drift
-invariant, reference `Poly/main.jl:232-235`).
+Atom storage is the padded transposed layout (C, 3, A_pad); padding
+columns carry molecule id -1 and are excluded by every mask.
 """
+
+import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.scipy.special import erfc as _erfc
 
 from metropolismontecarlo_tpu.ops import ewald as ewald_ops
@@ -36,36 +39,33 @@ from metropolismontecarlo_tpu.ops.quaternions import (
 from metropolismontecarlo_tpu.utils.constants import COULOMB_FACTOR
 
 
-def make_move_fn(system, params, kvecs, kweights, dtype=jnp.float32):
-    """Build `move(state_slice..., m, step) -> updates` for one chain.
+def _round_up(x, m):
+    return -(-x // m) * m
 
-    Returns a function over UNBATCHED per-chain state; the driver vmaps it
-    over the chains axis.  Static tables (body frames, charges, pair
-    epsilon/sigma/qq rows) are closed over as device constants.
+
+def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
+                  pallas_mode=None):
+    """Build `sweep_body(state, m) -> (state, None)` advancing every chain
+    by one move of molecule m.
+
+    pallas_mode: None (pure jnp), "tpu" (compiled Pallas kernel), or
+    "interpret" (Pallas interpreter — CPU testing).
     """
-    M, P, A = system.n_mol, system.atoms_per_mol, system.n_atoms
+    M, P = system.n_mol, system.atoms_per_mol
+    A = system.n_atoms
+    A_pad = system.n_atoms_padded
 
     body = jnp.asarray(system.body, dtype)                      # (M,P,3)
     charges_mp = jnp.asarray(system.charges, dtype)             # (M,P)
-    charges_flat = jnp.asarray(system.flat(system.charges), dtype)  # (A,)
+    charges_pad = np.zeros(A_pad)
+    charges_pad[:A] = system.flat(system.charges)
+    charges_flat = jnp.asarray(charges_pad, dtype)              # (A_pad,)
+    mol_of_atom = jnp.asarray(system.mol_of_atom_padded)        # (A_pad,)
+
     tid = system.flat(system.type_ids)
     eps_t = jnp.asarray(system.eps_table, dtype)
     sig_t = jnp.asarray(system.sig_table, dtype)
-    # Pair-parameter strategy: for small systems precompute (A, A) rows and
-    # dynamic-slice (P, A) per move; for large A that is O(A^2) memory, so
-    # instead gather the (P, T) sub-table per move and expand via a one-hot
-    # (T, A) matmul (tiny K -> MXU-cheap).
-    big = system.n_atoms > 4096
-    tid_j = jnp.asarray(tid)
-    if big:
-        n_types = system.eps_table.shape[0]
-        type_onehot = jax.nn.one_hot(tid_j, n_types, dtype=dtype).T  # (T, A)
-        tid_mp = jnp.asarray(system.type_ids)                        # (M, P)
-    else:
-        eps_rows = eps_t[tid[:, None], tid[None, :]]
-        sig2_rows = (sig_t**2)[tid[:, None], tid[None, :]]
 
-    mol_of_atom = jnp.repeat(jnp.arange(M), P)                  # (A,)
     kv = None if kvecs is None else jnp.asarray(kvecs)
     kw = None if kweights is None else jnp.asarray(kweights, dtype)
 
@@ -78,40 +78,96 @@ def make_move_fn(system, params, kvecs, kweights, dtype=jnp.float32):
     if params.lj_shift == "linear":
         from metropolismontecarlo_tpu.ops.lj import _shift_coeffs  # noqa: PLC0415
 
+    # ---------------- proposal / finalize (per chain, vmapped) ----------
+
+    def propose_full(com, quat, coords, box, key, dr_max, dphi_max, m, step):
+        # reference proposal conventions: translation components uniform in
+        # (-dr_max/2, dr_max/2) (`random_translate_vector`,
+        # `Ewald/auxillary.jl:94-103`); rotation by a random angle about a
+        # random axis (`random_rotate_quaternion`).
+        kmove = jax.random.fold_in(key, step)
+        k_sel, k_trans, k_rot, k_acc = jax.random.split(kmove, 4)
+        com_m = com[m]
+        quat_m = quat[m]
+        body_m = body[m]
+        ra_old = jax.lax.dynamic_slice(coords, (0, m * P), (3, P)).T
+        if use_rot:
+            is_trans = jax.random.uniform(k_sel, dtype=dtype) < params.p_translate
+        else:
+            is_trans = jnp.asarray(True)
+        delta = (jax.random.uniform(k_trans, (3,), dtype=dtype) - 0.5) * dr_max
+        com_new = wrap(com_m + jnp.where(is_trans, delta, 0.0), box)
+        if use_rot:
+            quat_rot = random_rotate_quaternion(k_rot, quat_m, dphi_max)
+            quat_new = jnp.where(is_trans, quat_m, quat_rot)
+            ra_new = com_new[None, :] + rotate_vectors(quat_new, body_m)
+        else:
+            quat_new = quat_m
+            ra_new = com_new[None, :] + rotate_vectors(quat_m, body_m) \
+                if P > 1 else com_new[None, :]
+        return dict(k_acc=k_acc, com_m=com_m, quat_m=quat_m, ra_old=ra_old,
+                    is_trans=is_trans, com_new=com_new, quat_new=quat_new,
+                    ra_new=ra_new)
+
+    def finalize(com, quat, coords, box, sfac, energy, temp, pr, d_e, ovr, m):
+        """Metropolis + where-select state update (per chain)."""
+        if params.coulomb == "ewald":
+            q_m = charges_mp[m]
+            dsfac = ewald_ops.delta_structure_factor(
+                pr["ra_old"][None], pr["ra_new"][None], q_m[None], kv, box
+            )[0]
+            kappa = jnp.asarray(params.kappa_L, dtype) / box
+            cf = ewald_ops.cfac_coeffs(kv, kw, kappa, box, dtype)
+            d_recip = ewald_ops.recip_energy_delta(sfac, dsfac, cf)
+            d_e = d_e + d_recip
+        else:
+            dsfac = jnp.zeros_like(sfac)
+
+        beta_de = d_e / temp
+        u = jax.random.uniform(pr["k_acc"], dtype=dtype)
+        accept = ((beta_de < 0.0) | (u < jnp.exp(-beta_de))) & (~ovr)
+
+        com = jax.lax.dynamic_update_slice(
+            com, jnp.where(accept, pr["com_new"], pr["com_m"])[None, :], (m, 0))
+        quat = jax.lax.dynamic_update_slice(
+            quat, jnp.where(accept, pr["quat_new"], pr["quat_m"])[None, :],
+            (m, 0))
+        coords = jax.lax.dynamic_update_slice(
+            coords, jnp.where(accept, pr["ra_new"], pr["ra_old"]).T, (0, m * P))
+        sfac = jnp.where(accept, sfac + dsfac, sfac)
+        energy = jnp.where(accept, energy + d_e, energy)
+        return com, quat, coords, sfac, energy, pr["is_trans"], accept
+
+    # ---------------- jnp pair-energy path (per chain) ------------------
+
     def pair_energy_rows(ra2p, key_old, key_new, com, coords_t, m, box, kappa):
-        """Stacked old/new pair energies.
-
-        ra2p: (2P, 3) = [old atoms; new atoms]; coords_t: (3, A).  Returns
-        (e_lj (2P,), e_coul (2P,), overlap ()) where row sums split as
-        old = rows[:P], new = rows[P:].
-        """
+        """Stacked old/new pair energies: ra2p (2P, 3), coords_t (3, A_pad).
+        Returns (d_e_pairs (), overlap ())."""
         dr = min_image(ra2p.T[:, :, None] - coords_t[:, None, :], box)
-        d2 = jnp.maximum(jnp.sum(dr * dr, axis=0), jnp.asarray(1e-12, dtype))
+        d2 = jnp.maximum(jnp.sum(dr * dr, axis=0), jnp.asarray(1e-4, dtype))
 
-        other = (mol_of_atom != m)[None, :]                     # (1, A)
+        other = ((mol_of_atom != m) & (mol_of_atom >= 0))[None, :]
         if site:
             mask_lj = other & (d2 < rc2)
             mask_qq = mask_lj if params.qq_r_cut is None else other & (d2 < qrc2)
         else:
             keys = com if params.cutoff_mode == "com" \
-                else coords_t.reshape(3, M, P)[:, :, 0].T
+                else coords_t[:, :A].reshape(3, M, P)[:, :, 0].T
             kpts = jnp.stack([key_old, key_new])                # (2, 3)
             d2m = jnp.sum(min_image(kpts[:, None, :] - keys[None], box) ** 2,
                           axis=-1)                              # (2, M)
             halves = jnp.repeat(jnp.arange(2), P)               # (2P,)
-            inc = (d2m < rc2)[:, mol_of_atom]                   # (2, A)
+            inc = (d2m < rc2)[:, mol_of_atom]                   # (2, A_pad)
             mask_lj = other & inc[halves]
             mask_qq = mask_lj if params.qq_r_cut is None \
                 else other & ((d2m < qrc2)[:, mol_of_atom])[halves]
 
         d2s = jnp.where(mask_lj | mask_qq, d2, jnp.ones((), dtype))
-        if big:
-            tm = tid_mp[m]                                   # (P,) type ids
-            eps_pa = eps_t[tm] @ type_onehot                 # (P,T)@(T,A)
-            sig2_pa = (sig_t**2)[tm] @ type_onehot
-        else:
-            eps_pa = jax.lax.dynamic_slice(eps_rows, (m * P, 0), (P, A))
-            sig2_pa = jax.lax.dynamic_slice(sig2_rows, (m * P, 0), (P, A))
+        tm = jnp.asarray(system.type_ids)[m]                    # (P,)
+        tid_row = jnp.asarray(
+            np.concatenate([tid, np.zeros(A_pad - A, tid.dtype)]))
+        eps_pa = eps_t[tm][:, tid_row]                          # (P, A_pad)
+        sig2_pa = (sig_t**2)[tm][:, tid_row]
         eps2 = jnp.concatenate([eps_pa, eps_pa], axis=0)
         sig2 = jnp.concatenate([sig2_pa, sig2_pa], axis=0)
 
@@ -122,12 +178,11 @@ def make_move_fn(system, params, kvecs, kweights, dtype=jnp.float32):
             sig_pa = jnp.sqrt(sig2)
             lam1, lam2 = _shift_coeffs(params.r_cut / sig_pa)
             pot = pot + eps2 * (lam1 + lam2 * jnp.sqrt(d2s) / sig_pa)
-        e_lj = jnp.sum(jnp.where(mask_lj, pot, 0.0), axis=-1)
+        e_lj = jnp.sum(jnp.where(mask_lj, pot, 0.0), axis=-1)   # (2P,)
 
-        e_coul = jnp.zeros((2 * P,), dtype)
+        d_e = jnp.sum(e_lj[P:]) - jnp.sum(e_lj[:P])
         overlap = jnp.zeros((), bool)
         if use_coul:
-            # charge products are separable: outer product, no table
             qq_pa = charges_mp[m][:, None] * charges_flat[None, :]
             qq2 = jnp.concatenate([qq_pa, qq_pa], axis=0)
             r = jnp.sqrt(d2s)
@@ -141,74 +196,168 @@ def make_move_fn(system, params, kvecs, kweights, dtype=jnp.float32):
             else:
                 raise ValueError(params.coulomb)
             e_coul = factor * jnp.sum(jnp.where(mask_qq, cpair, 0.0), axis=-1)
-            # hard-overlap veto on the NEW half only
+            d_e = d_e + jnp.sum(e_coul[P:]) - jnp.sum(e_coul[:P])
             bad = (d2 < params.d2_overlap) & (qq2 < 0.0) & mask_qq
             overlap = jnp.any(bad[P:])
-        return e_lj, e_coul, overlap
+        return d_e, overlap
 
-    def move(com, quat, coords, box, sfac, energy, virial, key, dr_max,
-             dphi_max, temp, m, step):
-        """One MC move of molecule m for one chain. Returns updated fields
-        plus (is_trans, accept) for the counters."""
+    def move_jnp(com, quat, coords, box, sfac, energy, key, dr_max,
+                 dphi_max, temp, m, step):
         kappa = jnp.asarray(params.kappa_L, dtype) / box
-        kmove = jax.random.fold_in(key, step)
-        k_sel, k_trans, k_rot, k_acc = jax.random.split(kmove, 4)
+        pr = propose_full(com, quat, coords, box, key, dr_max, dphi_max,
+                          m, step)
+        key_old = pr["ra_old"][0] if params.cutoff_mode == "first" \
+            else pr["com_m"]
+        key_new = pr["ra_new"][0] if params.cutoff_mode == "first" \
+            else pr["com_new"]
+        ra2p = jnp.concatenate([pr["ra_old"], pr["ra_new"]], axis=0)
+        d_e, ovr = pair_energy_rows(ra2p, key_old, key_new, com, coords,
+                                    m, box, kappa)
+        return finalize(com, quat, coords, box, sfac, energy, temp, pr,
+                        d_e, ovr, m)
 
-        com_m = com[m]
-        quat_m = quat[m]
-        body_m = body[m]
-        ra_old = jax.lax.dynamic_slice(coords, (0, m * P), (3, P)).T  # (P, 3)
+    # ---------------- sweep bodies --------------------------------------
 
-        if use_rot:
-            is_trans = jax.random.uniform(k_sel, dtype=dtype) < params.p_translate
-        else:
-            is_trans = jnp.asarray(True)
-        # reference convention: components uniform in (-dr_max/2, dr_max/2)
-        # (`random_translate_vector`, `Ewald/auxillary.jl:94-103`)
-        delta = (jax.random.uniform(k_trans, (3,), dtype=dtype) - 0.5) * dr_max
-        com_new = wrap(com_m + jnp.where(is_trans, delta, 0.0), box)
-        if use_rot:
-            quat_rot = random_rotate_quaternion(k_rot, quat_m, dphi_max)
-            quat_new = jnp.where(is_trans, quat_m, quat_rot)
-            ra_new = com_new[None, :] + rotate_vectors(quat_new, body_m)
-        else:
-            quat_new = quat_m
-            ra_new = com_new[None, :] + rotate_vectors(quat_m, body_m) if P > 1 \
-                else com_new[None, :]
+    def _update_counters(state, is_trans, accept):
+        it = is_trans.astype(jnp.int32)
+        ac = accept.astype(jnp.int32)
+        att = state.att.at[:, 0].add(it).at[:, 1].add(1 - it)
+        acc = state.acc.at[:, 0].add(it * ac).at[:, 1].add((1 - it) * ac)
+        return att, acc
 
-        key_old = ra_old[0] if params.cutoff_mode == "first" else com_m
-        key_new = ra_new[0] if params.cutoff_mode == "first" else com_new
+    if pallas_mode is None:
+        vmove = jax.vmap(
+            move_jnp,
+            in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None),
+        )
 
-        ra2p = jnp.concatenate([ra_old, ra_new], axis=0)
-        e_lj, e_coul, ovr = pair_energy_rows(
-            ra2p, key_old, key_new, com, coords, m, box, kappa)
-        d_e = (jnp.sum(e_lj[P:]) - jnp.sum(e_lj[:P])
-               + jnp.sum(e_coul[P:]) - jnp.sum(e_coul[:P]))
+        def sweep_body(state, m):
+            com, quat, coords, sfac, energy, is_trans, accept = vmove(
+                state.com, state.quat, state.coords, state.box, state.sfac,
+                state.energy, state.key, state.dr_max, state.dphi_max,
+                state.temp, m, state.step)
+            att, acc = _update_counters(state, is_trans, accept)
+            return state._replace(
+                com=com, quat=quat, coords=coords, sfac=sfac, energy=energy,
+                step=state.step + 1, att=att, acc=acc), None
 
-        if params.coulomb == "ewald":
-            q_m = charges_mp[m]
-            dsfac = ewald_ops.delta_structure_factor(
-                ra_old[None], ra_new[None], q_m[None], kv, box
-            )[0]
-            cf = ewald_ops.cfac_coeffs(kv, kw, kappa, box, dtype)
-            d_recip = ewald_ops.recip_energy_delta(sfac, dsfac, cf)
-            d_e = d_e + d_recip
-        else:
-            dsfac = jnp.zeros_like(sfac)
+        return sweep_body
 
-        # Metropolis (`Ewald/auxillary.jl:106-114`) with overlap veto
-        beta_de = d_e / temp
-        u = jax.random.uniform(k_acc, dtype=dtype)
-        accept = ((beta_de < 0.0) | (u < jnp.exp(-beta_de))) & (~ovr)
+    # ---------------- Pallas path ----------------------------------------
 
-        com = jax.lax.dynamic_update_slice(
-            com, jnp.where(accept, com_new, com_m)[None, :], (m, 0))
-        quat = jax.lax.dynamic_update_slice(
-            quat, jnp.where(accept, quat_new, quat_m)[None, :], (m, 0))
-        coords = jax.lax.dynamic_update_slice(
-            coords, jnp.where(accept, ra_new, ra_old).T, (0, m * P))
-        sfac = jnp.where(accept, sfac + dsfac, sfac)
-        energy = jnp.where(accept, energy + d_e, energy)
-        return com, quat, coords, sfac, energy, virial, is_trans, accept
+    if not site or params.lj_shift != "none":
+        raise NotImplementedError(
+            "Pallas path supports site cutoff with unshifted LJ; "
+            "use pallas_mode=None for other conventions")
+    from metropolismontecarlo_tpu.ops.pallas.delta_energy import (
+        delta_energy_pallas,
+    )
 
-    return move
+    n_rows = _round_up(2 * P, 8)
+    n_types = system.eps_table.shape[0]
+    t_pad = _round_up(n_types, 8)
+
+    # static per-row work flags: when every molecule has the same type
+    # pattern, rows whose site has no LJ (or no charge) skip that work at
+    # trace time (e.g. water H sites carry charge but no LJ)
+    tids_np = np.asarray(system.type_ids)
+    qs_np = np.asarray(system.charges)
+    uniform = bool((tids_np == tids_np[0]).all() and (qs_np == qs_np[0]).all())
+    if uniform:
+        eps_np = np.asarray(system.eps_table)
+        has_lj_p = [bool(np.any(eps_np[tids_np[0, p]] != 0.0)) for p in range(P)]
+        has_q_p = [bool(qs_np[0, p] != 0.0) for p in range(P)]
+    else:
+        has_lj_p = [True] * P
+        has_q_p = [True] * P
+    row_has_lj = tuple(has_lj_p + has_lj_p + [False] * (n_rows - 2 * P))
+    row_has_q = tuple(has_q_p + has_q_p + [False] * (n_rows - 2 * P))
+
+    tid_row_np = np.zeros(A_pad, np.float32)
+    tid_row_np[:A] = tid.astype(np.float32)
+    tid_row_np[A:] = -1.0
+    molid_row_np = system.mol_of_atom_padded.astype(np.float32)
+    q_row_np = charges_pad.astype(np.float32)
+
+    tid_row_j = jnp.asarray(tid_row_np)
+    molid_row_j = jnp.asarray(molid_row_np)
+    q_row_j = jnp.asarray(q_row_np)
+
+    # per-molecule (R, T_pad) LJ parameter rows and (R,) charges, gathered
+    # per move by molecule index (tiny)
+    eps_rows_mol = np.zeros((M, n_rows, t_pad), np.float32)
+    sig2_rows_mol = np.zeros((M, n_rows, t_pad), np.float32)
+    q8_mol = np.zeros((M, n_rows), np.float32)
+    et = np.asarray(system.eps_table, np.float32)
+    st2 = np.asarray(system.sig_table, np.float32) ** 2
+    for mi in range(M):
+        tm = np.asarray(system.type_ids)[mi]
+        for p in range(P):
+            eps_rows_mol[mi, p, :n_types] = et[tm[p]]
+            eps_rows_mol[mi, P + p, :n_types] = et[tm[p]]
+            sig2_rows_mol[mi, p, :n_types] = st2[tm[p]]
+            sig2_rows_mol[mi, P + p, :n_types] = st2[tm[p]]
+        q8_mol[mi, :P] = np.asarray(system.charges)[mi]
+        q8_mol[mi, P:2 * P] = np.asarray(system.charges)[mi]
+    eps_rows_mol = jnp.asarray(eps_rows_mol)
+    sig2_rows_mol = jnp.asarray(sig2_rows_mol)
+    q8_mol = jnp.asarray(q8_mol)
+
+    vprop = jax.vmap(propose_full,
+                     in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))
+    vfin = jax.vmap(finalize,
+                    in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None))
+
+    def sweep_body(state, m):
+        C = state.com.shape[0]
+        pr = vprop(state.com, state.quat, state.coords, state.box,
+                   state.key, state.dr_max, state.dphi_max, m, state.step)
+        # pack moved rows [P old; P new; pad] as coordinate planes (C, R)
+        ra = jnp.concatenate([pr["ra_old"], pr["ra_new"]], axis=1)  # (C,2P,3)
+        pad = n_rows - 2 * P
+        if pad:
+            # park padding rows far outside the cutoff of everything by
+            # reusing the first old atom (its energies cancel old vs new
+            # anyway, but they'd double-count rows; give them zero charge
+            # and pad LJ type instead: they use rows >= 2P of eps/q tables,
+            # which are zero)
+            ra = jnp.concatenate(
+                [ra, jnp.broadcast_to(ra[:, :1, :], (C, pad, 3))], axis=1)
+        mx, my, mz = ra[..., 0], ra[..., 1], ra[..., 2]
+
+        e_lj, e_coul, ovr_cnt = delta_energy_pallas(
+            state.coords[:, 0, :], state.coords[:, 1, :],
+            state.coords[:, 2, :],
+            mx.astype(jnp.float32), my.astype(jnp.float32),
+            mz.astype(jnp.float32),
+            state.box, m,
+            eps_rows_mol[m], sig2_rows_mol[m], q8_mol[m],
+            tid_row_j, molid_row_j, q_row_j,
+            coulomb=params.coulomb, n_types=n_types,
+            n_used=2 * P, row_has_lj=row_has_lj, row_has_q=row_has_q,
+            cb=int(os.environ.get("MMC_PALLAS_CB", "256")),
+            l_tile=int(os.environ.get("MMC_PALLAS_L", "1024")),
+            d2_overlap=float(params.d2_overlap),
+            kappa_l=float(params.kappa_L),
+            rc2=float(params.r_cut**2), qrc2=float(params.qq_cut**2),
+            wolf_rc=float(params.qq_cut),
+            interpret=(pallas_mode == "interpret"),
+        )
+        new_sl = slice(P, 2 * P)
+        old_sl = slice(0, P)
+        d_e = (jnp.sum(e_lj[:, new_sl], -1) - jnp.sum(e_lj[:, old_sl], -1))
+        if use_coul:
+            d_e = d_e + factor * (jnp.sum(e_coul[:, new_sl], -1)
+                                  - jnp.sum(e_coul[:, old_sl], -1))
+        ovr = jnp.sum(ovr_cnt[:, new_sl], -1) > 0.0
+        d_e = d_e.astype(dtype)
+
+        com, quat, coords, sfac, energy, is_trans, accept = vfin(
+            state.com, state.quat, state.coords, state.box, state.sfac,
+            state.energy, state.temp, pr, d_e, ovr, m)
+        att, acc = _update_counters(state, is_trans, accept)
+        return state._replace(
+            com=com, quat=quat, coords=coords, sfac=sfac, energy=energy,
+            step=state.step + 1, att=att, acc=acc), None
+
+    return sweep_body

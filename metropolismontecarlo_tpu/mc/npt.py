@@ -44,10 +44,13 @@ def make_volume_move_fn(system, params, kvecs, kweights, dtype=jnp.float32,
         com_new = com * scale
         coords_new = (com_new[:, None, :] + rotate_vectors(quat, body)) \
             .reshape(A, 3).T  # (3, A) transposed layout
+        pad = system.n_atoms_padded - A
+        if pad:
+            coords_new = jnp.pad(coords_new, ((0, 0), (0, pad)))
         return do_move, box_new, com_new, coords_new, vol_old, vol_new
 
     def recompute(coords_t, com, box):
-        out = energy_breakdown(system, params, coords_t.T, com, box,
+        out = energy_breakdown(system, params, coords_t[:, :A].T, com, box,
                                kvecs, kweights)
         return out["total"], out["w"], out["sfac"]
 

@@ -54,6 +54,22 @@ class System:
         return self.n_mol * self.atoms_per_mol
 
     @property
+    def n_atoms_padded(self):
+        """Atom-axis storage width: n_atoms rounded up to a TPU lane
+        multiple.  Pad columns hold dummy atoms (molecule id -1, zero
+        charge, pad LJ type) that every kernel excludes by mask."""
+        gran = 256 if self.n_atoms >= 256 else 128
+        return -(-self.n_atoms // gran) * gran
+
+    @property
+    def mol_of_atom_padded(self):
+        """(A_pad,) molecule index per atom column; -1 marks padding."""
+        out = np.full(self.n_atoms_padded, -1, np.int32)
+        out[: self.n_atoms] = np.repeat(
+            np.arange(self.n_mol, dtype=np.int32), self.atoms_per_mol)
+        return out
+
+    @property
     def type_counts(self):
         t = np.zeros(self.eps_table.shape[0])
         np.add.at(t, self.type_ids.reshape(-1), 1.0)

@@ -123,7 +123,7 @@ def main(argv=None):
             names = [f"T{t}" for t in tid]
             res = np.repeat(np.arange(system.n_mol) + 1, system.atoms_per_mol)
             write_pdb(os.path.join(out_dir, f"frame_{block + 1}.pdb"),
-                      np.asarray(state.coords[0]).T, names,
+                      np.asarray(state.coords[0]).T[: system.n_atoms], names,
                       [system.name[:3].upper()] * system.n_atoms, res,
                       box=float(state.box[0]))
         if out_dir and ckpt_every and (block + 1) % ckpt_every == 0:

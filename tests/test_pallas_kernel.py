@@ -1,0 +1,66 @@
+"""Pallas delta-energy kernel parity vs the jnp path (interpreter mode on
+CPU; the same kernel compiles on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metropolismontecarlo_tpu.io.configs import cubic_lattice
+from metropolismontecarlo_tpu.mc.driver import MonteCarlo
+from metropolismontecarlo_tpu.models.system import RunParams
+from metropolismontecarlo_tpu.models.water import spce_system
+from metropolismontecarlo_tpu.models.monatomic import lj_box_for_density, lj_system
+
+
+def _mc_pair(system, params, n_chains, box, key):
+    mc_j = MonteCarlo(system, params, dtype=jnp.float32, pallas=False)
+    mc_p = MonteCarlo(system, params, dtype=jnp.float32, pallas="interpret")
+    com0 = cubic_lattice(system.n_mol, box)
+    s_j = mc_j.init_state(key, com0, box=box, n_chains=n_chains)
+    s_p = mc_p.init_state(key, com0, box=box, n_chains=n_chains)
+    return mc_j, mc_p, s_j, s_p
+
+
+@pytest.mark.parametrize("coulomb", ["ewald", "wolf", "none"])
+def test_pallas_sweep_matches_jnp(coulomb):
+    """Identical seeds: the Pallas and jnp paths must take the same accept
+    decisions and land on energies equal to f32 tolerance over a sweep."""
+    system = spce_system(8)
+    params = RunParams(temperature=300.0, r_cut=5.0, cutoff_mode="site",
+                       coulomb=coulomb, nk=3, ksq_max=9, p_translate=0.5,
+                       dr_max=0.25, dphi_max=0.3)
+    mc_j, mc_p, s_j, s_p = _mc_pair(system, params, 8, 12.0,
+                                    jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(s_p.energy), np.asarray(s_j.energy),
+                               rtol=1e-5)
+    out_j = mc_j.run_steps(s_j, 2, False)
+    out_p = mc_p.run_steps(s_p, 2, False)
+    # same stochastic decisions
+    np.testing.assert_array_equal(np.asarray(out_p.acc), np.asarray(out_j.acc))
+    np.testing.assert_allclose(np.asarray(out_p.energy),
+                               np.asarray(out_j.energy), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_p.com), np.asarray(out_j.com),
+                               rtol=1e-5, atol=1e-5)
+    # drift invariant holds on the pallas path too
+    e, _, _ = mc_p.full_energy(out_p)
+    rel = np.abs(np.asarray(e) - np.asarray(out_p.energy)) / np.abs(np.asarray(e))
+    assert rel.max() < 2e-4
+
+
+def test_pallas_monatomic_padded_lanes():
+    """Monatomic system with heavy lane padding (27 -> 128): padding atoms
+    must contribute exactly zero."""
+    n = 27
+    box = lj_box_for_density(n, 0.5)
+    system = lj_system(n)
+    params = RunParams(temperature=1.5, r_cut=2.5, cutoff_mode="site",
+                       coulomb="none", p_translate=1.0, dr_max=0.3,
+                       use_lrc=False)
+    mc_j, mc_p, s_j, s_p = _mc_pair(system, params, 8, box,
+                                    jax.random.PRNGKey(1))
+    out_j = mc_j.run_steps(s_j, 3, False)
+    out_p = mc_p.run_steps(s_p, 3, False)
+    np.testing.assert_array_equal(np.asarray(out_p.acc), np.asarray(out_j.acc))
+    np.testing.assert_allclose(np.asarray(out_p.energy),
+                               np.asarray(out_j.energy), rtol=2e-4, atol=1e-3)
