@@ -90,6 +90,19 @@ def main(argv=None):
         state = _initial_state(mc, run_cfg, system, base_dir)
         first_block = 0
 
+    # optional replica-exchange ladder across chains
+    remc_cfg = run_cfg.get("remc")
+    if remc_cfg and not args.resume:
+        from metropolismontecarlo_tpu.parallel.remc import temperature_ladder
+        ladder = temperature_ladder(
+            float(remc_cfg["t_min"]), float(remc_cfg["t_max"]),
+            state.temp.shape[0]).astype(state.temp.dtype)
+        state = state._replace(temp=ladder)
+
+    quench_steps = int(run_cfg.get("quench_steps", 0))
+    if quench_steps and not args.resume:
+        state = mc.quench(state, quench_steps)
+
     rdf = None
     if "rdf" in out_cfg:
         r = out_cfg["rdf"]
@@ -109,6 +122,14 @@ def main(argv=None):
     for block in range(first_block, n_blocks):
         adjust = block < equil
         state, metrics = mc.run_block(state, n_steps, adjust=adjust)
+        if remc_cfg:
+            from metropolismontecarlo_tpu.parallel.remc import exchange
+            xkey = jax.random.fold_in(
+                jax.random.PRNGKey(int(run_cfg.get("seed", 0)) + 7919), block)
+            # structure factors/energies swap WITH the configurations, so
+            # no resync is needed after an exchange round
+            state, swap_frac = exchange(state, xkey, block % 2)
+            metrics["remc_swap_frac"] = float(swap_frac)
         vol = float(jnp.mean(state.box**3))
         metrics["pressure_mean"] = float(pressure_fn(
             params, system.n_mol, vol, metrics["virial_mean"]))
