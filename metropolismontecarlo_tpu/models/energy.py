@@ -13,6 +13,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from metropolismontecarlo_tpu.ops import coulomb as coulomb_ops
 from metropolismontecarlo_tpu.ops import ewald as ewald_ops
@@ -29,7 +30,13 @@ def energy_breakdown(system, params, coords, com, box, kvecs=None, kweights=None
     Returns a dict of scalars:
       disp, lrc, coul_real, coul_fourier, coul_self, coul_intra, total,
       w (molecular virial sum r_ij.f_ij), and sfac (K, 2) when Ewald.
+
+    Systems above ~4096 atoms use a row-tiled pair sum (O(B*A) memory)
+    instead of the dense (A, A) grid.
     """
+    if system.n_atoms > 4096:
+        return _energy_breakdown_tiled(system, params, coords, com, box,
+                                       kvecs, kweights)
     M, P = system.n_mol, system.atoms_per_mol
     dtype = coords.dtype
     tid = system.flat(system.type_ids)
@@ -108,6 +115,135 @@ def energy_breakdown(system, params, coords, com, box, kvecs=None, kweights=None
     out["total"] = (
         out["disp"] + out["lrc"] + e_real + e_four + e_self + e_intra
     )
+    out["w"] = w_total
+    out["sfac"] = sfac
+    return out
+
+
+def _energy_breakdown_tiled(system, params, coords, com, box, kvecs,
+                            kweights, row_block=256):
+    """Row-tiled full energy for large systems (site cutoff only).
+
+    Scans row blocks of B atoms against all A atoms: peak pair-grid
+    memory O(B*A) instead of O(A^2).  Per-pair LJ parameters come from a
+    (B, T) gather x (T, A) one-hot matmul (MXU), never an (A, A) table.
+    """
+    if params.cutoff_mode != "site":
+        raise NotImplementedError("tiled recompute supports site cutoff")
+    M, P, A = system.n_mol, system.atoms_per_mol, system.n_atoms
+    dtype = coords.dtype
+    B = row_block
+    A_r = -(-A // B) * B  # rows padded to a block multiple
+
+    tid = system.flat(system.type_ids)
+    tid_pad = np.zeros(A_r, tid.dtype)
+    tid_pad[:A] = tid
+    tid_rows = jnp.asarray(tid_pad)
+    mol_np = np.full(A_r, -1, np.int32)
+    mol_np[:A] = np.repeat(np.arange(M, dtype=np.int32), P)
+    mol_rows = jnp.asarray(mol_np)
+    mol_cols = jnp.asarray(mol_np[:A])
+    q_np = np.zeros(A_r)
+    q_np[:A] = system.flat(system.charges)
+    q_rows = jnp.asarray(q_np, dtype)
+    q_cols = q_rows[:A]
+
+    eps_t = jnp.asarray(system.eps_table, dtype)
+    sig_t = jnp.asarray(system.sig_table, dtype)
+    n_types = system.eps_table.shape[0]
+    onehot_cols = jax.nn.one_hot(jnp.asarray(tid), n_types, dtype=dtype).T
+
+    coords_rows = jnp.zeros((A_r, 3), dtype).at[:A].set(coords)
+    com_of_col = com[jnp.clip(mol_cols, 0, M - 1)]              # (A, 3)
+    com_of_row = com[jnp.clip(mol_rows, 0, M - 1)]              # (A_r, 3)
+
+    rc2 = jnp.asarray(params.r_cut**2, dtype)
+    qrc2 = jnp.asarray(params.qq_cut**2, dtype)
+    kappa = jnp.asarray(params.kappa_L, dtype) / box
+    use_coul = params.coulomb != "none"
+
+    def tile(carry, i):
+        pot_a, w_a, er_a = carry
+        rows = jax.lax.dynamic_slice(coords_rows, (i * B, 0), (B, 3))
+        mrow = jax.lax.dynamic_slice_in_dim(mol_rows, i * B, B)
+        trow = jax.lax.dynamic_slice_in_dim(tid_rows, i * B, B)
+        qrow = jax.lax.dynamic_slice_in_dim(q_rows, i * B, B)
+        crow = jax.lax.dynamic_slice(com_of_row, (i * B, 0), (B, 3))
+
+        dr = rows[:, None, :] - coords[None, :, :]
+        dr = dr - box * jnp.round(dr / box)
+        d2 = jnp.maximum(jnp.sum(dr * dr, -1), jnp.asarray(1e-4, dtype))
+        valid = (mrow[:, None] >= 0) & (mrow[:, None] != mol_cols[None, :])
+        mask_lj = valid & (d2 < rc2)
+        mask_qq = valid & (d2 < qrc2)
+        d2s = jnp.where(mask_lj | mask_qq, d2, jnp.ones((), dtype))
+
+        eps_pa = eps_t[trow] @ onehot_cols                      # (B, A)
+        sig2_pa = (sig_t**2)[trow] @ onehot_cols
+        s2 = sig2_pa / d2s
+        s6 = s2 * s2 * s2
+        potm = jnp.where(mask_lj, 4.0 * eps_pa * (s6 * s6 - s6), 0.0)
+        pot_a = pot_a + jnp.sum(potm)
+
+        # molecular virial: (r_ij_com . r_ab / r_ab^2) * 24 eps (2 s12 - s6)
+        mol_dr = crow[:, None, :] - com_of_col[None, :, :]
+        mol_dr = mol_dr - box * jnp.round(mol_dr / box)
+        proj = jnp.sum(mol_dr * dr, -1) / d2s
+        wv = jnp.where(mask_lj, 24.0 * eps_pa * (2 * s6 * s6 - s6) * proj, 0.0)
+        w_a = w_a + jnp.sum(wv)
+
+        if use_coul:
+            qq = qrow[:, None] * q_cols[None, :]
+            r = jnp.sqrt(d2s)
+            if params.coulomb == "ewald":
+                cp = qq * jax.scipy.special.erfc(kappa * r) / r
+            elif params.coulomb == "wolf":
+                sh = jax.scipy.special.erfc(kappa * params.qq_cut) / params.qq_cut
+                cp = qq * (jax.scipy.special.erfc(kappa * r) / r - sh)
+            else:
+                cp = qq / r
+            er_a = er_a + jnp.sum(jnp.where(mask_qq, cp, 0.0))
+        return (pot_a, w_a, er_a), None
+
+    zero = jnp.zeros((), dtype)
+    (pot, w, e_real_raw), _ = jax.lax.scan(
+        tile, (zero, zero, zero), jnp.arange(A_r // B))
+
+    out = {}
+    out["disp"] = 0.5 * pot
+    w_total = 0.5 * w
+    counts = jnp.asarray(system.type_counts, dtype)
+    vol = box**3
+    if params.use_lrc and params.lj_shift == "none":
+        out["lrc"] = tail_ops.lrc_energy(counts, eps_t, sig_t, params.r_cut, vol)
+        w_total = w_total + 3.0 * vol * tail_ops.lrc_pressure(
+            counts, eps_t, sig_t, params.r_cut, vol)
+    else:
+        out["lrc"] = jnp.zeros((), dtype)
+
+    from metropolismontecarlo_tpu.utils.constants import COULOMB_FACTOR
+    e_real = e_four = e_self = e_intra = jnp.zeros((), dtype)
+    sfac = jnp.zeros((1, 2), dtype)
+    if use_coul:
+        charges = q_cols
+        e_real = 0.5 * COULOMB_FACTOR * e_real_raw
+        if params.coulomb == "ewald":
+            cf = ewald_ops.cfac_coeffs(kvecs, kweights, kappa, box, dtype)
+            sfac = ewald_ops.structure_factor(coords, charges, kvecs, box)
+            e_four = ewald_ops.recip_energy(sfac, cf)
+            e_self = ewald_ops.ewald_self(charges, kappa)
+            e_intra = ewald_ops.ewald_intra(
+                coords.reshape(M, P, 3),
+                jnp.asarray(system.charges, dtype), kappa, box)
+        elif params.coulomb == "wolf":
+            e_self = wolf_ops.wolf_self(charges, kappa, params.qq_cut)
+        w_total = w_total + (e_real + e_four + e_self + e_intra)
+
+    out["coul_real"] = e_real
+    out["coul_fourier"] = e_four
+    out["coul_self"] = e_self
+    out["coul_intra"] = e_intra
+    out["total"] = out["disp"] + out["lrc"] + e_real + e_four + e_self + e_intra
     out["w"] = w_total
     out["sfac"] = sfac
     return out

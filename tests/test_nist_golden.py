@@ -105,3 +105,22 @@ def test_exact_component_scaling(reference_dir):
     assert abs(self4 - 5.0 * self1) / abs(self4) < 1e-12
     lrc1, lrc4 = float(outs[1]["lrc"]), float(outs[4]["lrc"])
     assert abs(lrc4 - (50.0 / 3.0) * lrc1) / abs(lrc4) < 1e-12
+
+
+def test_tiled_recompute_matches_dense(reference_dir):
+    """The row-tiled large-system energy path must agree with the dense
+    path to roundoff (validated transitively against NIST)."""
+    import jax.numpy as jnp
+    from metropolismontecarlo_tpu.models.energy import _energy_breakdown_tiled
+
+    path = os.path.join(reference_dir, "Ewald", "spce_sample_config_periodic2.txt")
+    system, coords, com, box = spce_from_nist(path)
+    kv, kw = make_kvectors(PARAMS.nk, PARAMS.ksq_max, strict=True)
+    args = (jnp.asarray(coords, jnp.float64), jnp.asarray(com, jnp.float64),
+            jnp.asarray(box, jnp.float64))
+    dense = energy_breakdown_jit(system, PARAMS, *args, kvecs=kv, kweights=kw)
+    tiled = _energy_breakdown_tiled(system, PARAMS, *args, kv, kw)
+    for k in ("disp", "lrc", "coul_real", "coul_fourier", "coul_self",
+              "coul_intra", "total", "w"):
+        a, b = float(dense[k]), float(tiled[k])
+        assert abs(a - b) <= 1e-9 * max(abs(a), 1.0), (k, a, b)
