@@ -157,3 +157,21 @@ def test_overlap_veto_rejects_core_collision():
                           box=12.0, n_chains=4)
     state = mc.run_steps(state, 30, False)
     assert bool(jnp.all(jnp.isfinite(state.energy)))
+
+
+def test_validate_state_clean_and_dirty():
+    from metropolismontecarlo_tpu.utils.validate import validate_state
+
+    system = spce_system(8)
+    params = RunParams(temperature=300.0, r_cut=5.0, cutoff_mode="site",
+                       coulomb="ewald", nk=3, ksq_max=9)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=4)
+    state = mc.init_state(jax.random.PRNGKey(0), cubic_lattice(8, 12.0),
+                          box=12.0, n_chains=4)
+    state = mc.run_steps(state, 5, False)
+    assert validate_state(state, system, params) == []
+    bad = state._replace(quat=state.quat * 2.0)
+    problems = validate_state(bad, system, params, strict=False)
+    assert any("quaternion" in p for p in problems)
+    with pytest.raises(AssertionError):
+        validate_state(bad, system, params, strict=True)
