@@ -37,9 +37,14 @@ class MonteCarlo:
 
     def __init__(self, system, params, dtype=jnp.float32, recompute_chunk=8,
                  pallas="auto"):
-        """pallas: "auto" (compiled kernel on TPU when supported),
-        True/"tpu" (force), "interpret" (Pallas interpreter, CPU testing),
-        or False/None (pure-jnp path)."""
+        """pallas: "auto" (on TPU: whole-sweep mega-kernel for uniform
+        single-species systems, else the per-move kernel), "mega"/"tpu"
+        (force those), "interpret"/"mega_interpret" (Pallas interpreter,
+        CPU testing), or False/None (pure-jnp path).
+
+        Note: the mega kernel uses the on-core TPU PRNG, a different (but
+        equally deterministic and resume-stable) random stream than the
+        jax.random-based paths."""
         self.system = system
         self.params = params
         self.dtype = dtype
@@ -53,21 +58,38 @@ class MonteCarlo:
         supported = (params.cutoff_mode == "site"
                      and params.lj_shift == "none"
                      and dtype == jnp.float32)
+        tids = np.asarray(system.type_ids)
+        qs = np.asarray(system.charges)
+        bodies = np.asarray(system.body)
+        uniform = bool((tids == tids[0]).all() and (qs == qs[0]).all()
+                       and np.allclose(bodies, bodies[0]))
         if pallas == "auto":
-            pallas_mode = "tpu" if (supported
-                                    and jax.default_backend() == "tpu") else None
+            if supported and jax.default_backend() == "tpu":
+                pallas_mode = "mega" if uniform else "tpu"
+            else:
+                pallas_mode = None
         elif pallas in (True, "tpu"):
             pallas_mode = "tpu"
         elif pallas == "interpret":
             pallas_mode = "interpret"
+        elif pallas in ("mega", "mega_interpret"):
+            pallas_mode = pallas
         else:
             pallas_mode = None
         if pallas_mode and not supported:
             raise ValueError("Pallas path requires site cutoff, unshifted "
                              "LJ, and float32")
         self.pallas_mode = pallas_mode
-        self._sweep_move = make_sweep_fn(system, params, self.kvecs,
-                                         self.kweights, dtype, pallas_mode)
+        self._sweep_full = None
+        if pallas_mode in ("mega", "mega_interpret"):
+            from metropolismontecarlo_tpu.mc.moves import make_mega_sweep_fn
+            self._sweep_full = make_mega_sweep_fn(
+                system, params, self.kvecs, self.kweights,
+                interpret=(pallas_mode == "mega_interpret"))
+            self._sweep_move = None
+        else:
+            self._sweep_move = make_sweep_fn(system, params, self.kvecs,
+                                             self.kweights, dtype, pallas_mode)
         self._volume_move = (
             make_volume_move_fn(system, params, self.kvecs, self.kweights, dtype)
             if params.pressure is not None and params.p_volume > 0.0
@@ -209,8 +231,11 @@ class MonteCarlo:
     def sweep(self, state):
         """One sweep: every molecule attempted once (reference
         `Ewald/main.jl:490`), plus an NPT volume-move attempt if enabled."""
-        order = jnp.arange(self.system.n_mol)
-        state, _ = jax.lax.scan(self._sweep_move, state, order)
+        if self._sweep_full is not None:
+            state = self._sweep_full(state)
+        else:
+            order = jnp.arange(self.system.n_mol)
+            state, _ = jax.lax.scan(self._sweep_move, state, order)
         if self._volume_move is not None:
             state = self._volume_move(state)
         return state

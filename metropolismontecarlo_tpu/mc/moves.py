@@ -361,3 +361,113 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
             step=state.step + 1, att=att, acc=acc), None
 
     return sweep_body
+
+
+def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
+    """Whole-sweep Pallas path: returns `sweep_full(state) -> state`.
+
+    Requires a molecule-uniform system (single species), site cutoff,
+    unshifted LJ, f32.  See ops.pallas.sweep_kernel.
+    """
+    from metropolismontecarlo_tpu.ops.pallas.sweep_kernel import sweep_pallas
+
+    M, P, A = system.n_mol, system.atoms_per_mol, system.n_atoms
+    A_pad = system.n_atoms_padded
+    tids_np = np.asarray(system.type_ids)
+    qs_np = np.asarray(system.charges)
+    bodies_np = np.asarray(system.body)
+    uniform = bool((tids_np == tids_np[0]).all() and (qs_np == qs_np[0]).all()
+                   and np.allclose(bodies_np, bodies_np[0]))
+    if not uniform or params.cutoff_mode != "site" or params.lj_shift != "none":
+        raise ValueError("mega sweep requires a uniform single-species "
+                         "system, site cutoff, and unshifted LJ")
+
+    n_types = system.eps_table.shape[0]
+    t_pad = _round_up(n_types, 8)
+    p_pad = _round_up(max(3 * P, P), 32)
+
+    body_row = np.zeros((1, p_pad), np.float32)
+    body_row[0, : 3 * P] = bodies_np[0].reshape(-1)
+    qp_row = np.zeros((1, p_pad), np.float32)
+    qp_row[0, :P] = qs_np[0]
+    eps_pt = np.zeros((max(P, 8), t_pad), np.float32)
+    sig2_pt = np.zeros((max(P, 8), t_pad), np.float32)
+    et = np.asarray(system.eps_table, np.float32)
+    st2 = np.asarray(system.sig_table, np.float32) ** 2
+    for p in range(P):
+        eps_pt[p, :n_types] = et[tids_np[0, p]]
+        sig2_pt[p, :n_types] = st2[tids_np[0, p]]
+    eps_np_t = np.asarray(system.eps_table)
+    has_lj = tuple(bool(np.any(eps_np_t[tids_np[0, p]] != 0.0))
+                   for p in range(P))
+    has_q = tuple(bool(qs_np[0, p] != 0.0) for p in range(P))
+    use_coul = params.coulomb != "none"
+
+    tid_row = np.zeros(A_pad, np.float32)
+    tid_row[:A] = system.flat(system.type_ids)
+    tid_row[A:] = -1.0
+    molid_row = system.mol_of_atom_padded.astype(np.float32)
+    q_row = np.zeros(A_pad, np.float32)
+    q_row[:A] = system.flat(system.charges)
+
+    if kvecs is not None:
+        kx = jnp.asarray(kvecs[:, 0], jnp.float32)
+        ky = jnp.asarray(kvecs[:, 1], jnp.float32)
+        kz = jnp.asarray(kvecs[:, 2], jnp.float32)
+        kw_r = jnp.asarray(kweights, jnp.float32)
+    else:
+        kx = ky = kz = kw_r = jnp.zeros((1,), jnp.float32)
+
+    statics = dict(
+        M=M, P=P, coulomb=params.coulomb, n_types=n_types,
+        has_lj=has_lj, has_q=has_q, rc2=float(params.r_cut**2),
+        qrc2=float(params.qq_cut**2), kappa_l=float(params.kappa_L),
+        d2_overlap=float(params.d2_overlap),
+        p_translate=float(params.p_translate),
+        use_rot=(P > 1 and params.p_translate < 1.0),
+        cb=int(os.environ.get("MMC_MEGA_CB", "64")),
+        interpret=interpret,
+    )
+    consts = (jnp.asarray(body_row), jnp.asarray(qp_row),
+              jnp.asarray(eps_pt), jnp.asarray(sig2_pt),
+              jnp.asarray(tid_row), jnp.asarray(molid_row),
+              jnp.asarray(q_row), kx, ky, kz, kw_r)
+
+    def sweep_full(state):
+        C = state.com.shape[0]
+        f32 = jnp.float32
+        stats = jnp.zeros((C, 8), f32)
+        seed = state.step.astype(jnp.int32)
+        out = sweep_pallas(
+            state.coords[:, 0, :].astype(f32),
+            state.coords[:, 1, :].astype(f32),
+            state.coords[:, 2, :].astype(f32),
+            state.com[:, :, 0].astype(f32), state.com[:, :, 1].astype(f32),
+            state.com[:, :, 2].astype(f32),
+            state.quat[:, :, 0].astype(f32), state.quat[:, :, 1].astype(f32),
+            state.quat[:, :, 2].astype(f32), state.quat[:, :, 3].astype(f32),
+            state.sfac[:, :, 0].astype(f32), state.sfac[:, :, 1].astype(f32),
+            state.box.reshape(C, 1).astype(f32),
+            state.temp.reshape(C, 1).astype(f32),
+            state.dr_max.reshape(C, 1).astype(f32),
+            state.dphi_max.reshape(C, 1).astype(f32),
+            stats, seed, *consts, **statics)
+        x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, stats = out
+        dtype = state.com.dtype
+        acc_d = jnp.stack([stats[:, 1], stats[:, 2],
+                           jnp.zeros_like(stats[:, 1])], 1).astype(jnp.int32)
+        att_d = jnp.stack([stats[:, 3], stats[:, 4],
+                           jnp.zeros_like(stats[:, 3])], 1).astype(jnp.int32)
+        return state._replace(
+            coords=jnp.stack([x, y, z], axis=1).astype(dtype),
+            com=jnp.stack([cx, cy, cz], axis=-1).astype(dtype),
+            quat=jnp.stack([qw, qx, qy, qz], axis=-1).astype(dtype),
+            sfac=jnp.stack([sre, sim], axis=-1).astype(dtype)
+            if use_coul and params.coulomb == "ewald" else state.sfac,
+            energy=state.energy + stats[:, 0].astype(dtype),
+            step=state.step + M,
+            acc=state.acc + acc_d,
+            att=state.att + att_d,
+        )
+
+    return sweep_full

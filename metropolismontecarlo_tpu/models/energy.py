@@ -178,8 +178,9 @@ def _energy_breakdown_tiled(system, params, coords, com, box, kvecs,
         mask_qq = valid & (d2 < qrc2)
         d2s = jnp.where(mask_lj | mask_qq, d2, jnp.ones((), dtype))
 
-        eps_pa = eps_t[trow] @ onehot_cols                      # (B, A)
-        sig2_pa = (sig_t**2)[trow] @ onehot_cols
+        hi = jax.lax.Precision.HIGHEST  # bf16 would corrupt eps/sig
+        eps_pa = jnp.matmul(eps_t[trow], onehot_cols, precision=hi)  # (B, A)
+        sig2_pa = jnp.matmul((sig_t**2)[trow], onehot_cols, precision=hi)
         s2 = sig2_pa / d2s
         s6 = s2 * s2 * s2
         potm = jnp.where(mask_lj, 4.0 * eps_pa * (s6 * s6 - s6), 0.0)

@@ -25,6 +25,7 @@ returned in Kelvin via `factor` = e^2/(4 pi eps0 kB) in K*Angstrom.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax.scipy.special import erfc as _erfc
 
@@ -70,10 +71,15 @@ def structure_factor(coords, charges, kvecs, box):
     matmul + two (A,)@(A,K) contractions — MXU-shaped.
     """
     kmat = jnp.asarray(kvecs, dtype=coords.dtype)
-    phase = (2.0 * jnp.pi / box) * jnp.einsum("...ad,kd->...ak", coords, kmat)
+    # HIGHEST: TPU matmuls default to bf16 for f32 inputs, which injects
+    # O(0.1 rad) phase errors at |phase| ~ 30 — catastrophic for S(k)
+    phase = (2.0 * jnp.pi / box) * jnp.einsum(
+        "...ad,kd->...ak", coords, kmat,
+        precision=jax.lax.Precision.HIGHEST)
     q = jnp.broadcast_to(jnp.asarray(charges, dtype=coords.dtype), phase.shape[:-1])
-    re = jnp.einsum("...a,...ak->...k", q, jnp.cos(phase))
-    im = jnp.einsum("...a,...ak->...k", q, jnp.sin(phase))
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.einsum("...a,...ak->...k", q, jnp.cos(phase), precision=hi)
+    im = jnp.einsum("...a,...ak->...k", q, jnp.sin(phase), precision=hi)
     return jnp.stack([re, im], axis=-1)
 
 

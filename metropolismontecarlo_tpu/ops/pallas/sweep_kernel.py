@@ -1,0 +1,412 @@
+"""Whole-sweep Pallas mega-kernel: M Metropolis moves per chain with the
+ENTIRE chain state resident in VMEM.
+
+The per-move kernel (delta_energy.py) still pays per-move HBM reads of
+the coordinate planes plus XLA scan-carry overhead.  This kernel loads a
+block of chains ONCE — coordinate planes, COM/quaternion planes, Ewald
+structure factors, energies, counters — and runs the full sweep
+(proposal, pair energies, reciprocal delta, Metropolis, state update)
+inside a fori_loop, writing state back at the end.  HBM traffic per
+sweep is O(state), i.e. ~1/M of the per-move kernel's.
+
+Requirements (the flagship configurations satisfy all of them):
+  * uniform molecules (every molecule shares one body template/charge/
+    type pattern — water, monatomic LJ, triatomic),
+  * site cutoff, unshifted LJ, f32, fixed box during the sweep (volume
+    moves and step-size adaptation happen between sweeps, as in the
+    driver),
+  * coulomb in {none, wolf, ewald, bare}.
+
+RNG: the on-core PRNG (pltpu.prng_*), seeded per (cell, sweep) from the
+global move counter — deterministic and resume-stable, but a DIFFERENT
+stream from the jax.random path, so cross-path tests compare invariants
+and statistics, not trajectories.
+
+Reference counterpart: the whole of `Loop`'s inner body
+(`Ewald/main.jl:490-639`) including `random_translate_vector`,
+`random_rotate_quaternion`, `LJ_poly_ΔU`, `EwaldReal`, `RecipMove`,
+`Metropolis`, and the accept/reject bookkeeping.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from metropolismontecarlo_tpu.ops.pallas.delta_energy import _erfc_f32
+from metropolismontecarlo_tpu.utils.constants import COULOMB_FACTOR
+
+_TWO_PI = 6.283185307179586
+_FACTOR = float(COULOMB_FACTOR)
+
+
+def _uniform(bits):
+    """random bits -> f32 uniforms in [0, 1).
+
+    Mosaic can't cast uint32->f32; shift to 24 bits (sign-safe) and cast
+    via int32 instead."""
+    ubits = pltpu.bitcast(bits, jnp.uint32)
+    sbits = pltpu.bitcast(ubits >> 8, jnp.int32)  # < 2^24, non-negative
+    return sbits.astype(jnp.float32) * (1.0 / 16777216.0)
+
+
+def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
+                 kappa_l, d2_overlap, p_translate, use_rot, K):
+    """Builds the kernel body (all sizes/flags static)."""
+
+    def kernel(seed_ref, body_ref, qp_ref, eps_pt_ref, sig2_pt_ref,
+               tid_ref, molid_ref, qrow_ref, kx_ref, ky_ref, kz_ref, kw_ref,
+               x_in, y_in, z_in, cx_in, cy_in, cz_in,
+               qw_in, qx_in, qy_in, qz_in, sre_in, sim_in,
+               box_ref, temp_ref, drmax_ref, dphi_ref, stats_in,
+               x_o, y_o, z_o, cx_o, cy_o, cz_o,
+               qw_o, qx_o, qy_o, qz_o, sre_o, sim_o, stats_o,
+               eps_rows, sig2_rows, cfac_s):
+        cb = x_in.shape[0]
+        pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+
+        # live state = output refs (copy once; VMEM-to-VMEM)
+        x_o[:] = x_in[:]
+        y_o[:] = y_in[:]
+        z_o[:] = z_in[:]
+        cx_o[:] = cx_in[:]
+        cy_o[:] = cy_in[:]
+        cz_o[:] = cz_in[:]
+        qw_o[:] = qw_in[:]
+        qx_o[:] = qx_in[:]
+        qy_o[:] = qy_in[:]
+        qz_o[:] = qz_in[:]
+        sre_o[:] = sre_in[:]
+        sim_o[:] = sim_in[:]
+
+        box = box_ref[:]               # (cb, 1)
+        temp = temp_ref[:]
+        dr_max = drmax_ref[:]
+        dphi_max = dphi_ref[:]
+        inv_box = 1.0 / box
+        kappa = kappa_l * inv_box
+        # lane-index rows for masked (un-aligned) per-molecule access
+        miota = jax.lax.broadcasted_iota(jnp.int32, (1, cx_in.shape[1]), 1)
+        aiota = jax.lax.broadcasted_iota(jnp.int32, (1, x_in.shape[1]), 1)
+
+        tid_row = tid_ref[0:1, :]
+        mol_row = molid_ref[0:1, :]
+        q_row = qrow_ref[0:1, :]
+        valid_col = mol_row >= 0.0
+
+        # per-row LJ parameter rows (uniform system: shared by all moves)
+        for p in range(P):
+            er = jnp.zeros_like(tid_row)
+            sr = jnp.zeros_like(tid_row)
+            for t in range(n_types):
+                er = jnp.where(tid_row == float(t), eps_pt_ref[p, t], er)
+                sr = jnp.where(tid_row == float(t), sig2_pt_ref[p, t], sr)
+            eps_rows[p:p + 1, :] = er
+            sig2_rows[p:p + 1, :] = sr
+
+        if coulomb == "ewald":
+            # per-chain reciprocal coefficients (box-dependent)
+            k2 = (kx_ref[0:1, :] ** 2 + ky_ref[0:1, :] ** 2
+                  + kz_ref[0:1, :] ** 2)                       # (1, K)
+            kt2 = (_TWO_PI * inv_box) ** 2 * k2                # (cb, K)
+            vol = box * box * box
+            cfac_s[:] = kw_ref[0:1, :] * (_TWO_PI / vol) \
+                * jnp.exp(-kt2 / (4.0 * kappa * kappa)) / kt2
+
+        def body_pd(p, d):
+            return body_ref[0, p * 3 + d]
+
+        def move(m, stats):
+            # ---- RNG draws for this move: (cb, 128) bits -> columns ----
+            bits = pltpu.prng_random_bits((cb, 128))
+            u = _uniform(bits)
+            u_sel = u[:, 0:1]
+            u_dx = u[:, 1:2] - 0.5
+            u_dy = u[:, 2:3] - 0.5
+            u_dz = u[:, 3:4] - 0.5
+            u_acc = u[:, 4:5]
+
+            msel = miota == m              # (1, M) one-hot row
+
+            def pick(ref):
+                return jnp.sum(jnp.where(msel, ref[:], 0.0), axis=1,
+                               keepdims=True)
+
+            com_mx = pick(cx_o)
+            com_my = pick(cy_o)
+            com_mz = pick(cz_o)
+            w0 = pick(qw_o)
+            x0 = pick(qx_o)
+            y0 = pick(qy_o)
+            z0 = pick(qz_o)
+
+            if use_rot:
+                is_trans = u_sel < p_translate
+                tsel = is_trans.astype(jnp.float32)
+                # rotation: random axis (Box-Muller normals) + angle
+                e1 = jnp.maximum(u[:, 5:6], 1e-12)
+                e2 = u[:, 6:7]
+                e3 = jnp.maximum(u[:, 7:8], 1e-12)
+                e4 = u[:, 8:9]
+                r1 = jnp.sqrt(-2.0 * jnp.log(e1))
+                r2 = jnp.sqrt(-2.0 * jnp.log(e3))
+                g1 = r1 * jnp.cos(_TWO_PI * e2)
+                g2 = r1 * jnp.sin(_TWO_PI * e2)
+                g3 = r2 * jnp.cos(_TWO_PI * e4)
+                gn = jax.lax.rsqrt(g1 * g1 + g2 * g2 + g3 * g3 + 1e-20)
+                angle = (2.0 * u[:, 9:10] - 1.0) * dphi_max
+                half = 0.5 * angle
+                ch = jnp.cos(half)
+                sh = jnp.sin(half) * gn
+                rw, rx, ry, rz = ch, sh * g1, sh * g2, sh * g3
+                # q_new = r * q  (Hamilton), identity when translating
+                nw = rw * w0 - rx * x0 - ry * y0 - rz * z0
+                nx = rw * x0 + rx * w0 + ry * z0 - rz * y0
+                ny = rw * y0 - rx * z0 + ry * w0 + rz * x0
+                nz = rw * z0 + rx * y0 - ry * x0 + rz * w0
+                qn = jax.lax.rsqrt(nw * nw + nx * nx + ny * ny + nz * nz)
+                nw, nx, ny, nz = nw * qn, nx * qn, ny * qn, nz * qn
+                w1 = tsel * w0 + (1.0 - tsel) * nw
+                x1 = tsel * x0 + (1.0 - tsel) * nx
+                y1 = tsel * y0 + (1.0 - tsel) * ny
+                z1 = tsel * z0 + (1.0 - tsel) * nz
+            else:
+                is_trans = jnp.ones_like(u_sel) > 0.0
+                tsel = jnp.ones_like(u_sel)
+                w1, x1, y1, z1 = w0, x0, y0, z0
+
+            nmx = com_mx + tsel * u_dx * dr_max
+            nmy = com_my + tsel * u_dy * dr_max
+            nmz = com_mz + tsel * u_dz * dr_max
+            nmx = nmx - box * jnp.floor(nmx * inv_box)
+            nmy = nmy - box * jnp.floor(nmy * inv_box)
+            nmz = nmz - box * jnp.floor(nmz * inv_box)
+
+            def rot_apply(w, xq, yq, zq, bx, by, bz):
+                """R(q) @ b for (cb,1) quaternion columns, scalar body."""
+                ww, xx, yy, zz = w * w, xq * xq, yq * yq, zq * zq
+                wx, wy, wz = w * xq, w * yq, w * zq
+                xy, xz, yz = xq * yq, xq * zq, yq * zq
+                ox = (ww + xx - yy - zz) * bx + 2.0 * ((xy - wz) * by
+                                                       + (xz + wy) * bz)
+                oy = (ww - xx + yy - zz) * by + 2.0 * ((xy + wz) * bx
+                                                       + (yz - wx) * bz)
+                oz = (ww - xx - yy + zz) * bz + 2.0 * ((xz - wy) * bx
+                                                       + (yz + wx) * by)
+                return ox, oy, oz
+
+            other = (mol_row != m.astype(jnp.float32)) & valid_col  # (1, A)
+
+            d_e = jnp.zeros((cb, 1), jnp.float32)
+            n_ovr = jnp.zeros((cb, 1), jnp.float32)
+            olds = []
+            news = []
+            for p in range(P):
+                # OLD atoms are READ from the stored planes (not rebuilt
+                # from com+quat): the stored values are the ones the rest
+                # of the system interacted with, and rebuilding introduces
+                # last-bit mismatches that accumulate as energy drift.
+                apick = aiota == m * P + p
+                oxp = jnp.sum(jnp.where(apick, x_o[:], 0.0), axis=1,
+                              keepdims=True)
+                oyp = jnp.sum(jnp.where(apick, y_o[:], 0.0), axis=1,
+                              keepdims=True)
+                ozp = jnp.sum(jnp.where(apick, z_o[:], 0.0), axis=1,
+                              keepdims=True)
+                olds.append((oxp, oyp, ozp))
+                if P > 1:
+                    nx_, ny_, nz_ = rot_apply(w1, x1, y1, z1,
+                                              body_pd(p, 0), body_pd(p, 1),
+                                              body_pd(p, 2))
+                else:
+                    nx_ = ny_ = nz_ = jnp.zeros_like(com_mx)
+                news.append((nmx + nx_, nmy + ny_, nmz + nz_))
+
+            for sign, atoms in ((-1.0, olds), (1.0, news)):
+                for p in range(P):
+                    ax, ay, az = atoms[p]
+                    dx = x_o[:] - ax
+                    dy = y_o[:] - ay
+                    dz = z_o[:] - az
+                    dx = dx - box * jnp.round(dx * inv_box)
+                    dy = dy - box * jnp.round(dy * inv_box)
+                    dz = dz - box * jnp.round(dz * inv_box)
+                    d2 = jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-4)
+                    mask_lj = other & (d2 < rc2)
+                    use_q = coulomb != "none" and has_q[p]
+                    if use_q:
+                        mask_qq = other & (d2 < qrc2)
+                        mask_any = mask_lj | mask_qq
+                    else:
+                        mask_any = mask_lj
+                    inv_d2 = jnp.where(mask_any, 1.0 / d2, 1.0)
+                    if has_lj[p]:
+                        s2 = sig2_rows[p:p + 1, :] * inv_d2
+                        s6 = s2 * s2 * s2
+                        pot = (4.0 * eps_rows[p:p + 1, :]) * (s6 * s6 - s6)
+                        d_e += sign * jnp.sum(
+                            jnp.where(mask_lj, pot, 0.0), axis=1,
+                            keepdims=True)
+                    if use_q:
+                        qq = qp_ref[0, p] * q_row
+                        inv_r = jnp.sqrt(inv_d2)
+                        r = d2 * inv_r
+                        if coulomb == "ewald":
+                            cp = qq * (_erfc_f32(kappa * r) * inv_r)
+                        elif coulomb == "wolf":
+                            sh_w = _erfc_f32(kappa * jnp.sqrt(qrc2)) \
+                                / jnp.sqrt(qrc2)
+                            cp = qq * (_erfc_f32(kappa * r) * inv_r - sh_w)
+                        else:
+                            cp = qq * inv_r
+                        d_e += (sign * _FACTOR) * jnp.sum(
+                            jnp.where(mask_qq, cp, 0.0), axis=1,
+                            keepdims=True)
+                        if sign > 0:
+                            bad = (d2 < d2_overlap) & (qq < 0.0) & mask_qq
+                            n_ovr += jnp.sum(bad.astype(jnp.float32),
+                                             axis=1, keepdims=True)
+
+            if coulomb == "ewald":
+                ds_re = jnp.zeros((cb, K), jnp.float32)
+                ds_im = jnp.zeros((cb, K), jnp.float32)
+                tpl = _TWO_PI * inv_box
+                for sign, atoms in ((-1.0, olds), (1.0, news)):
+                    for p in range(P):
+                        if not has_q[p]:
+                            continue
+                        ax, ay, az = atoms[p]
+                        ph = tpl * (kx_ref[0:1, :] * ax + ky_ref[0:1, :] * ay
+                                    + kz_ref[0:1, :] * az)
+                        # explicit range reduction: hardware trig loses
+                        # accuracy for |ph| >> pi
+                        ph = ph - _TWO_PI * jnp.round(ph * (1.0 / _TWO_PI))
+                        qp = sign * qp_ref[0, p]
+                        ds_re += qp * jnp.cos(ph)
+                        ds_im += qp * jnp.sin(ph)
+                cross = 2.0 * (sre_o[:] * ds_re + sim_o[:] * ds_im) \
+                    + ds_re * ds_re + ds_im * ds_im
+                d_e += _FACTOR * jnp.sum(
+                    cfac_s[:] * cross, axis=1, keepdims=True)
+
+            beta_de = d_e / temp
+            accept = ((beta_de < 0.0) | (u_acc < jnp.exp(-beta_de))) \
+                & (n_ovr < 0.5)                                  # (cb, 1)
+            asel = accept.astype(jnp.float32)
+
+            # ---- state updates: masked full-row where-writes (Mosaic
+            # requires 128-aligned dynamic lane refs; masked rewrites of
+            # the whole row are cheap next to the O(A) pair work) ----
+            taken = msel & (accept | (jnp.zeros((1, 1), bool)))  # (cb, M)
+
+            def put(ref, val):
+                ref[:] = jnp.where(taken, val, ref[:])
+
+            put(cx_o, nmx)
+            put(cy_o, nmy)
+            put(cz_o, nmz)
+            if use_rot:
+                put(qw_o, w1)
+                put(qx_o, x1)
+                put(qy_o, y1)
+                put(qz_o, z1)
+            xrow, yrow, zrow = x_o[:], y_o[:], z_o[:]
+            for p in range(P):
+                nxp, nyp, nzp = news[p]
+                atk = (aiota == m * P + p) & accept
+                xrow = jnp.where(atk, nxp, xrow)
+                yrow = jnp.where(atk, nyp, yrow)
+                zrow = jnp.where(atk, nzp, zrow)
+            x_o[:] = xrow
+            y_o[:] = yrow
+            z_o[:] = zrow
+            if coulomb == "ewald":
+                sre_o[:] = sre_o[:] + asel * ds_re
+                sim_o[:] = sim_o[:] + asel * ds_im
+
+            # stats carry: [energy, acc_trans, acc_rot, att_trans, att_rot]
+            upd = jnp.concatenate(
+                [asel * d_e, asel * tsel, asel * (1.0 - tsel), tsel,
+                 1.0 - tsel, jnp.zeros((cb, 3), jnp.float32)], axis=1)
+            return stats + upd
+
+        stats = jax.lax.fori_loop(
+            0, M, move, jnp.zeros((cb, 8), jnp.float32))
+        stats_o[:] = stats_in[:] + stats
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("M", "P", "coulomb", "n_types", "has_lj", "has_q",
+                     "rc2", "qrc2", "kappa_l", "d2_overlap", "p_translate",
+                     "use_rot", "cb", "interpret"),
+)
+def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
+                 box, temp, drmax, dphi, stats,
+                 seed, body, qp, eps_pt, sig2_pt, tid_row, molid_row, q_row,
+                 kx, ky, kz, kw, *, M, P, coulomb, n_types, has_lj, has_q,
+                 rc2, qrc2, kappa_l, d2_overlap, p_translate, use_rot,
+                 cb=64, interpret=False):
+    """One full MC sweep for all chains.  Planes (C, A_pad)/(C, M)/(C, K);
+    box/temp/drmax/dphi (C, 1); stats (C, 8).
+    Returns updated (x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, stats).
+    """
+    C, A = x.shape
+    K = sre.shape[1]
+    cb = next(b for b in (min(cb, C), 32, 16, 8) if C % b == 0)
+    grid = (C // cb,)
+
+    kern = _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
+                        kappa_l, d2_overlap, p_translate, use_rot, K)
+
+    cell = lambda n: pl.BlockSpec((cb, n), lambda c: (c, 0),  # noqa: E731
+                                  memory_space=pltpu.VMEM)
+    shared = lambda r, n: pl.BlockSpec((r, n), lambda c: (0, 0),  # noqa: E731
+                                       memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda c: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, body.shape[1]), lambda c: (0, 0),
+                         memory_space=pltpu.SMEM),          # body (1, 3P)
+            pl.BlockSpec((1, qp.shape[1]), lambda c: (0, 0),
+                         memory_space=pltpu.SMEM),          # charges (1, P)
+            pl.BlockSpec((eps_pt.shape[0], eps_pt.shape[1]),
+                         lambda c: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((sig2_pt.shape[0], sig2_pt.shape[1]),
+                         lambda c: (0, 0), memory_space=pltpu.SMEM),
+            shared(1, A), shared(1, A), shared(1, A),       # tid, mol, q
+            shared(1, K), shared(1, K), shared(1, K), shared(1, K),
+            cell(A), cell(A), cell(A),                      # x, y, z
+            cell(M), cell(M), cell(M),                      # com planes
+            cell(M), cell(M), cell(M), cell(M),             # quat planes
+            cell(K), cell(K),                               # sfac planes
+            cell(1), cell(1), cell(1), cell(1),             # box/temp/dr/dphi
+            cell(8),                                        # stats
+        ],
+        out_specs=tuple([cell(A)] * 3 + [cell(M)] * 7 + [cell(K)] * 2
+                        + [cell(8)]),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(s.shape, jnp.float32)
+            for s in (x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, stats)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((max(P, 8), A), jnp.float32),   # eps rows
+            pltpu.VMEM((max(P, 8), A), jnp.float32),   # sig2 rows
+            pltpu.VMEM((cb, K), jnp.float32),          # cfac
+        ],
+        # the TPU interpreter (not the generic one) emulates pltpu.prng_*
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed.reshape(1, 1), body, qp, eps_pt, sig2_pt,
+      tid_row.reshape(1, A), molid_row.reshape(1, A), q_row.reshape(1, A),
+      kx.reshape(1, K), ky.reshape(1, K), kz.reshape(1, K), kw.reshape(1, K),
+      x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
+      box, temp, drmax, dphi, stats)
+    return outs

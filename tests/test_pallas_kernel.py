@@ -64,3 +64,21 @@ def test_pallas_monatomic_padded_lanes():
     np.testing.assert_array_equal(np.asarray(out_p.acc), np.asarray(out_j.acc))
     np.testing.assert_allclose(np.asarray(out_p.energy),
                                np.asarray(out_j.energy), rtol=2e-4, atol=1e-3)
+
+
+def test_mega_sweep_interpret_energy_bookkeeping():
+    """Mega whole-sweep kernel in TPU-interpreter mode: the interpreter's
+    PRNG yields zeros (deterministic pseudo-moves), but the delta-energy
+    bookkeeping must still match the full recompute, which exercises the
+    entire in-kernel pair/recip/update pipeline."""
+    system = spce_system(8)
+    params = RunParams(temperature=300.0, r_cut=5.0, cutoff_mode="site",
+                       coulomb="ewald", nk=3, ksq_max=9, p_translate=0.5,
+                       dr_max=0.3, dphi_max=0.4)
+    mc = MonteCarlo(system, params, dtype=jnp.float32,
+                    pallas="mega_interpret", recompute_chunk=4)
+    state = mc.init_state(jax.random.PRNGKey(0), cubic_lattice(8, 12.0),
+                          box=12.0, n_chains=8)
+    state, m = mc.run_block(state, 3, adjust=False)
+    assert m["drift_max_rel"] < 5e-5, m["drift_max_rel"]
+    assert np.isfinite(m["energy_mean"])
