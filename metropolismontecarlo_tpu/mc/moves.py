@@ -433,19 +433,25 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
               jnp.asarray(tid_row), jnp.asarray(molid_row),
               jnp.asarray(q_row), kx, ky, kz, kw_r)
 
+    m_pad = _round_up(M, 128)
+
     def sweep_full(state):
         C = state.com.shape[0]
         f32 = jnp.float32
         stats = jnp.zeros((C, 8), f32)
         seed = state.step.astype(jnp.int32)
+
+        def mplane(arr):  # (C, M) -> (C, M_pad) for aligned window access
+            return jnp.pad(arr.astype(f32), ((0, 0), (0, m_pad - M)))
+
         out = sweep_pallas(
             state.coords[:, 0, :].astype(f32),
             state.coords[:, 1, :].astype(f32),
             state.coords[:, 2, :].astype(f32),
-            state.com[:, :, 0].astype(f32), state.com[:, :, 1].astype(f32),
-            state.com[:, :, 2].astype(f32),
-            state.quat[:, :, 0].astype(f32), state.quat[:, :, 1].astype(f32),
-            state.quat[:, :, 2].astype(f32), state.quat[:, :, 3].astype(f32),
+            mplane(state.com[:, :, 0]), mplane(state.com[:, :, 1]),
+            mplane(state.com[:, :, 2]),
+            mplane(state.quat[:, :, 0]), mplane(state.quat[:, :, 1]),
+            mplane(state.quat[:, :, 2]), mplane(state.quat[:, :, 3]),
             state.sfac[:, :, 0].astype(f32), state.sfac[:, :, 1].astype(f32),
             state.box.reshape(C, 1).astype(f32),
             state.temp.reshape(C, 1).astype(f32),
@@ -453,6 +459,8 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
             state.dphi_max.reshape(C, 1).astype(f32),
             stats, seed, *consts, **statics)
         x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, stats = out
+        cx, cy, cz = cx[:, :M], cy[:, :M], cz[:, :M]
+        qw, qx, qy, qz = qw[:, :M], qx[:, :M], qy[:, :M], qz[:, :M]
         dtype = state.com.dtype
         acc_d = jnp.stack([stats[:, 1], stats[:, 2],
                            jnp.zeros_like(stats[:, 1])], 1).astype(jnp.int32)

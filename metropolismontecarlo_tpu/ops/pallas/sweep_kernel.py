@@ -88,12 +88,19 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
         dphi_max = dphi_ref[:]
         inv_box = 1.0 / box
         kappa = kappa_l * inv_box
-        # lane-index rows for masked (un-aligned) per-molecule access
-        miota = jax.lax.broadcasted_iota(jnp.int32, (1, cx_in.shape[1]), 1)
-        aiota = jax.lax.broadcasted_iota(jnp.int32, (1, x_in.shape[1]), 1)
+        M_pad = cx_in.shape[1]
+        A_pad = x_in.shape[1]
+        # iota rows over 128/256-wide aligned access windows: dynamic lane
+        # starts must be provably 128-aligned for Mosaic, so per-molecule
+        # state access goes through small aligned windows instead of
+        # whole-row masked ops
+        W_m = min(128, M_pad)
+        W_a = min(256, A_pad)
+        wiota_m = jax.lax.broadcasted_iota(jnp.int32, (1, W_m), 1)
+        wiota_a = jax.lax.broadcasted_iota(jnp.int32, (1, W_a), 1)
+        mol_row = molid_ref[0:1, :]
 
         tid_row = tid_ref[0:1, :]
-        mol_row = molid_ref[0:1, :]
         q_row = qrow_ref[0:1, :]
         valid_col = mol_row >= 0.0
 
@@ -129,10 +136,15 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
             u_dz = u[:, 3:4] - 0.5
             u_acc = u[:, 4:5]
 
-            msel = miota == m              # (1, M) one-hot row
+            # aligned 128-wide window containing molecule m's slot
+            mbase = jnp.minimum(m // 128 * 128, M_pad - W_m)
+            mbase = pl.multiple_of(mbase, 128)
+            moff = m - mbase
+            msel = wiota_m == moff         # (1, 128) one-hot in window
 
             def pick(ref):
-                return jnp.sum(jnp.where(msel, ref[:], 0.0), axis=1,
+                win = ref[:, pl.ds(mbase, W_m)]
+                return jnp.sum(jnp.where(msel, win, 0.0), axis=1,
                                keepdims=True)
 
             com_mx = pick(cx_o)
@@ -200,6 +212,14 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
 
             other = (mol_row != m.astype(jnp.float32)) & valid_col  # (1, A)
 
+            # aligned 256-wide window containing molecule m's atoms
+            abase = jnp.minimum(m * P // 128 * 128, A_pad - W_a)
+            abase = pl.multiple_of(abase, 128)
+            aoff = m * P - abase
+            xwin = x_o[:, pl.ds(abase, W_a)]
+            ywin = y_o[:, pl.ds(abase, W_a)]
+            zwin = z_o[:, pl.ds(abase, W_a)]
+
             d_e = jnp.zeros((cb, 1), jnp.float32)
             n_ovr = jnp.zeros((cb, 1), jnp.float32)
             olds = []
@@ -209,12 +229,12 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                 # from com+quat): the stored values are the ones the rest
                 # of the system interacted with, and rebuilding introduces
                 # last-bit mismatches that accumulate as energy drift.
-                apick = aiota == m * P + p
-                oxp = jnp.sum(jnp.where(apick, x_o[:], 0.0), axis=1,
+                apick = wiota_a == aoff + p
+                oxp = jnp.sum(jnp.where(apick, xwin, 0.0), axis=1,
                               keepdims=True)
-                oyp = jnp.sum(jnp.where(apick, y_o[:], 0.0), axis=1,
+                oyp = jnp.sum(jnp.where(apick, ywin, 0.0), axis=1,
                               keepdims=True)
-                ozp = jnp.sum(jnp.where(apick, z_o[:], 0.0), axis=1,
+                ozp = jnp.sum(jnp.where(apick, zwin, 0.0), axis=1,
                               keepdims=True)
                 olds.append((oxp, oyp, ozp))
                 if P > 1:
@@ -297,13 +317,12 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                 & (n_ovr < 0.5)                                  # (cb, 1)
             asel = accept.astype(jnp.float32)
 
-            # ---- state updates: masked full-row where-writes (Mosaic
-            # requires 128-aligned dynamic lane refs; masked rewrites of
-            # the whole row are cheap next to the O(A) pair work) ----
-            taken = msel & (accept | (jnp.zeros((1, 1), bool)))  # (cb, M)
+            # ---- state updates: masked writes within aligned windows ----
+            taken = msel & accept          # (cb, 128)
 
             def put(ref, val):
-                ref[:] = jnp.where(taken, val, ref[:])
+                win = ref[:, pl.ds(mbase, W_m)]
+                ref[:, pl.ds(mbase, W_m)] = jnp.where(taken, val, win)
 
             put(cx_o, nmx)
             put(cy_o, nmy)
@@ -313,16 +332,15 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                 put(qx_o, x1)
                 put(qy_o, y1)
                 put(qz_o, z1)
-            xrow, yrow, zrow = x_o[:], y_o[:], z_o[:]
             for p in range(P):
                 nxp, nyp, nzp = news[p]
-                atk = (aiota == m * P + p) & accept
-                xrow = jnp.where(atk, nxp, xrow)
-                yrow = jnp.where(atk, nyp, yrow)
-                zrow = jnp.where(atk, nzp, zrow)
-            x_o[:] = xrow
-            y_o[:] = yrow
-            z_o[:] = zrow
+                atk = (wiota_a == aoff + p) & accept
+                xwin = jnp.where(atk, nxp, xwin)
+                ywin = jnp.where(atk, nyp, ywin)
+                zwin = jnp.where(atk, nzp, zwin)
+            x_o[:, pl.ds(abase, W_a)] = xwin
+            y_o[:, pl.ds(abase, W_a)] = ywin
+            z_o[:, pl.ds(abase, W_a)] = zwin
             if coulomb == "ewald":
                 sre_o[:] = sre_o[:] + asel * ds_re
                 sim_o[:] = sim_o[:] + asel * ds_im
@@ -358,6 +376,9 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
     """
     C, A = x.shape
     K = sre.shape[1]
+    assert A % 128 == 0, "atom planes must be 128-aligned"
+    MP = cx.shape[1]
+    assert MP % 128 == 0, "molecule planes must be 128-padded"
     cb = next(b for b in (min(cb, C), 32, 16, 8) if C % b == 0)
     grid = (C // cb,)
 
@@ -385,13 +406,13 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
             shared(1, A), shared(1, A), shared(1, A),       # tid, mol, q
             shared(1, K), shared(1, K), shared(1, K), shared(1, K),
             cell(A), cell(A), cell(A),                      # x, y, z
-            cell(M), cell(M), cell(M),                      # com planes
-            cell(M), cell(M), cell(M), cell(M),             # quat planes
+            cell(MP), cell(MP), cell(MP),                   # com planes
+            cell(MP), cell(MP), cell(MP), cell(MP),         # quat planes
             cell(K), cell(K),                               # sfac planes
             cell(1), cell(1), cell(1), cell(1),             # box/temp/dr/dphi
             cell(8),                                        # stats
         ],
-        out_specs=tuple([cell(A)] * 3 + [cell(M)] * 7 + [cell(K)] * 2
+        out_specs=tuple([cell(A)] * 3 + [cell(MP)] * 7 + [cell(K)] * 2
                         + [cell(8)]),
         out_shape=tuple(
             jax.ShapeDtypeStruct(s.shape, jnp.float32)
