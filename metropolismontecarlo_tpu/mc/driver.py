@@ -63,7 +63,10 @@ class MonteCarlo:
         bodies = np.asarray(system.body)
         uniform = bool((tids == tids[0]).all() and (qs == qs[0]).all()
                        and np.allclose(bodies, bodies[0]))
-        if pallas == "auto":
+        if params.nlist_width > 0:
+            # neighbor lists live in the jnp move path (per-chain gathers)
+            pallas_mode = None
+        elif pallas == "auto":
             if supported and jax.default_backend() == "tpu":
                 pallas_mode = "mega" if uniform else "tpu"
             else:
@@ -146,6 +149,7 @@ class MonteCarlo:
             dv_max=jnp.full((C,), p.dv_max, self.dtype),
             acc=jnp.zeros((C, 3), jnp.int32),
             att=jnp.zeros((C, 3), jnp.int32),
+            nbr=self._init_nbr(C),
         )
         return self.resync(state)
 
@@ -185,8 +189,16 @@ class MonteCarlo:
             dv_max=jnp.full((C,), p.dv_max, self.dtype),
             acc=jnp.zeros((C, 3), jnp.int32),
             att=jnp.zeros((C, 3), jnp.int32),
+            nbr=self._init_nbr(C),
         )
         return self.resync(state)
+
+    def _init_nbr(self, n_chains):
+        """Neighbor-list buffer; content is rebuilt at every sweep start."""
+        nb = self.params.nlist_width
+        if nb <= 0:
+            return jnp.zeros((n_chains, 1, 1), jnp.int32)
+        return jnp.zeros((n_chains, self.system.n_mol, nb), jnp.int32)
 
     # ---------------- full recompute / resync ----------------
 
@@ -218,6 +230,28 @@ class MonteCarlo:
         merge = lambda x: x.reshape((C,) + x.shape[2:])
         return merge(e), merge(w), merge(sfac)
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def _nlist_needed(self, com, box):
+        """Max number of molecules within the neighbor-list radius of any
+        molecule (diagnostic; O(M^2) per chain, chunked)."""
+        from metropolismontecarlo_tpu.mc.moves import nlist_radius
+        r2 = nlist_radius(self.system, self.params) ** 2
+        M = self.system.n_mol
+
+        def one(com_c, box_c):
+            dr = com_c[:, None, :] - com_c[None, :, :]
+            dr = dr - box_c * jnp.round(dr / box_c)
+            d2 = jnp.sum(dr * dr, -1) + jnp.eye(M) * 1e12
+            return jnp.max(jnp.sum(d2 < r2, axis=1))
+
+        C = com.shape[0]
+        G = min(self.recompute_chunk, C)
+        rs = lambda x: x.reshape((C // G, G) + x.shape[1:])
+        _, counts = jax.lax.scan(
+            lambda _, args: (None, jax.vmap(one)(*args)),
+            None, (rs(com), rs(box)))
+        return jnp.max(counts)
+
     def resync(self, state):
         """Replace accumulated energy/virial/sfac with freshly recomputed
         values; returns the corrected state."""
@@ -231,6 +265,14 @@ class MonteCarlo:
     def sweep(self, state):
         """One sweep: every molecule attempted once (reference
         `Ewald/main.jl:490`), plus an NPT volume-move attempt if enabled."""
+        if self.params.nlist_width > 0:
+            from metropolismontecarlo_tpu.mc.moves import (
+                nlist_radius,
+                rebuild_nlist,
+            )
+            state = state._replace(nbr=rebuild_nlist(
+                state.com, state.box, self.params,
+                nlist_radius(self.system, self.params)))
         if self._sweep_full is not None:
             state = self._sweep_full(state)
         else:
@@ -283,6 +325,13 @@ class MonteCarlo:
         state = self.run_steps(state, n_steps, adjust)
         e, w, sfac = self.full_energy(state)
         drift = jnp.max(jnp.abs(e - state.energy) / jnp.maximum(jnp.abs(e), 1.0))
+        if self.params.nlist_width > 0:
+            needed = int(self._nlist_needed(state.com, state.box))
+            if needed > self.params.nlist_width:
+                raise RuntimeError(
+                    f"neighbor-list overflow: {needed} molecules fall within "
+                    f"the list radius but nlist_width="
+                    f"{self.params.nlist_width}; increase nlist_width")
         metrics = {
             "energy_mean": float(jnp.mean(e)),
             "energy_min": float(jnp.min(e)),

@@ -43,6 +43,48 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def nlist_radius(system, params):
+    """COM-based list radius: the site cutoff, plus the skin, plus twice
+    the largest atom-to-COM distance (atoms of a molecule pair can be
+    closer than their COMs by up to 2 r_body)."""
+    r_body = float(np.max(np.linalg.norm(np.asarray(system.body), axis=-1)))
+    return max(params.r_cut, params.qq_cut) + params.nlist_skin + 2.0 * r_body
+
+
+def rebuild_nlist(com, box, params, r_list, chunk=8):
+    """Molecule-level Verlet lists: for every molecule, the indices of the
+    nlist_width nearest other molecules, kept only when within `r_list`
+    (see nlist_radius; out-of-range and padding slots hold the molecule's
+    OWN index, which every pair mask already excludes).
+
+    com (C, M, 3), box (C,) -> (C, M, NB) int32.  Chunked over chains to
+    bound the O(M^2) distance matrix.  Exact while no molecule pair
+    approaches by more than nlist_skin between rebuilds (rebuilds happen
+    every sweep; see RunParams.nlist_skin).
+    """
+    C, M, _ = com.shape
+    nb = params.nlist_width
+    self_idx = jnp.arange(M, dtype=jnp.int32)
+
+    def one(com_c, box_c):
+        dr = com_c[:, None, :] - com_c[None, :, :]
+        dr = dr - box_c * jnp.round(dr / box_c)
+        d2 = jnp.sum(dr * dr, axis=-1)
+        d2 = d2 + jnp.eye(M, dtype=d2.dtype) * 1e12   # exclude self
+        neg, idx = jax.lax.top_k(-d2, nb)
+        within = (-neg) < r_list * r_list
+        return jnp.where(within, idx.astype(jnp.int32), self_idx[:, None])
+
+    G = min(chunk, C)
+    if C % G:
+        G = 1
+    rs = lambda x: x.reshape((C // G, G) + x.shape[1:])
+    _, out = jax.lax.scan(
+        lambda _, args: (None, jax.vmap(one)(*args)),
+        None, (rs(com), rs(box)))
+    return out.reshape(C, M, nb)
+
+
 def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
                   pallas_mode=None):
     """Build `sweep_body(state, m) -> (state, None)` advancing every chain
@@ -201,8 +243,60 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
             overlap = jnp.any(bad[P:])
         return d_e, overlap
 
+    use_nlist = params.nlist_width > 0
+    if use_nlist and not site:
+        raise NotImplementedError("neighbor lists require site cutoff")
+    tid_flat = jnp.asarray(np.concatenate(
+        [tid, np.zeros(A_pad - A, tid.dtype)]))
+    tid_mp_all = jnp.asarray(system.type_ids)
+
+    def pair_energy_nlist(ra2p, nbr_row, coords_t, m, box, kappa):
+        """Pair energies against gathered neighbor atoms only.
+        ra2p (2P, 3); nbr_row (NB,) neighbor molecule indices (self-padded).
+        """
+        atom_idx = (nbr_row[:, None] * P
+                    + jnp.arange(P, dtype=nbr_row.dtype)[None, :]).reshape(-1)
+        g = coords_t[:, atom_idx]                      # (3, NB*P)
+        mol_g = jnp.repeat(nbr_row, P)                 # (NB*P,)
+        dr = min_image(ra2p.T[:, :, None] - g[:, None, :], box)
+        d2 = jnp.maximum(jnp.sum(dr * dr, axis=0), jnp.asarray(1e-4, dtype))
+        other = (mol_g != m)[None, :]
+        mask_lj = other & (d2 < rc2)
+        mask_qq = mask_lj if params.qq_r_cut is None else other & (d2 < qrc2)
+        d2s = jnp.where(mask_lj | mask_qq, d2, jnp.ones((), dtype))
+
+        tm = tid_mp_all[m]
+        tid_g = tid_flat[atom_idx]
+        eps_pa = jnp.take(eps_t[tm], tid_g, axis=1)    # (P, NB*P)
+        sig2_pa = jnp.take((sig_t**2)[tm], tid_g, axis=1)
+        eps2 = jnp.concatenate([eps_pa, eps_pa], axis=0)
+        sig2 = jnp.concatenate([sig2_pa, sig2_pa], axis=0)
+        s2 = sig2 / d2s
+        s6 = s2 * s2 * s2
+        pot = 4.0 * eps2 * (s6 * s6 - s6)
+        e_lj = jnp.sum(jnp.where(mask_lj, pot, 0.0), axis=-1)
+        d_e = jnp.sum(e_lj[P:]) - jnp.sum(e_lj[:P])
+        overlap = jnp.zeros((), bool)
+        if use_coul:
+            q_g = charges_flat[atom_idx]
+            qq_pa = charges_mp[m][:, None] * q_g[None, :]
+            qq2 = jnp.concatenate([qq_pa, qq_pa], axis=0)
+            r = jnp.sqrt(d2s)
+            if params.coulomb == "ewald":
+                cpair = qq2 * _erfc(kappa * r) / r
+            elif params.coulomb == "wolf":
+                shift = _erfc(kappa * params.qq_cut) / params.qq_cut
+                cpair = qq2 * (_erfc(kappa * r) / r - shift)
+            else:
+                cpair = qq2 / r
+            e_coul = factor * jnp.sum(jnp.where(mask_qq, cpair, 0.0), axis=-1)
+            d_e = d_e + jnp.sum(e_coul[P:]) - jnp.sum(e_coul[:P])
+            bad = (d2 < params.d2_overlap) & (qq2 < 0.0) & mask_qq
+            overlap = jnp.any(bad[P:])
+        return d_e, overlap
+
     def move_jnp(com, quat, coords, box, sfac, energy, key, dr_max,
-                 dphi_max, temp, m, step):
+                 dphi_max, temp, nbr, m, step):
         kappa = jnp.asarray(params.kappa_L, dtype) / box
         pr = propose_full(com, quat, coords, box, key, dr_max, dphi_max,
                           m, step)
@@ -211,8 +305,11 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
         key_new = pr["ra_new"][0] if params.cutoff_mode == "first" \
             else pr["com_new"]
         ra2p = jnp.concatenate([pr["ra_old"], pr["ra_new"]], axis=0)
-        d_e, ovr = pair_energy_rows(ra2p, key_old, key_new, com, coords,
-                                    m, box, kappa)
+        if use_nlist:
+            d_e, ovr = pair_energy_nlist(ra2p, nbr[m], coords, m, box, kappa)
+        else:
+            d_e, ovr = pair_energy_rows(ra2p, key_old, key_new, com, coords,
+                                        m, box, kappa)
         return finalize(com, quat, coords, box, sfac, energy, temp, pr,
                         d_e, ovr, m)
 
@@ -228,14 +325,14 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
     if pallas_mode is None:
         vmove = jax.vmap(
             move_jnp,
-            in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None),
+            in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None),
         )
 
         def sweep_body(state, m):
             com, quat, coords, sfac, energy, is_trans, accept = vmove(
                 state.com, state.quat, state.coords, state.box, state.sfac,
                 state.energy, state.key, state.dr_max, state.dphi_max,
-                state.temp, m, state.step)
+                state.temp, state.nbr, m, state.step)
             att, acc = _update_counters(state, is_trans, accept)
             return state._replace(
                 com=com, quat=quat, coords=coords, sfac=sfac, energy=energy,

@@ -103,6 +103,18 @@ class RunParams:
     pressure: Optional[float] = None
     p_volume: float = 0.0             # probability of a volume move
     dv_max: float = 0.05              # max fractional ln-volume step
+    # molecule-level Verlet neighbor lists (EXPERIMENTAL, jnp path only):
+    # nlist_width = max neighbor molecules kept per molecule (0 = off);
+    # lists rebuild every sweep with radius max(r_cut, qq_cut) +
+    # nlist_skin + 2*max-atom-to-COM-distance; exact while
+    # dr_max <= nlist_skin/2, and overflow is detected at block
+    # boundaries.  MEASURED on TPU v5e: per-chain dynamic gathers are
+    # ~20x SLOWER than the dense Pallas kernels, so this is a
+    # correctness-validated reference implementation; the TPU-native
+    # sparsity plan is spatially SORTED molecule storage (contiguous
+    # neighbor slabs), future work.
+    nlist_width: int = 0
+    nlist_skin: float = 2.0
 
     @property
     def qq_cut(self):
@@ -130,3 +142,5 @@ class SimState(NamedTuple):
     dv_max: jnp.ndarray     # (C,) adaptive max volume step
     acc: jnp.ndarray        # (C, 3) int32 accepted [trans, rot, vol] since adjust
     att: jnp.ndarray        # (C, 3) int32 attempted [trans, rot, vol] since adjust
+    nbr: jnp.ndarray        # (C, M, NB) int32 neighbor-molecule lists
+                            #   (self-index padded; (C,1,1) dummy when off)

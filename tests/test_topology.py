@@ -105,3 +105,38 @@ def test_mixed_species_mc_drift(reference_dir):
     assert metrics["drift_max_rel"] < 1e-10
     assert np.isfinite(metrics["energy_mean"])
     assert metrics["acc_trans"] > 0.01
+
+
+def test_neighbor_list_path_drift(reference_dir):
+    """Verlet neighbor-list move path: accumulated deltas must still match
+    the exact full recompute (which is list-free), proving no in-range
+    pair is ever missed by the lists."""
+    system = _mixed_system(reference_dir, n_mea=2, n_sol=12)
+    params = RunParams(temperature=300.0, r_cut=6.0, cutoff_mode="site",
+                       coulomb="ewald", nk=3, ksq_max=9, p_translate=0.5,
+                       dr_max=0.3, dphi_max=0.3,
+                       nlist_width=13, nlist_skin=2.0)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=4)
+    state = mc.init_state(jax.random.PRNGKey(0),
+                          cubic_lattice(system.n_mol, 14.0), box=14.0,
+                          n_chains=4)
+    state = mc.quench(state, 5)
+    state, metrics = mc.run_block(state, n_steps=10, adjust=False)
+    assert metrics["drift_max_rel"] < 1e-10, metrics["drift_max_rel"]
+    assert metrics["acc_trans"] > 0.01
+
+
+def test_neighbor_list_overflow_detected(reference_dir):
+    """Too-small nlist_width must be caught by the block-boundary check,
+    not silently drop interactions."""
+    system = _mixed_system(reference_dir, n_mea=2, n_sol=12)
+    params = RunParams(temperature=300.0, r_cut=6.0, cutoff_mode="site",
+                       coulomb="ewald", nk=3, ksq_max=9, p_translate=0.5,
+                       dr_max=0.3, dphi_max=0.3,
+                       nlist_width=4, nlist_skin=2.0)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=4)
+    state = mc.init_state(jax.random.PRNGKey(0),
+                          cubic_lattice(system.n_mol, 14.0), box=14.0,
+                          n_chains=4)
+    with pytest.raises(RuntimeError, match="neighbor-list overflow"):
+        mc.run_block(state, n_steps=2, adjust=False)
