@@ -4,6 +4,10 @@ over parallel chains) vs the reference's ~2.8 sweeps/s serial-Julia figure
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Variants via BENCH_CONFIG: spce (default) | wolf | lj | triatomic |
+mixture — the other BASELINE.json configurations.  BENCH_CHAINS and
+BENCH_STEPS control scale.
 """
 
 import json
@@ -16,29 +20,77 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from metropolismontecarlo_tpu.io.configs import cubic_lattice
 from metropolismontecarlo_tpu.mc.driver import MonteCarlo
 from metropolismontecarlo_tpu.models.system import RunParams
-from metropolismontecarlo_tpu.models.water import spce_from_nist
 
 BASELINE_SWEEPS_PER_SEC = 2.8  # serial Julia, 1 CPU core
+REF = "/root/reference"
+
+
+def _setup(config, n_chains):
+    key = jax.random.PRNGKey(0)
+    if config in ("spce", "wolf"):
+        from metropolismontecarlo_tpu.models.water import spce_from_nist
+        system, coords, com, box = spce_from_nist(
+            os.path.join(REF, "Ewald", "coord750.txt"))
+        params = RunParams(temperature=298.15, r_cut=10.0, cutoff_mode="site",
+                           coulomb="ewald" if config == "spce" else "wolf",
+                           p_translate=0.5, dr_max=0.3, dphi_max=0.3)
+        mc = MonteCarlo(system, params, dtype=jnp.float32, recompute_chunk=4)
+        state = mc.init_from_coords(key, coords, com, box, n_chains=n_chains)
+        label = f"SPC/E 750-water {params.coulomb.capitalize()} NVT"
+    elif config == "lj":
+        from metropolismontecarlo_tpu.models.monatomic import (
+            lj_box_for_density, lj_system)
+        n = 256
+        box = lj_box_for_density(n, 0.75)
+        params = RunParams(temperature=1.0, r_cut=2.5, cutoff_mode="site",
+                           coulomb="none", p_translate=1.0, dr_max=box / 30)
+        mc = MonteCarlo(lj_system(n), params, dtype=jnp.float32)
+        state = mc.init_state(key, cubic_lattice(n, box), box=box,
+                              n_chains=n_chains)
+        label = "256-atom LJ fluid NVT"
+    elif config == "triatomic":
+        from metropolismontecarlo_tpu.io.configs import read_cnf
+        from metropolismontecarlo_tpu.models.polyatomic import (
+            mossa_params, triatomic_system)
+        com, quat, box = read_cnf(os.path.join(REF, "Poly", "cnf_input.inp"))
+        params = mossa_params()
+        mc = MonteCarlo(triatomic_system(256), params, dtype=jnp.float32)
+        state = mc.init_state(key, (com + box / 2.0) % box, quat=quat,
+                              box=box, n_chains=n_chains)
+        label = "256-triatomic Mossa LJ NVT"
+    elif config == "mixture":
+        from metropolismontecarlo_tpu.io.topology import read_top
+        from metropolismontecarlo_tpu.models.from_topology import (
+            system_from_topology, templates_from_pdbs)
+        top = read_top(os.path.join(REF, "topol.top"))
+        templates = templates_from_pdbs(top, {
+            "MEA_DUMMY": os.path.join(REF, "mea.pdb"),
+            "SOL": os.path.join(REF, "tip3p.pdb")})
+        system = system_from_topology(
+            top, templates, molecules=[("MEA_DUMMY", 100), ("SOL", 1900)])
+        params = RunParams(temperature=298.15, r_cut=10.0, cutoff_mode="site",
+                           coulomb="ewald", p_translate=0.5, dr_max=0.25,
+                           dphi_max=0.25)
+        box = (system.n_mol / 0.004) ** (1.0 / 3.0)
+        mc = MonteCarlo(system, params, dtype=jnp.float32, recompute_chunk=1)
+        state = mc.init_state(key, cubic_lattice(system.n_mol, box),
+                              box=box, n_chains=n_chains)
+        label = "MEA+TIP3P 2000-molecule Ewald NVT"
+    else:
+        raise SystemExit(f"unknown BENCH_CONFIG {config!r}")
+    return mc, state, label
 
 
 def main():
-    n_chains = int(os.environ.get("BENCH_CHAINS", "512"))
+    config = os.environ.get("BENCH_CONFIG", "spce")
+    default_chains = {"mixture": 64}.get(config, 512)
+    n_chains = int(os.environ.get("BENCH_CHAINS", str(default_chains)))
     n_steps = int(os.environ.get("BENCH_STEPS", "2"))
-    path = "/root/reference/Ewald/coord750.txt"
-    if not os.path.exists(path):
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "data", "coord750.txt")
 
-    system, coords, com, box = spce_from_nist(path)
-    params = RunParams(
-        temperature=298.15, r_cut=10.0, cutoff_mode="site", coulomb="ewald",
-        p_translate=0.5, dr_max=0.3, dphi_max=0.3,
-    )
-    mc = MonteCarlo(system, params, dtype=jnp.float32, recompute_chunk=4)
-    state = mc.init_from_coords(jax.random.PRNGKey(0), coords, com, box,
-                                n_chains=n_chains)
+    mc, state, label = _setup(config, n_chains)
 
     # warmup & compile (same static n_steps as the timed call)
     warm = mc.run_steps(state, n_steps, False)
@@ -51,8 +103,7 @@ def main():
 
     sweeps_per_sec = n_chains * n_steps / dt
     print(json.dumps({
-        "metric": "MC sweeps/sec/chip (SPC/E 750-water Ewald NVT, "
-                  f"{n_chains} chains, f32)",
+        "metric": f"MC sweeps/sec/chip ({label}, {n_chains} chains, f32)",
         "value": round(sweeps_per_sec, 2),
         "unit": "sweeps/s",
         "vs_baseline": round(sweeps_per_sec / BASELINE_SWEEPS_PER_SEC, 1),

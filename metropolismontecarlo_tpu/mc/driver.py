@@ -11,7 +11,6 @@ the carried accumulators.
 """
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ device mesh).
 
 import argparse
 import os
-import sys
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +42,6 @@ def _initial_state(mc, run_cfg, system, base_dir):
         com = cubic_lattice(system.n_mol, box)
         return mc.init_state(key, com, box=box, n_chains=n_chains)
     if kind == "nist":
-        from metropolismontecarlo_tpu.io.configs import read_nist
         from metropolismontecarlo_tpu.models.water import spce_from_nist
         _, coords, com, box = spce_from_nist(
             os.path.join(base_dir, start["path"]))
