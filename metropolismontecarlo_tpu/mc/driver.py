@@ -57,12 +57,12 @@ class MonteCarlo:
         supported = (params.cutoff_mode == "site"
                      and params.lj_shift == "none"
                      and dtype == jnp.float32)
-        tids = np.asarray(system.type_ids)
-        qs = np.asarray(system.charges)
-        bodies = np.asarray(system.body)
-        uniform = bool((tids == tids[0]).all() and (qs == qs[0]).all()
-                       and np.allclose(bodies, bodies[0]))
+        uniform = system.is_uniform
         if params.nlist_width > 0:
+            if pallas not in ("auto", False, None):
+                raise ValueError(
+                    "neighbor lists run on the jnp move path; they cannot "
+                    "be combined with an explicitly requested Pallas mode")
             # neighbor lists live in the jnp move path (per-chain gathers)
             pallas_mode = None
         elif pallas == "auto":
@@ -149,6 +149,7 @@ class MonteCarlo:
             acc=jnp.zeros((C, 3), jnp.int32),
             att=jnp.zeros((C, 3), jnp.int32),
             nbr=self._init_nbr(C),
+            nbr_needed=jnp.zeros((C,), jnp.int32),
         )
         return self.resync(state)
 
@@ -189,6 +190,7 @@ class MonteCarlo:
             acc=jnp.zeros((C, 3), jnp.int32),
             att=jnp.zeros((C, 3), jnp.int32),
             nbr=self._init_nbr(C),
+            nbr_needed=jnp.zeros((C,), jnp.int32),
         )
         return self.resync(state)
 
@@ -229,28 +231,6 @@ class MonteCarlo:
         merge = lambda x: x.reshape((C,) + x.shape[2:])
         return merge(e), merge(w), merge(sfac)
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _nlist_needed(self, com, box):
-        """Max number of molecules within the neighbor-list radius of any
-        molecule (diagnostic; O(M^2) per chain, chunked)."""
-        from metropolismontecarlo_tpu.mc.moves import nlist_radius
-        r2 = nlist_radius(self.system, self.params) ** 2
-        M = self.system.n_mol
-
-        def one(com_c, box_c):
-            dr = com_c[:, None, :] - com_c[None, :, :]
-            dr = dr - box_c * jnp.round(dr / box_c)
-            d2 = jnp.sum(dr * dr, -1) + jnp.eye(M) * 1e12
-            return jnp.max(jnp.sum(d2 < r2, axis=1))
-
-        C = com.shape[0]
-        G = min(self.recompute_chunk, C)
-        rs = lambda x: x.reshape((C // G, G) + x.shape[1:])
-        _, counts = jax.lax.scan(
-            lambda _, args: (None, jax.vmap(one)(*args)),
-            None, (rs(com), rs(box)))
-        return jnp.max(counts)
-
     def resync(self, state):
         """Replace accumulated energy/virial/sfac with freshly recomputed
         values; returns the corrected state."""
@@ -269,9 +249,12 @@ class MonteCarlo:
                 nlist_radius,
                 rebuild_nlist,
             )
-            state = state._replace(nbr=rebuild_nlist(
+            nbr, needed = rebuild_nlist(
                 state.com, state.box, self.params,
-                nlist_radius(self.system, self.params)))
+                nlist_radius(self.system, self.params))
+            # running max of required width, checked at block boundaries
+            state = state._replace(
+                nbr=nbr, nbr_needed=jnp.maximum(state.nbr_needed, needed))
         if self._sweep_full is not None:
             state = self._sweep_full(state)
         else:
@@ -325,12 +308,12 @@ class MonteCarlo:
         e, w, sfac = self.full_energy(state)
         drift = jnp.max(jnp.abs(e - state.energy) / jnp.maximum(jnp.abs(e), 1.0))
         if self.params.nlist_width > 0:
-            needed = int(self._nlist_needed(state.com, state.box))
+            needed = int(jnp.max(state.nbr_needed))
             if needed > self.params.nlist_width:
                 raise RuntimeError(
-                    f"neighbor-list overflow: {needed} molecules fall within "
-                    f"the list radius but nlist_width="
-                    f"{self.params.nlist_width}; increase nlist_width")
+                    f"neighbor-list overflow: up to {needed} molecules fell "
+                    f"within the list radius during this block but "
+                    f"nlist_width={self.params.nlist_width}; increase it")
         metrics = {
             "energy_mean": float(jnp.mean(e)),
             "energy_min": float(jnp.min(e)),

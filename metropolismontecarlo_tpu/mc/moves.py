@@ -71,18 +71,20 @@ def rebuild_nlist(com, box, params, r_list, chunk=8):
         dr = dr - box_c * jnp.round(dr / box_c)
         d2 = jnp.sum(dr * dr, axis=-1)
         d2 = d2 + jnp.eye(M, dtype=d2.dtype) * 1e12   # exclude self
+        needed = jnp.max(jnp.sum(d2 < r_list * r_list, axis=1))
         neg, idx = jax.lax.top_k(-d2, nb)
         within = (-neg) < r_list * r_list
-        return jnp.where(within, idx.astype(jnp.int32), self_idx[:, None])
+        lists = jnp.where(within, idx.astype(jnp.int32), self_idx[:, None])
+        return lists, needed.astype(jnp.int32)
 
     G = min(chunk, C)
     if C % G:
         G = 1
     rs = lambda x: x.reshape((C // G, G) + x.shape[1:])
-    _, out = jax.lax.scan(
+    _, (out, needed) = jax.lax.scan(
         lambda _, args: (None, jax.vmap(one)(*args)),
         None, (rs(com), rs(box)))
-    return out.reshape(C, M, nb)
+    return out.reshape(C, M, nb), needed.reshape(C)
 
 
 def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
@@ -105,6 +107,9 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
     mol_of_atom = jnp.asarray(system.mol_of_atom_padded)        # (A_pad,)
 
     tid = system.flat(system.type_ids)
+    # padded per-atom type ids with pads clamped to 0 (pads are excluded by
+    # molecule-id masks before any parameter lookup matters)
+    tid_safe = jnp.asarray(np.concatenate([tid, np.zeros(A_pad - A, tid.dtype)]))
     eps_t = jnp.asarray(system.eps_table, dtype)
     sig_t = jnp.asarray(system.sig_table, dtype)
 
@@ -206,10 +211,8 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
 
         d2s = jnp.where(mask_lj | mask_qq, d2, jnp.ones((), dtype))
         tm = jnp.asarray(system.type_ids)[m]                    # (P,)
-        tid_row = jnp.asarray(
-            np.concatenate([tid, np.zeros(A_pad - A, tid.dtype)]))
-        eps_pa = eps_t[tm][:, tid_row]                          # (P, A_pad)
-        sig2_pa = (sig_t**2)[tm][:, tid_row]
+        eps_pa = eps_t[tm][:, tid_safe]                         # (P, A_pad)
+        sig2_pa = (sig_t**2)[tm][:, tid_safe]
         eps2 = jnp.concatenate([eps_pa, eps_pa], axis=0)
         sig2 = jnp.concatenate([sig2_pa, sig2_pa], axis=0)
 
@@ -246,8 +249,6 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
     use_nlist = params.nlist_width > 0
     if use_nlist and not site:
         raise NotImplementedError("neighbor lists require site cutoff")
-    tid_flat = jnp.asarray(np.concatenate(
-        [tid, np.zeros(A_pad - A, tid.dtype)]))
     tid_mp_all = jnp.asarray(system.type_ids)
 
     def pair_energy_nlist(ra2p, nbr_row, coords_t, m, box, kappa):
@@ -266,7 +267,7 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
         d2s = jnp.where(mask_lj | mask_qq, d2, jnp.ones((), dtype))
 
         tm = tid_mp_all[m]
-        tid_g = tid_flat[atom_idx]
+        tid_g = tid_safe[atom_idx]
         eps_pa = jnp.take(eps_t[tm], tid_g, axis=1)    # (P, NB*P)
         sig2_pa = jnp.take((sig_t**2)[tm], tid_g, axis=1)
         eps2 = jnp.concatenate([eps_pa, eps_pa], axis=0)
@@ -274,6 +275,10 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
         s2 = sig2 / d2s
         s6 = s2 * s2 * s2
         pot = 4.0 * eps2 * (s6 * s6 - s6)
+        if params.lj_shift == "linear":
+            sig_g = jnp.sqrt(sig2)
+            lam1, lam2 = _shift_coeffs(params.r_cut / sig_g)
+            pot = pot + eps2 * (lam1 + lam2 * jnp.sqrt(d2s) / sig_g)
         e_lj = jnp.sum(jnp.where(mask_lj, pot, 0.0), axis=-1)
         d_e = jnp.sum(e_lj[P:]) - jnp.sum(e_lj[:P])
         overlap = jnp.zeros((), bool)
@@ -359,7 +364,7 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
     # trace time (e.g. water H sites carry charge but no LJ)
     tids_np = np.asarray(system.type_ids)
     qs_np = np.asarray(system.charges)
-    uniform = bool((tids_np == tids_np[0]).all() and (qs_np == qs_np[0]).all())
+    uniform = system.is_uniform
     if uniform:
         eps_np = np.asarray(system.eps_table)
         has_lj_p = [bool(np.any(eps_np[tids_np[0, p]] != 0.0)) for p in range(P)]
@@ -473,9 +478,8 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
     tids_np = np.asarray(system.type_ids)
     qs_np = np.asarray(system.charges)
     bodies_np = np.asarray(system.body)
-    uniform = bool((tids_np == tids_np[0]).all() and (qs_np == qs_np[0]).all()
-                   and np.allclose(bodies_np, bodies_np[0]))
-    if not uniform or params.cutoff_mode != "site" or params.lj_shift != "none":
+    if not system.is_uniform or params.cutoff_mode != "site" \
+            or params.lj_shift != "none":
         raise ValueError("mega sweep requires a uniform single-species "
                          "system, site cutoff, and unshifted LJ")
 

@@ -183,7 +183,13 @@ def _energy_breakdown_tiled(system, params, coords, com, box, kvecs,
         sig2_pa = jnp.matmul((sig_t**2)[trow], onehot_cols, precision=hi)
         s2 = sig2_pa / d2s
         s6 = s2 * s2 * s2
-        potm = jnp.where(mask_lj, 4.0 * eps_pa * (s6 * s6 - s6), 0.0)
+        pair_pot = 4.0 * eps_pa * (s6 * s6 - s6)
+        if params.lj_shift == "linear":
+            from metropolismontecarlo_tpu.ops.lj import _shift_coeffs
+            sig_pa = jnp.sqrt(sig2_pa)
+            lam1, lam2 = _shift_coeffs(params.r_cut / sig_pa)
+            pair_pot = pair_pot + eps_pa * (lam1 + lam2 * jnp.sqrt(d2s) / sig_pa)
+        potm = jnp.where(mask_lj, pair_pot, 0.0)
         pot_a = pot_a + jnp.sum(potm)
 
         # molecular virial: (r_ij_com . r_ab / r_ab^2) * 24 eps (2 s12 - s6)

@@ -70,6 +70,23 @@ class System:
         return out
 
     @property
+    def is_uniform(self):
+        """True when every molecule shares one body/charge/type pattern
+        (enables the mega kernel and static per-row work flags)."""
+        t = np.asarray(self.type_ids)
+        q = np.asarray(self.charges)
+        b = np.asarray(self.body)
+        return bool((t == t[0]).all() and (q == q[0]).all()
+                    and np.allclose(b, b[0]))
+
+    @property
+    def tid_row_padded(self):
+        """(A_pad,) per-atom LJ type id; -1 marks lane padding."""
+        out = np.full(self.n_atoms_padded, -1, np.int64)
+        out[: self.n_atoms] = self.type_ids.reshape(-1)
+        return out
+
+    @property
     def type_counts(self):
         t = np.zeros(self.eps_table.shape[0])
         np.add.at(t, self.type_ids.reshape(-1), 1.0)
@@ -144,3 +161,5 @@ class SimState(NamedTuple):
     att: jnp.ndarray        # (C, 3) int32 attempted [trans, rot, vol] since adjust
     nbr: jnp.ndarray        # (C, M, NB) int32 neighbor-molecule lists
                             #   (self-index padded; (C,1,1) dummy when off)
+    nbr_needed: jnp.ndarray  # (C,) int32 running max molecules within the
+                            #   list radius (overflow detection)

@@ -345,8 +345,11 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                 sim_o[:] = sim_o[:] + asel * ds_im
 
             # stats carry: [energy, acc_trans, acc_rot, att_trans, att_rot]
+            # where-select, NOT asel*d_e: a rejected move can carry an
+            # f32-overflowed (inf) delta, and inf * 0 = NaN
+            d_e_taken = jnp.where(accept, d_e, jnp.zeros_like(d_e))
             upd = jnp.concatenate(
-                [asel * d_e, asel * tsel, asel * (1.0 - tsel), tsel,
+                [d_e_taken, asel * tsel, asel * (1.0 - tsel), tsel,
                  1.0 - tsel, jnp.zeros((cb, 3), jnp.float32)], axis=1)
             return stats + upd
 

@@ -77,3 +77,40 @@ def test_quench_lowers_energy():
     e1 = np.asarray(state.energy)
     assert np.all(e1 <= e0 + 1e-9)
     assert np.mean(e1) < np.mean(e0)
+
+
+def test_neighbor_list_with_linear_shift_drift():
+    """Regression: the neighbor-list pair path must apply the Mossa force
+    shift consistently with the full recompute."""
+    system = triatomic_system(27)
+    params = mossa_params(temperature=1.0, dr_max=0.2, dphi_max=0.3,
+                          nlist_width=26, nlist_skin=1.0)
+    box = (27 / 0.25) ** (1 / 3)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=4)
+    state = mc.init_state(jax.random.PRNGKey(3), cubic_lattice(27, box),
+                          box=box, n_chains=4)
+    state, m = mc.run_block(state, n_steps=10, adjust=False)
+    assert m["drift_max_rel"] < 1e-10, m["drift_max_rel"]
+
+
+def test_tiled_recompute_linear_shift_matches_dense():
+    """Regression: the large-system tiled recompute applies the force
+    shift (compare against the dense path on the same configuration)."""
+    import numpy as np
+    from metropolismontecarlo_tpu.models.energy import (
+        _energy_breakdown_tiled,
+        energy_breakdown,
+    )
+
+    system = triatomic_system(27)
+    params = mossa_params()
+    box = (27 / 0.25) ** (1 / 3)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=4)
+    state = mc.init_state(jax.random.PRNGKey(4), cubic_lattice(27, box),
+                          box=box, n_chains=4)
+    coords = state.coords[0][:, : system.n_atoms].T
+    dense = energy_breakdown(system, params, coords, state.com[0],
+                             state.box[0])
+    tiled = _energy_breakdown_tiled(system, params, coords, state.com[0],
+                                    state.box[0], None, None, row_block=32)
+    assert abs(float(dense["disp"]) - float(tiled["disp"])) < 1e-9
