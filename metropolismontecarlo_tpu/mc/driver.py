@@ -58,6 +58,9 @@ class MonteCarlo:
                      and params.lj_shift == "none"
                      and dtype == jnp.float32)
         uniform = system.is_uniform
+        # the mega kernel additionally supports the linear (Mossa) shift
+        mega_ok = (params.cutoff_mode == "site" and dtype == jnp.float32
+                   and params.lj_shift in ("none", "linear") and uniform)
         if params.nlist_width > 0:
             if pallas not in ("auto", False, None):
                 raise ValueError(
@@ -66,8 +69,10 @@ class MonteCarlo:
             # neighbor lists live in the jnp move path (per-chain gathers)
             pallas_mode = None
         elif pallas == "auto":
-            if supported and jax.default_backend() == "tpu":
-                pallas_mode = "mega" if uniform else "tpu"
+            if jax.default_backend() == "tpu" and mega_ok:
+                pallas_mode = "mega"
+            elif supported and jax.default_backend() == "tpu":
+                pallas_mode = "tpu"
             else:
                 pallas_mode = None
         elif pallas in (True, "tpu"):
@@ -78,7 +83,11 @@ class MonteCarlo:
             pallas_mode = pallas
         else:
             pallas_mode = None
-        if pallas_mode and not supported:
+        if pallas_mode in ("mega", "mega_interpret"):
+            if not mega_ok:
+                raise ValueError("mega sweep requires a uniform system, "
+                                 "site cutoff, none/linear LJ shift, f32")
+        elif pallas_mode and not supported:
             raise ValueError("Pallas path requires site cutoff, unshifted "
                              "LJ, and float32")
         self.pallas_mode = pallas_mode

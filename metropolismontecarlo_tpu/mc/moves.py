@@ -479,9 +479,9 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
     qs_np = np.asarray(system.charges)
     bodies_np = np.asarray(system.body)
     if not system.is_uniform or params.cutoff_mode != "site" \
-            or params.lj_shift != "none":
+            or params.lj_shift not in ("none", "linear"):
         raise ValueError("mega sweep requires a uniform single-species "
-                         "system, site cutoff, and unshifted LJ")
+                         "system and site cutoff")
 
     n_types = system.eps_table.shape[0]
     t_pad = _round_up(n_types, 8)
@@ -493,11 +493,21 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
     qp_row[0, :P] = qs_np[0]
     eps_pt = np.zeros((max(P, 8), t_pad), np.float32)
     sig2_pt = np.zeros((max(P, 8), t_pad), np.float32)
+    lam1_pt = np.zeros((max(P, 8), t_pad), np.float32)
+    lam2_pt = np.zeros((max(P, 8), t_pad), np.float32)
     et = np.asarray(system.eps_table, np.float32)
-    st2 = np.asarray(system.sig_table, np.float32) ** 2
+    st = np.asarray(system.sig_table, np.float32)
+    st2 = st**2
     for p in range(P):
         eps_pt[p, :n_types] = et[tids_np[0, p]]
         sig2_pt[p, :n_types] = st2[tids_np[0, p]]
+        if params.lj_shift == "linear":
+            from metropolismontecarlo_tpu.ops.lj import _shift_coeffs
+            srow = st[tids_np[0, p]]
+            l1, l2 = _shift_coeffs(params.r_cut / srow)
+            # pre-scale: in-kernel shift is eps*(lam1 + lam2 * r)
+            lam1_pt[p, :n_types] = et[tids_np[0, p]] * l1
+            lam2_pt[p, :n_types] = et[tids_np[0, p]] * l2 / srow
     eps_np_t = np.asarray(system.eps_table)
     has_lj = tuple(bool(np.any(eps_np_t[tids_np[0, p]] != 0.0))
                    for p in range(P))
@@ -526,11 +536,13 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
         d2_overlap=float(params.d2_overlap),
         p_translate=float(params.p_translate),
         use_rot=(P > 1 and params.p_translate < 1.0),
+        lj_shift=params.lj_shift,
         cb=int(os.environ.get("MMC_MEGA_CB", "64")),
         interpret=interpret,
     )
     consts = (jnp.asarray(body_row), jnp.asarray(qp_row),
               jnp.asarray(eps_pt), jnp.asarray(sig2_pt),
+              jnp.asarray(lam1_pt), jnp.asarray(lam2_pt),
               jnp.asarray(tid_row), jnp.asarray(molid_row),
               jnp.asarray(q_row), kx, ky, kz, kw_r)
 

@@ -53,17 +53,18 @@ def _uniform(bits):
 
 
 def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
-                 kappa_l, d2_overlap, p_translate, use_rot, K):
+                 kappa_l, d2_overlap, p_translate, use_rot, K, lj_shift):
     """Builds the kernel body (all sizes/flags static)."""
 
     def kernel(seed_ref, body_ref, qp_ref, eps_pt_ref, sig2_pt_ref,
+               lam1_pt_ref, lam2_pt_ref,
                tid_ref, molid_ref, qrow_ref, kx_ref, ky_ref, kz_ref, kw_ref,
                x_in, y_in, z_in, cx_in, cy_in, cz_in,
                qw_in, qx_in, qy_in, qz_in, sre_in, sim_in,
                box_ref, temp_ref, drmax_ref, dphi_ref, stats_in,
                x_o, y_o, z_o, cx_o, cy_o, cz_o,
                qw_o, qx_o, qy_o, qz_o, sre_o, sim_o, stats_o,
-               eps_rows, sig2_rows, cfac_s):
+               eps_rows, sig2_rows, lam1_rows, lam2_rows, cfac_s):
         cb = x_in.shape[0]
         pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
 
@@ -107,11 +108,19 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
         for p in range(P):
             er = jnp.zeros_like(tid_row)
             sr = jnp.zeros_like(tid_row)
+            l1 = jnp.zeros_like(tid_row)
+            l2 = jnp.zeros_like(tid_row)
             for t in range(n_types):
                 er = jnp.where(tid_row == float(t), eps_pt_ref[p, t], er)
                 sr = jnp.where(tid_row == float(t), sig2_pt_ref[p, t], sr)
+                if lj_shift == "linear":
+                    l1 = jnp.where(tid_row == float(t), lam1_pt_ref[p, t], l1)
+                    l2 = jnp.where(tid_row == float(t), lam2_pt_ref[p, t], l2)
             eps_rows[p:p + 1, :] = er
             sig2_rows[p:p + 1, :] = sr
+            if lj_shift == "linear":
+                lam1_rows[p:p + 1, :] = l1
+                lam2_rows[p:p + 1, :] = l2
 
         if coulomb == "ewald":
             # per-chain reciprocal coefficients (box-dependent)
@@ -266,6 +275,12 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                         s2 = sig2_rows[p:p + 1, :] * inv_d2
                         s6 = s2 * s2 * s2
                         pot = (4.0 * eps_rows[p:p + 1, :]) * (s6 * s6 - s6)
+                        if lj_shift == "linear":
+                            # cut-and-force-shifted (Mossa): eps*(l1 + l2*r)
+                            # with l2 pre-divided by sigma host-side
+                            r_lj = jnp.sqrt(d2)
+                            pot = pot + (lam1_rows[p:p + 1, :]
+                                         + lam2_rows[p:p + 1, :] * r_lj)
                         d_e += sign * jnp.sum(
                             jnp.where(mask_lj, pot, 0.0), axis=1,
                             keepdims=True)
@@ -364,14 +379,15 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
     jax.jit,
     static_argnames=("M", "P", "coulomb", "n_types", "has_lj", "has_q",
                      "rc2", "qrc2", "kappa_l", "d2_overlap", "p_translate",
-                     "use_rot", "cb", "interpret"),
+                     "use_rot", "cb", "interpret", "lj_shift"),
 )
 def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
                  box, temp, drmax, dphi, stats,
-                 seed, body, qp, eps_pt, sig2_pt, tid_row, molid_row, q_row,
+                 seed, body, qp, eps_pt, sig2_pt, lam1_pt, lam2_pt,
+                 tid_row, molid_row, q_row,
                  kx, ky, kz, kw, *, M, P, coulomb, n_types, has_lj, has_q,
                  rc2, qrc2, kappa_l, d2_overlap, p_translate, use_rot,
-                 cb=64, interpret=False):
+                 lj_shift="none", cb=64, interpret=False):
     """One full MC sweep for all chains.  Planes (C, A_pad)/(C, M)/(C, K);
     box/temp/drmax/dphi (C, 1); stats (C, 8).
     Returns updated (x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, stats).
@@ -385,7 +401,8 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
     grid = (C // cb,)
 
     kern = _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
-                        kappa_l, d2_overlap, p_translate, use_rot, K)
+                        kappa_l, d2_overlap, p_translate, use_rot, K,
+                        lj_shift)
 
     cell = lambda n: pl.BlockSpec((cb, n), lambda c: (c, 0),  # noqa: E731
                                   memory_space=pltpu.VMEM)
@@ -405,6 +422,10 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
                          lambda c: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((sig2_pt.shape[0], sig2_pt.shape[1]),
                          lambda c: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((lam1_pt.shape[0], lam1_pt.shape[1]),
+                         lambda c: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((lam2_pt.shape[0], lam2_pt.shape[1]),
+                         lambda c: (0, 0), memory_space=pltpu.SMEM),
             shared(1, A), shared(1, A), shared(1, A),       # tid, mol, q
             shared(1, K), shared(1, K), shared(1, K), shared(1, K),
             cell(A), cell(A), cell(A),                      # x, y, z
@@ -423,11 +444,13 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
         scratch_shapes=[
             pltpu.VMEM((max(P, 8), A), jnp.float32),   # eps rows
             pltpu.VMEM((max(P, 8), A), jnp.float32),   # sig2 rows
+            pltpu.VMEM((max(P, 8), A), jnp.float32),   # lam1 rows
+            pltpu.VMEM((max(P, 8), A), jnp.float32),   # lam2 rows
             pltpu.VMEM((cb, K), jnp.float32),          # cfac
         ],
         # the TPU interpreter (not the generic one) emulates pltpu.prng_*
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed.reshape(1, 1), body, qp, eps_pt, sig2_pt,
+    )(seed.reshape(1, 1), body, qp, eps_pt, sig2_pt, lam1_pt, lam2_pt,
       tid_row.reshape(1, A), molid_row.reshape(1, A), q_row.reshape(1, A),
       kx.reshape(1, K), ky.reshape(1, K), kz.reshape(1, K), kw.reshape(1, K),
       x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,

@@ -82,3 +82,26 @@ def test_mega_sweep_interpret_energy_bookkeeping():
     state, m = mc.run_block(state, 3, adjust=False)
     assert m["drift_max_rel"] < 5e-5, m["drift_max_rel"]
     assert np.isfinite(m["energy_mean"])
+
+
+def test_mega_sweep_interpret_linear_shift():
+    """Mega kernel with the Mossa cut-and-shifted LJ: the in-kernel shift
+    must match the full recompute's (drift check in interpreter mode)."""
+    from metropolismontecarlo_tpu.models.polyatomic import (
+        mossa_params,
+        triatomic_system,
+    )
+
+    # NOTE: interpreter-mode PRNG yields zeros, so u_acc=0 accepts every
+    # move; keep the deterministic steps tiny so the walk stays physical
+    # and the check measures bookkeeping, not overlap-energy noise.
+    system = triatomic_system(27)
+    params = mossa_params(temperature=1.0, dr_max=2e-3, dphi_max=2e-3)
+    box = (27 / 0.25) ** (1 / 3)
+    mc = MonteCarlo(system, params, dtype=jnp.float32,
+                    pallas="mega_interpret", recompute_chunk=4)
+    state = mc.init_state(jax.random.PRNGKey(5), cubic_lattice(27, box),
+                          box=box, n_chains=8)
+    state, m = mc.run_block(state, 3, adjust=False)
+    assert m["drift_max_rel"] < 5e-5, m["drift_max_rel"]
+    assert np.isfinite(m["energy_mean"])
