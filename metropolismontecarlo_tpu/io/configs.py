@@ -53,6 +53,20 @@ def read_cnf(path):
     return rows[:, 0:3], rows[:, 3:7], box
 
 
+def write_cnf(path, com, quat, box):
+    """Write an Allen & Tildesley CNF configuration (COM + quaternion) —
+    the symmetric counterpart of read_cnf, covering the reference's
+    `PrintOutput` role (`Ewald/initialConfigurations.jl:183-237`, whose
+    format the reference itself cannot read back)."""
+    com = np.asarray(com)
+    quat = np.asarray(quat)
+    with open(path, "w") as f:
+        f.write(f"{com.shape[0]:>13d}\n")
+        f.write(f"{float(box):>15.8f}\n")
+        for c, q in zip(com, quat):
+            f.write("".join(f"{v:>15.10f}" for v in (*c, *q)) + "\n")
+
+
 def cubic_lattice(n_mol, box, jitter=0.0, rng=None):
     """Simple-cubic lattice of n_mol sites in a cubic box (reference
     `InitCubicGrid`, `Ewald/initialConfigurations.jl:10-53`)."""

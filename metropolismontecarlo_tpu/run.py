@@ -19,7 +19,7 @@ from metropolismontecarlo_tpu.io.configs import cubic_lattice, read_cnf
 from metropolismontecarlo_tpu.mc.driver import MonteCarlo
 from metropolismontecarlo_tpu.models.energy import pressure as pressure_fn
 from metropolismontecarlo_tpu.models.system import SimState
-from metropolismontecarlo_tpu.observables import RDFAccumulator
+from metropolismontecarlo_tpu.observables import BlockAverager, RDFAccumulator
 from metropolismontecarlo_tpu.utils.config import (
     build_params,
     build_system,
@@ -111,6 +111,7 @@ def main(argv=None):
 
     logger = JsonlLogger(os.path.join(out_dir, "metrics.jsonl")
                          if out_dir else None)
+    averages = BlockAverager()
     n_blocks = int(run_cfg.get("n_blocks", 10))
     n_steps = int(run_cfg.get("n_steps", 100))
     equil = int(run_cfg.get("equil_blocks", 0))
@@ -136,6 +137,9 @@ def main(argv=None):
         if not args.quiet:
             print(block_line(block, metrics))
         logger.write(dict(metrics, block=block, phase="equil" if adjust else "prod"))
+        if not adjust:
+            averages.add(**{k: v for k, v in metrics.items()
+                            if isinstance(v, float)})
         if out_dir and pdb_every and (block + 1) % pdb_every == 0:
             from metropolismontecarlo_tpu.io.pdb import write_pdb
             tid = system.flat(system.type_ids)
@@ -157,7 +161,14 @@ def main(argv=None):
         save_state(os.path.join(out_dir, "final.npz"), state,
                    metadata={"block": n_blocks})
     logger.close()
-    if not args.quiet:
+    if not args.quiet and averages.blocks:
+        print(f"production averages over {len(averages.blocks)} blocks: "
+              f"<E> = {averages.mean('energy_mean'):.4f} "
+              f"+- {averages.sem('energy_mean'):.4f}   "
+              f"<P> = {averages.mean('pressure_mean'):.6f} "
+              f"+- {averages.sem('pressure_mean'):.6f}")
+        print("done.")
+    elif not args.quiet:
         print("done.")
     return state
 

@@ -131,3 +131,18 @@ def test_cli_end_to_end(tmp_path):
     assert all(np.isfinite(l["energy_mean"]) for l in lines)
     # resume from the checkpoint
     main([str(cfg_path), "--quiet", "--resume", str(out_dir / "checkpoint.npz")])
+
+
+def test_cnf_roundtrip(tmp_path):
+    from metropolismontecarlo_tpu.io.configs import read_cnf, write_cnf
+
+    rng = np.random.default_rng(1)
+    com = rng.uniform(-5, 5, (16, 3))
+    quat = rng.normal(size=(16, 4))
+    quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+    path = tmp_path / "cfg.cnf"
+    write_cnf(path, com, quat, 9.42953251)
+    com2, quat2, box2 = read_cnf(path)
+    np.testing.assert_allclose(com2, com, atol=1e-9)
+    np.testing.assert_allclose(quat2, quat, atol=1e-9)
+    assert box2 == pytest.approx(9.42953251)
