@@ -146,3 +146,18 @@ def test_cnf_roundtrip(tmp_path):
     np.testing.assert_allclose(com2, com, atol=1e-9)
     np.testing.assert_allclose(quat2, quat, atol=1e-9)
     assert box2 == pytest.approx(9.42953251)
+
+
+def test_profiling_throughput_helper():
+    from metropolismontecarlo_tpu.utils.profiling import sweeps_per_sec
+
+    system = lj_system(27)
+    params = RunParams(temperature=1.5, r_cut=2.5, cutoff_mode="site",
+                       coulomb="none", p_translate=1.0, dr_max=0.3,
+                       use_lrc=False)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=8)
+    box = lj_box_for_density(27, 0.5)
+    state = mc.init_state(jax.random.PRNGKey(11), cubic_lattice(27, box),
+                          box=box, n_chains=8)
+    rate = sweeps_per_sec(mc, state)
+    assert rate > 0

@@ -175,3 +175,65 @@ def test_validate_state_clean_and_dirty():
     assert any("quaternion" in p for p in problems)
     with pytest.raises(AssertionError):
         validate_state(bad, system, params, strict=True)
+
+
+def test_pressure_ideal_gas_exact():
+    """eps=0: the virial vanishes and P = rho*T exactly."""
+    from metropolismontecarlo_tpu.models.energy import pressure
+
+    n, t = 32, 1.7
+    system = lj_system(n, eps=0.0)
+    params = RunParams(temperature=t, r_cut=2.0, cutoff_mode="site",
+                       coulomb="none", p_translate=1.0, dr_max=1.0,
+                       use_lrc=False)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=8)
+    box = lj_box_for_density(n, 0.4)
+    state = mc.init_state(jax.random.PRNGKey(8), cubic_lattice(n, box),
+                          box=box, n_chains=8)
+    state = mc.run_steps(state, 20, False)
+    e, w, _ = mc.full_energy(state)
+    p = pressure(params, n, box**3, jnp.mean(w))
+    assert float(p) == pytest.approx(0.4 * t, rel=1e-10)
+
+
+@pytest.mark.slow
+def test_npt_nvt_pressure_consistency():
+    """Thermodynamic consistency loop: run NPT at P_target, measure the
+    equilibrium density, then run NVT at that density and check the
+    virial-route pressure reproduces P_target — validates the virial
+    observable and the volume-move acceptance against each other."""
+    from metropolismontecarlo_tpu.models.energy import pressure
+
+    n, t, p_target = 64, 2.0, 1.0
+    system = lj_system(n)
+    npt = RunParams(temperature=t, r_cut=2.5, cutoff_mode="site",
+                    coulomb="none", p_translate=1.0, dr_max=0.3,
+                    use_lrc=True, pressure=p_target, p_volume=0.1,
+                    dv_max=0.1)
+    mc1 = MonteCarlo(system, npt, dtype=jnp.float64, recompute_chunk=8)
+    box0 = lj_box_for_density(n, 0.5)
+    st = mc1.init_state(jax.random.PRNGKey(9), cubic_lattice(n, box0),
+                        box=box0, n_chains=32)
+    st = mc1.run_steps(st, 300, False)
+    boxes = []
+    for _ in range(6):
+        st = mc1.run_steps(st, 50, False)
+        boxes.append(np.asarray(st.box))
+    rho = float(np.mean([n / b**3 for b in boxes]))
+
+    nvt = RunParams(temperature=t, r_cut=2.5, cutoff_mode="site",
+                    coulomb="none", p_translate=1.0, dr_max=0.3,
+                    use_lrc=True)
+    mc2 = MonteCarlo(system, nvt, dtype=jnp.float64, recompute_chunk=8)
+    box = lj_box_for_density(n, rho)
+    st2 = mc2.init_state(jax.random.PRNGKey(10), cubic_lattice(n, box),
+                         box=box, n_chains=32)
+    st2 = mc2.run_steps(st2, 200, False)
+    ps = []
+    for _ in range(6):
+        st2 = mc2.run_steps(st2, 40, False)
+        _, w, _ = mc2.full_energy(st2)
+        ps.append(float(pressure(nvt, n, box**3, jnp.mean(w))))
+    p_meas = np.mean(ps)
+    # finite-size + statistical tolerance
+    assert abs(p_meas - p_target) / p_target < 0.15, (p_meas, rho)
