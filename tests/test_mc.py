@@ -237,3 +237,20 @@ def test_npt_nvt_pressure_consistency():
     p_meas = np.mean(ps)
     # finite-size + statistical tolerance
     assert abs(p_meas - p_target) / p_target < 0.15, (p_meas, rho)
+
+
+@pytest.mark.parametrize("mode", ["com", "first"])
+def test_molecular_cutoff_modes_drift(mode):
+    """The reference's molecular cutoff conventions (COM-keyed and
+    first-atom-keyed) must keep per-move deltas consistent with the full
+    recompute, same as the default site convention."""
+    system = spce_system(8)
+    params = RunParams(temperature=300.0, r_cut=5.0, cutoff_mode=mode,
+                       coulomb="ewald", nk=3, ksq_max=9, p_translate=0.5,
+                       dr_max=0.3, dphi_max=0.4)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=4)
+    state = mc.init_state(jax.random.PRNGKey(12), cubic_lattice(8, 12.0),
+                          box=12.0, n_chains=4)
+    state, metrics = mc.run_block(state, n_steps=10, adjust=False)
+    assert metrics["drift_max_rel"] < 1e-10, (mode, metrics["drift_max_rel"])
+    assert metrics["acc_trans"] > 0.05
