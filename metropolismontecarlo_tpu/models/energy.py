@@ -106,6 +106,10 @@ def energy_breakdown(system, params, coords, com, box, kvecs=None, kweights=None
             raise ValueError(f"unknown coulomb style {params.coulomb!r}")
         # Coulomb virial: pair-virial of 1/r equals its energy; the
         # reference uses E_coul/3 per component (`Ewald/energy.jl:1004-1021`).
+        # NOTE this is the reference's approximation — the exact Ewald
+        # virial has extra reciprocal-space terms, so absolute pressures
+        # of charged systems are approximate (LJ-only pressures are exact
+        # and NPT<->NVT cross-validated in tests).
         w_total = w_total + (e_real + e_four + e_self + e_intra)
 
     out["coul_real"] = e_real
