@@ -553,6 +553,7 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
         f32 = jnp.float32
         stats = jnp.zeros((C, 8), f32)
         seed = state.step.astype(jnp.int32)
+        chain_keys = state.key[:, 0].astype(jnp.int32)
 
         def mplane(arr):  # (C, M) -> (C, M_pad) for aligned window access
             return jnp.pad(arr.astype(f32), ((0, 0), (0, m_pad - M)))
@@ -570,7 +571,7 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
             state.temp.reshape(C, 1).astype(f32),
             state.dr_max.reshape(C, 1).astype(f32),
             state.dphi_max.reshape(C, 1).astype(f32),
-            stats, seed, *consts, **statics)
+            stats, seed, chain_keys, *consts, **statics)
         x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, stats = out
         cx, cy, cz = cx[:, :M], cy[:, :M], cz[:, :M]
         qw, qx, qy, qz = qw[:, :M], qx[:, :M], qy[:, :M], qz[:, :M]

@@ -56,7 +56,7 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                  kappa_l, d2_overlap, p_translate, use_rot, K, lj_shift):
     """Builds the kernel body (all sizes/flags static)."""
 
-    def kernel(seed_ref, body_ref, qp_ref, eps_pt_ref, sig2_pt_ref,
+    def kernel(seed_ref, ckey_ref, body_ref, qp_ref, eps_pt_ref, sig2_pt_ref,
                lam1_pt_ref, lam2_pt_ref,
                tid_ref, molid_ref, qrow_ref, kx_ref, ky_ref, kz_ref, kw_ref,
                x_in, y_in, z_in, cx_in, cy_in, cz_in,
@@ -66,7 +66,11 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                qw_o, qx_o, qy_o, qz_o, sre_o, sim_o, stats_o,
                eps_rows, sig2_rows, lam1_rows, lam2_rows, cfac_s):
         cb = x_in.shape[0]
-        pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+        # Seed from (sweep counter, first chain key of this cell): chain
+        # keys are globally unique, so streams stay independent across
+        # grid cells AND across devices under shard_map (program_id alone
+        # would repeat per device).
+        pltpu.prng_seed(seed_ref[0, 0], ckey_ref[0, 0])
 
         # live state = output refs (copy once; VMEM-to-VMEM)
         x_o[:] = x_in[:]
@@ -383,8 +387,8 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
 )
 def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
                  box, temp, drmax, dphi, stats,
-                 seed, body, qp, eps_pt, sig2_pt, lam1_pt, lam2_pt,
-                 tid_row, molid_row, q_row,
+                 seed, chain_keys, body, qp, eps_pt, sig2_pt, lam1_pt,
+                 lam2_pt, tid_row, molid_row, q_row,
                  kx, ky, kz, kw, *, M, P, coulomb, n_types, has_lj, has_q,
                  rc2, qrc2, kappa_l, d2_overlap, p_translate, use_rot,
                  lj_shift="none", cb=64, interpret=False):
@@ -414,6 +418,7 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda c: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((cb, 1), lambda c: (c, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, body.shape[1]), lambda c: (0, 0),
                          memory_space=pltpu.SMEM),          # body (1, 3P)
             pl.BlockSpec((1, qp.shape[1]), lambda c: (0, 0),
@@ -450,7 +455,8 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
         ],
         # the TPU interpreter (not the generic one) emulates pltpu.prng_*
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed.reshape(1, 1), body, qp, eps_pt, sig2_pt, lam1_pt, lam2_pt,
+    )(seed.reshape(1, 1), chain_keys.reshape(C, 1).astype(jnp.int32),
+      body, qp, eps_pt, sig2_pt, lam1_pt, lam2_pt,
       tid_row.reshape(1, A), molid_row.reshape(1, A), q_row.reshape(1, A),
       kx.reshape(1, K), ky.reshape(1, K), kz.reshape(1, K), kw.reshape(1, K),
       x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,

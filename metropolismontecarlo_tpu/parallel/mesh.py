@@ -75,3 +75,37 @@ def pooled_mean(x, axis=0):
     """Cross-chain mean; under jit over a sharded array XLA lowers the
     reduction to an all-reduce over ICI."""
     return jnp.mean(x, axis=axis)
+
+
+def state_specs(state):
+    """PartitionSpecs for a SimState: chain-batched fields shard over the
+    chains axis, scalars replicate."""
+    n = state.com.shape[0]
+
+    def spec(x):
+        return P(CHAINS) if (hasattr(x, "ndim") and x.ndim >= 1
+                             and x.shape[0] == n) else P()
+
+    return jax.tree.map(spec, state,
+                        is_leaf=lambda x: not isinstance(x, tuple))
+
+
+def sharded_run_steps(mc, state, mesh, n_steps, adjust=False):
+    """Run n_steps sweeps with the chain axis explicitly sharded via
+    shard_map: each device advances its own chains independently (the MC
+    hot loop is chain-local, so there are no collectives).
+
+    This is REQUIRED for the Pallas kernels on multi-chip slices —
+    auto-sharding cannot partition a pallas_call, but under shard_map
+    each device runs the kernel on its local shard.  The jnp path works
+    under both; results match unsharded runs bitwise.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    specs = state_specs(state)
+
+    def fn(st):
+        return mc.run_steps(st, n_steps, adjust)
+
+    return shard_map(fn, mesh=mesh, in_specs=(specs,), out_specs=specs,
+                     check_rep=False)(state)

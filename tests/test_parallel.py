@@ -93,3 +93,17 @@ def test_remc_preserves_ewald_consistency():
                                rtol=1e-10)
     np.testing.assert_allclose(np.asarray(sfac), np.asarray(state.sfac),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_shard_map_run_steps_matches_unsharded():
+    """Explicit shard_map execution (the path Pallas kernels need on real
+    multi-chip hardware) must reproduce the unsharded run bitwise."""
+    from metropolismontecarlo_tpu.parallel.mesh import sharded_run_steps
+
+    mc, state = _tiny_water_mc(16)
+    ref = mc.run_steps(state, 2, False)
+    mesh = make_mesh(8)
+    out = sharded_run_steps(mc, state, mesh, 2, False)
+    np.testing.assert_array_equal(np.asarray(out.energy), np.asarray(ref.energy))
+    np.testing.assert_array_equal(np.asarray(out.coords), np.asarray(ref.coords))
+    np.testing.assert_array_equal(np.asarray(out.acc), np.asarray(ref.acc))
