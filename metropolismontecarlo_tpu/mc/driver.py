@@ -297,6 +297,49 @@ class MonteCarlo:
         state, _ = jax.lax.scan(step, state, None, length=n_steps)
         return state
 
+    @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("rel_eps",))
+    def pressure_fd(self, state, rel_eps=1e-4):
+        """Exact pressure observable via central finite difference of the
+        total energy under isotropic molecular (COM) scaling:
+
+            P = M T / V  -  dU/dV|_{rigid}
+
+        This differentiates the SAME energy function the simulation
+        samples (including the kappa = 5.6/box convention), so it is
+        exact for every coulomb style — unlike the pair-virial route,
+        which for Ewald uses the reference's E/3 approximation.  Costs
+        two chunked full recomputes.  Returns (C,) pressures in K/A^3.
+        """
+        M, P_, A = self.system.n_mol, self.system.atoms_per_mol, self.system.n_atoms
+        body = jnp.asarray(self.system.body, self.dtype)
+
+        def energy_at(scale, st):
+            box = st.box * scale
+            com = st.com * scale
+            coords = (com[:, :, None, :]
+                      + rotate_vectors(st.quat, body)).reshape(
+                          com.shape[0], M * P_, 3)
+            C = com.shape[0]
+            G = min(self.recompute_chunk, C)
+            rs = lambda x: x.reshape((C // G, G) + x.shape[1:])
+
+            def one(crd, cm, bx):
+                out = energy_breakdown(self.system, self.params, crd, cm, bx,
+                                       self.kvecs, self.kweights)
+                return out["total"]
+
+            _, e = jax.lax.scan(
+                lambda _, args: (None, jax.vmap(one)(*args)),
+                None, (rs(coords), rs(com), rs(box)))
+            return e.reshape(C)
+
+        eps = jnp.asarray(rel_eps, self.dtype)
+        sp = (1.0 + eps) ** (1.0 / 3.0)
+        sm = (1.0 - eps) ** (1.0 / 3.0)
+        vol = state.box**3
+        du_dv = (energy_at(sp, state) - energy_at(sm, state)) / (2.0 * eps * vol)
+        return self.system.n_mol * state.temp / vol - du_dv
+
     def quench(self, state, n_steps=20, temp=1e-6):
         """Orientation/position descent: run sweeps at a near-zero
         temperature so only downhill moves are accepted — the vectorized

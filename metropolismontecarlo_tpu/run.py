@@ -132,6 +132,11 @@ def main(argv=None):
         vol = float(jnp.mean(state.box**3))
         metrics["pressure_mean"] = float(pressure_fn(
             params, system.n_mol, vol, metrics["virial_mean"]))
+        if params.coulomb != "none":
+            # exact dU/dV pressure (the pair-virial route approximates the
+            # coulomb part); two extra chunked recomputes per block
+            metrics["pressure_fd_mean"] = float(
+                jnp.mean(mc.pressure_fd(state)))
         if rdf is not None and not adjust:
             rdf.update(state)
         if not args.quiet:

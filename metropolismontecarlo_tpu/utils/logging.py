@@ -32,7 +32,9 @@ def block_line(block, metrics):
             parts.append(f"{label} {metrics[k]:5.3f}")
     parts.append(f"dr {metrics.get('dr_max_mean', float('nan')):6.4f}")
     parts.append(f"drift {metrics.get('drift_max_rel', float('nan')):8.2e}")
-    if "pressure_mean" in metrics:
+    if "pressure_fd_mean" in metrics:
+        parts.append(f"P {metrics['pressure_fd_mean']:10.5f}")
+    elif "pressure_mean" in metrics:
         parts.append(f"P {metrics['pressure_mean']:10.4f}")
     return "  ".join(parts)
 

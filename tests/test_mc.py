@@ -254,3 +254,74 @@ def test_molecular_cutoff_modes_drift(mode):
     state, metrics = mc.run_block(state, n_steps=10, adjust=False)
     assert metrics["drift_max_rel"] < 1e-10, (mode, metrics["drift_max_rel"])
     assert metrics["acc_trans"] > 0.05
+
+
+def test_pressure_fd_ideal_gas_exact():
+    """eps=0: dU/dV = 0, so the finite-difference pressure is exactly
+    M T / V."""
+    n, t, rho = 32, 1.7, 0.4
+    system = lj_system(n, eps=0.0)
+    params = RunParams(temperature=t, r_cut=2.0, cutoff_mode="site",
+                       coulomb="none", p_translate=1.0, dr_max=1.0,
+                       use_lrc=False)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=8)
+    box = lj_box_for_density(n, rho)
+    state = mc.init_state(jax.random.PRNGKey(13), cubic_lattice(n, box),
+                          box=box, n_chains=8)
+    state = mc.run_steps(state, 10, False)
+    p_fd = np.asarray(mc.pressure_fd(state))
+    np.testing.assert_allclose(p_fd, rho * t, rtol=1e-9)
+
+
+@pytest.mark.slow
+def test_npt_lj_fd_pressure_matches_target():
+    """Ensemble consistency: the FD pressure (dU/dV of the very energy
+    function NPT samples) evaluated on NPT-equilibrated LJ states must
+    average to the target pressure.  (The pair-virial + textbook-LRC
+    route differs by truncation-impulse/tail conventions and is tested
+    separately.)"""
+    n, t, p_target = 64, 2.0, 1.0
+    system = lj_system(n)
+    params = RunParams(temperature=t, r_cut=2.5, cutoff_mode="site",
+                       coulomb="none", p_translate=1.0, dr_max=0.3,
+                       use_lrc=True, pressure=p_target, p_volume=0.1,
+                       dv_max=0.1)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=8)
+    box0 = lj_box_for_density(n, 0.5)
+    state = mc.init_state(jax.random.PRNGKey(15), cubic_lattice(n, box0),
+                          box=box0, n_chains=32)
+    state = mc.run_steps(state, 300, False)
+    ps = []
+    for _ in range(6):
+        state = mc.run_steps(state, 40, False)
+        ps.append(np.mean(np.asarray(mc.pressure_fd(state))))
+    p_meas = float(np.mean(ps))
+    sem = float(np.std(ps) / np.sqrt(len(ps)))
+    assert abs(p_meas - p_target) < max(5 * sem, 0.08), (p_meas, sem)
+
+
+@pytest.mark.slow
+def test_npt_water_fd_pressure_matches_target():
+    """SPC/E water NPT at target P: the finite-difference pressure
+    observable of the equilibrated states must reproduce the target —
+    a validation the crude E/3 coulomb-virial route fails."""
+    n, t, p_target = 32, 340.0, 0.0205  # ~ dense vapor/liquid-ish point
+    system = spce_system(n)
+    params = RunParams(temperature=t, r_cut=6.0, cutoff_mode="site",
+                       coulomb="ewald", nk=3, ksq_max=9, p_translate=0.5,
+                       dr_max=0.25, dphi_max=0.3, pressure=p_target,
+                       p_volume=0.1, dv_max=0.05)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=4)
+    box0 = (n / 0.028) ** (1.0 / 3.0)
+    state = mc.init_state(jax.random.PRNGKey(14), cubic_lattice(n, box0),
+                          box=box0, n_chains=16)
+    state = mc.quench(state, 5)
+    state = mc.run_steps(state, 300, False)
+    ps = []
+    for _ in range(6):
+        state = mc.run_steps(state, 50, False)
+        ps.append(np.mean(np.asarray(mc.pressure_fd(state))))
+    p_meas = float(np.mean(ps))
+    sem = float(np.std(ps) / np.sqrt(len(ps)))
+    assert abs(p_meas - p_target) < max(5 * sem, 0.4 * abs(p_target)), (
+        p_meas, p_target, sem)
