@@ -23,6 +23,7 @@ from metropolismontecarlo_tpu.models.energy import energy_breakdown
 from metropolismontecarlo_tpu.models.system import SimState
 from metropolismontecarlo_tpu.ops import ewald as ewald_ops
 from metropolismontecarlo_tpu.ops.quaternions import random_quaternion, rotate_vectors
+from metropolismontecarlo_tpu.utils.chunking import chunked_vmap
 
 
 class MonteCarlo:
@@ -216,11 +217,6 @@ class MonteCarlo:
     def full_energy(self, state):
         """Chunked full-system energy over chains: (C,) totals, virials,
         and (C, K, 2) structure factors."""
-        C = state.com.shape[0]
-        G = min(self.recompute_chunk, C)
-        n_chunks = C // G
-        assert n_chunks * G == C, "n_chains must be divisible by recompute_chunk"
-
         A = self.system.n_atoms
 
         def one(coords_t, com, box):
@@ -229,16 +225,8 @@ class MonteCarlo:
                                    self.kvecs, self.kweights)
             return out["total"], out["w"], out["sfac"]
 
-        def chunk(_, args):
-            coords, com, box = args
-            return None, jax.vmap(one)(coords, com, box)
-
-        rs = lambda x: x.reshape((n_chunks, G) + x.shape[1:])
-        _, (e, w, sfac) = jax.lax.scan(
-            chunk, None, (rs(state.coords), rs(state.com), rs(state.box))
-        )
-        merge = lambda x: x.reshape((C,) + x.shape[2:])
-        return merge(e), merge(w), merge(sfac)
+        return chunked_vmap(one, self.recompute_chunk, state.coords,
+                            state.com, state.box)
 
     def resync(self, state):
         """Replace accumulated energy/virial/sfac with freshly recomputed
@@ -310,7 +298,7 @@ class MonteCarlo:
         which for Ewald uses the reference's E/3 approximation.  Costs
         two chunked full recomputes.  Returns (C,) pressures in K/A^3.
         """
-        M, P_, A = self.system.n_mol, self.system.atoms_per_mol, self.system.n_atoms
+        M, P_ = self.system.n_mol, self.system.atoms_per_mol
         body = jnp.asarray(self.system.body, self.dtype)
 
         def energy_at(scale, st):
@@ -319,19 +307,13 @@ class MonteCarlo:
             coords = (com[:, :, None, :]
                       + rotate_vectors(st.quat, body)).reshape(
                           com.shape[0], M * P_, 3)
-            C = com.shape[0]
-            G = min(self.recompute_chunk, C)
-            rs = lambda x: x.reshape((C // G, G) + x.shape[1:])
 
             def one(crd, cm, bx):
                 out = energy_breakdown(self.system, self.params, crd, cm, bx,
                                        self.kvecs, self.kweights)
                 return out["total"]
 
-            _, e = jax.lax.scan(
-                lambda _, args: (None, jax.vmap(one)(*args)),
-                None, (rs(coords), rs(com), rs(box)))
-            return e.reshape(C)
+            return chunked_vmap(one, self.recompute_chunk, coords, com, box)
 
         eps = jnp.asarray(rel_eps, self.dtype)
         sp = (1.0 + eps) ** (1.0 / 3.0)

@@ -77,14 +77,9 @@ def rebuild_nlist(com, box, params, r_list, chunk=8):
         lists = jnp.where(within, idx.astype(jnp.int32), self_idx[:, None])
         return lists, needed.astype(jnp.int32)
 
-    G = min(chunk, C)
-    if C % G:
-        G = 1
-    rs = lambda x: x.reshape((C // G, G) + x.shape[1:])
-    _, (out, needed) = jax.lax.scan(
-        lambda _, args: (None, jax.vmap(one)(*args)),
-        None, (rs(com), rs(box)))
-    return out.reshape(C, M, nb), needed.reshape(C)
+    from metropolismontecarlo_tpu.utils.chunking import chunked_vmap
+
+    return chunked_vmap(one, chunk, com, box)
 
 
 def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
@@ -508,8 +503,7 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
             # pre-scale: in-kernel shift is eps*(lam1 + lam2 * r)
             lam1_pt[p, :n_types] = et[tids_np[0, p]] * l1
             lam2_pt[p, :n_types] = et[tids_np[0, p]] * l2 / srow
-    eps_np_t = np.asarray(system.eps_table)
-    has_lj = tuple(bool(np.any(eps_np_t[tids_np[0, p]] != 0.0))
+    has_lj = tuple(bool(np.any(et[tids_np[0, p]] != 0.0))
                    for p in range(P))
     has_q = tuple(bool(qs_np[0, p] != 0.0) for p in range(P))
     use_coul = params.coulomb != "none"

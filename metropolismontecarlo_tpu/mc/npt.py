@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from metropolismontecarlo_tpu.models.energy import energy_breakdown
 from metropolismontecarlo_tpu.ops.quaternions import rotate_vectors
+from metropolismontecarlo_tpu.utils.chunking import chunked_vmap
 
 
 def make_volume_move_fn(system, params, kvecs, kweights, dtype=jnp.float32,
@@ -56,20 +57,13 @@ def make_volume_move_fn(system, params, kvecs, kweights, dtype=jnp.float32,
 
     def volume_move(state):
         C = state.com.shape[0]
-        G = min(chunk, C)
-        assert C % G == 0
         do_move, box_new, com_new, coords_new, vol_old, vol_new = jax.vmap(
             attempt_one, in_axes=(0, 0, 0, 0, 0, 0, None)
         )(state.com, state.quat, state.box, state.energy, state.key,
           state.dv_max, state.step)
 
-        rs = lambda x: x.reshape((C // G, G) + x.shape[1:])
-        _, (e_new, w_new, sfac_new) = jax.lax.scan(
-            lambda _, args: (None, jax.vmap(recompute)(*args)),
-            None, (rs(coords_new), rs(com_new), rs(box_new)),
-        )
-        mg = lambda x: x.reshape((C,) + x.shape[2:])
-        e_new, w_new, sfac_new = mg(e_new), mg(w_new), mg(sfac_new)
+        e_new, w_new, sfac_new = chunked_vmap(
+            recompute, chunk, coords_new, com_new, box_new)
 
         d_e = e_new - state.energy
         arg = -(d_e + pres * (vol_new - vol_old)) / state.temp \

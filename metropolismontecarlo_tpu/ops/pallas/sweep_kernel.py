@@ -449,8 +449,11 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
         scratch_shapes=[
             pltpu.VMEM((max(P, 8), A), jnp.float32),   # eps rows
             pltpu.VMEM((max(P, 8), A), jnp.float32),   # sig2 rows
-            pltpu.VMEM((max(P, 8), A), jnp.float32),   # lam1 rows
-            pltpu.VMEM((max(P, 8), A), jnp.float32),   # lam2 rows
+            # lam rows only materialize for the force-shifted potential
+            pltpu.VMEM((max(P, 8), A if lj_shift == "linear" else 128),
+                       jnp.float32),                   # lam1 rows
+            pltpu.VMEM((max(P, 8), A if lj_shift == "linear" else 128),
+                       jnp.float32),                   # lam2 rows
             pltpu.VMEM((cb, K), jnp.float32),          # cfac
         ],
         # the TPU interpreter (not the generic one) emulates pltpu.prng_*

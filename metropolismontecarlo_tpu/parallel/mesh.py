@@ -54,21 +54,11 @@ def replicated(mesh):
 
 def shard_state(state, mesh):
     """Place a SimState with its chain-batched fields sharded over the mesh
-    and scalar fields replicated."""
-    cs = chain_sharding(mesh)
-    rep = replicated(mesh)
-
-    def place(x):
-        x = jnp.asarray(x)
-        return jax.device_put(x, cs if x.ndim >= 1 and x.shape[0] % mesh.size == 0
-                              else rep)
-
-    # `step` is a scalar; everything else leads with C.
-    placed = state._replace(
-        **{f: place(getattr(state, f)) for f in state._fields if f != "step"},
-        step=jax.device_put(state.step, rep),
-    )
-    return placed
+    and scalar fields replicated (specs from state_specs)."""
+    specs = state_specs(state)
+    return jax.tree.map(
+        lambda x, sp: jax.device_put(jnp.asarray(x), NamedSharding(mesh, sp)),
+        state, specs)
 
 
 def pooled_mean(x, axis=0):
