@@ -40,11 +40,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 
+def _recip_nr(x):
+    """Fast reciprocal: hardware approximation + one Newton-Raphson step
+    (~1e-7 relative), cheaper than a full-precision divide on the VPU."""
+    y = pl.reciprocal(x, approx=True)
+    return y * (2.0 - x * y)
+
+
 def _erfc_f32(x):
     """Rational erfc for x >= 0 with <= 1.2e-7 RELATIVE error everywhere
     (Chebyshev-fitted form; a relative bound keeps the far tail accurate,
     unlike absolute-error polynomials)."""
-    t = 1.0 / (1.0 + 0.5 * x)
+    t = _recip_nr(1.0 + 0.5 * x)
     poly = (-1.26551223 + t * (1.00002368 + t * (0.37409196
             + t * (0.09678418 + t * (-0.18628806 + t * (0.27886807
             + t * (-1.13520398 + t * (1.48851587 + t * (-0.82215223
@@ -107,7 +114,7 @@ def _kernel(coulomb, n_types, n_used, row_has_lj, row_has_q,
             mask_any = mask_lj | mask_qq
         else:
             mask_any = mask_lj
-        inv_d2 = jnp.where(mask_any, 1.0 / d2, 1.0)
+        inv_d2 = jnp.where(mask_any, _recip_nr(d2), 1.0)
 
         if row_has_lj[p]:
             s2 = row_param(sig2_ref, p) * inv_d2

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from metropolismontecarlo_tpu.ops.pallas.delta_energy import _erfc_f32
+from metropolismontecarlo_tpu.ops.pallas.delta_energy import _erfc_f32, _recip_nr
 from metropolismontecarlo_tpu.utils.constants import COULOMB_FACTOR
 
 _TWO_PI = 6.283185307179586
@@ -274,7 +274,7 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                         mask_any = mask_lj | mask_qq
                     else:
                         mask_any = mask_lj
-                    inv_d2 = jnp.where(mask_any, 1.0 / d2, 1.0)
+                    inv_d2 = jnp.where(mask_any, _recip_nr(d2), 1.0)
                     if has_lj[p]:
                         s2 = sig2_rows[p:p + 1, :] * inv_d2
                         s6 = s2 * s2 * s2
