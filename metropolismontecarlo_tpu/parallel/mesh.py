@@ -90,12 +90,10 @@ def sharded_run_steps(mc, state, mesh, n_steps, adjust=False):
     each device runs the kernel on its local shard.  The jnp path works
     under both; results match unsharded runs bitwise.
     """
-    from jax.experimental.shard_map import shard_map
-
     specs = state_specs(state)
 
     def fn(st):
         return mc.run_steps(st, n_steps, adjust)
 
-    return shard_map(fn, mesh=mesh, in_specs=(specs,), out_specs=specs,
-                     check_rep=False)(state)
+    return jax.shard_map(fn, mesh=mesh, in_specs=(specs,), out_specs=specs,
+                         check_vma=False)(state)

@@ -101,6 +101,11 @@ def main(argv=None):
     if quench_steps and not args.resume:
         state = mc.quench(state, quench_steps)
 
+    # optional simulated-annealing schedule: geometric interpolation of
+    # the per-chain temperature from t_start to params.temperature over
+    # the equilibration blocks
+    anneal_cfg = run_cfg.get("anneal")
+
     rdf = None
     if "rdf" in out_cfg:
         r = out_cfg["rdf"]
@@ -120,6 +125,14 @@ def main(argv=None):
 
     for block in range(first_block, n_blocks):
         adjust = block < equil
+        if anneal_cfg and adjust and equil > 0:
+            frac = block / max(equil - 1, 1)
+            t_b = float(anneal_cfg["t_start"]) * (
+                params.temperature / float(anneal_cfg["t_start"])) ** frac
+            state = state._replace(temp=jnp.full_like(state.temp, t_b))
+        elif anneal_cfg and block == equil:
+            state = state._replace(
+                temp=jnp.full_like(state.temp, params.temperature))
         state, metrics = mc.run_block(state, n_steps, adjust=adjust)
         if remc_cfg:
             from metropolismontecarlo_tpu.parallel.remc import exchange

@@ -161,3 +161,25 @@ def test_profiling_throughput_helper():
                           box=box, n_chains=8)
     rate = sweeps_per_sec(mc, state)
     assert rate > 0
+
+
+def test_cli_annealing_schedule(tmp_path):
+    """Annealing: equilibration blocks cool geometrically from t_start to
+    the production temperature."""
+    cfg = {
+        "model": {"kind": "lj", "n_mol": 27},
+        "params": {"temperature": 1.0, "r_cut": 2.5, "cutoff_mode": "site",
+                   "coulomb": "none", "p_translate": 1.0, "dr_max": 0.3,
+                   "use_lrc": False},
+        "run": {"n_chains": 8, "n_blocks": 4, "n_steps": 5,
+                "equil_blocks": 3, "seed": 2, "dtype": "float32",
+                "anneal": {"t_start": 4.0},
+                "start": {"kind": "lattice", "density": 0.5},
+                "output": {"dir": str(tmp_path / "out")}}}
+    import json as _json
+    p = tmp_path / "cfg.json"
+    p.write_text(_json.dumps(cfg))
+    from metropolismontecarlo_tpu.run import main
+    state = main([str(p), "--quiet"])
+    # production temperature restored after annealing
+    np.testing.assert_allclose(np.asarray(state.temp), 1.0, rtol=1e-6)
