@@ -114,7 +114,9 @@ def _kernel(coulomb, n_types, n_used, row_has_lj, row_has_q,
             mask_any = mask_lj | mask_qq
         else:
             mask_any = mask_lj
-        inv_d2 = jnp.where(mask_any, _recip_nr(d2), 1.0)
+        # one rsqrt serves both: 1/d2 = inv_r^2, r = d2*inv_r
+        inv_r = jnp.where(mask_any, jax.lax.rsqrt(d2), 1.0)
+        inv_d2 = inv_r * inv_r
 
         if row_has_lj[p]:
             s2 = row_param(sig2_ref, p) * inv_d2
@@ -125,7 +127,6 @@ def _kernel(coulomb, n_types, n_used, row_has_lj, row_has_q,
 
         if use_q:
             qq = q8_ref[p, 0] * q_row                          # (1, L)
-            inv_r = jnp.sqrt(inv_d2)
             r = d2 * inv_r
             if coulomb == "ewald":
                 cpair = qq * (_erfc_f32(kappa * r) * inv_r)

@@ -274,7 +274,9 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                         mask_any = mask_lj | mask_qq
                     else:
                         mask_any = mask_lj
-                    inv_d2 = jnp.where(mask_any, _recip_nr(d2), 1.0)
+                    # one rsqrt serves both: 1/d2 = inv_r^2, r = d2*inv_r
+                    inv_r = jnp.where(mask_any, jax.lax.rsqrt(d2), 1.0)
+                    inv_d2 = inv_r * inv_r
                     if has_lj[p]:
                         s2 = sig2_rows[p:p + 1, :] * inv_d2
                         s6 = s2 * s2 * s2
@@ -290,7 +292,6 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                             keepdims=True)
                     if use_q:
                         qq = qp_ref[0, p] * q_row
-                        inv_r = jnp.sqrt(inv_d2)
                         r = d2 * inv_r
                         if coulomb == "ewald":
                             cp = qq * (_erfc_f32(kappa * r) * inv_r)
