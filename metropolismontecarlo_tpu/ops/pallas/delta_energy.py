@@ -109,7 +109,10 @@ def _kernel(coulomb, n_types, n_used, row_has_lj, row_has_q,
 
         mask_lj = other & (d2 < rc2)
         use_q = coulomb != "none" and row_has_q[p]
-        if use_q:
+        if use_q and qrc2 == rc2:   # static: shared cutoff
+            mask_qq = mask_lj
+            mask_any = mask_lj
+        elif use_q:
             mask_qq = other & (d2 < qrc2)
             mask_any = mask_lj | mask_qq
         else:

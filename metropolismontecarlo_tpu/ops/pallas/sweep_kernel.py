@@ -269,7 +269,10 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                     d2 = jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-4)
                     mask_lj = other & (d2 < rc2)
                     use_q = coulomb != "none" and has_q[p]
-                    if use_q:
+                    if use_q and qrc2 == rc2:   # static: shared cutoff
+                        mask_qq = mask_lj
+                        mask_any = mask_lj
+                    elif use_q:
                         mask_qq = other & (d2 < qrc2)
                         mask_any = mask_lj | mask_qq
                     else:
