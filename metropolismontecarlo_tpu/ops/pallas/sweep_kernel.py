@@ -257,12 +257,13 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                     nx_ = ny_ = nz_ = jnp.zeros_like(com_mx)
                 news.append((nmx + nx_, nmy + ny_, nmz + nz_))
 
+            px, py, pz = x_o[:], y_o[:], z_o[:]   # one plane read per move
             for sign, atoms in ((-1.0, olds), (1.0, news)):
                 for p in range(P):
                     ax, ay, az = atoms[p]
-                    dx = x_o[:] - ax
-                    dy = y_o[:] - ay
-                    dz = z_o[:] - az
+                    dx = px - ax
+                    dy = py - ay
+                    dz = pz - az
                     dx = dx - box * jnp.round(dx * inv_box)
                     dy = dy - box * jnp.round(dy * inv_box)
                     dz = dz - box * jnp.round(dz * inv_box)
