@@ -61,17 +61,10 @@ class RDFAccumulator:
 
         @jax.jit
         def update(coords_c, box_c, hist):
-            C = coords_c.shape[0]
-            G = min(chunk, C)
-            rs = lambda x: x.reshape((C // G, G) + x.shape[1:])
+            from metropolismontecarlo_tpu.utils.chunking import chunked_vmap
 
-            def body(h, args):
-                c, b = args
-                return h + jnp.sum(jax.vmap(one_chain)(c, b), axis=0), None
-
-            h, _ = jax.lax.scan(body, hist,
-                                (rs(coords_c), rs(box_c)))
-            return h
+            counts = chunked_vmap(one_chain, chunk, coords_c, box_c)
+            return hist + jnp.sum(counts, axis=0)
 
         self._update = update
 
