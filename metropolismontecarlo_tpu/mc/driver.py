@@ -270,8 +270,13 @@ class MonteCarlo:
             state = self.sweep(state)
             if adjust:
                 p = self.params
+                # list exactness requires dr_max <= nlist_skin/2 (proposals
+                # are +-dr_max/2 per axis; see RunParams.nlist_width) — cap
+                # the controller so it cannot silently stale the lists
+                dr_hi = state.box / 2.0 if p.nlist_width <= 0 else \
+                    jnp.minimum(state.box / 2.0, p.nlist_skin / 2.0)
                 dr = adjust_dmax(state.dr_max, state.acc[:, 0], state.att[:, 0],
-                                 p.move_accept, state.box / 2.0)
+                                 p.move_accept, dr_hi)
                 dphi = adjust_dmax(state.dphi_max, state.acc[:, 1], state.att[:, 1],
                                    p.move_accept, jnp.pi)
                 dv = adjust_dmax(state.dv_max, state.acc[:, 2], state.att[:, 2],

@@ -34,9 +34,14 @@ def make_volume_move_fn(system, params, kvecs, kweights, dtype=jnp.float32,
 
     def attempt_one(com, quat, box, energy, key, dv_max, step):  # noqa: ARG001
         """Propose scaled config for one chain; returns proposal pieces."""
-        k_lnv, k_do = jax.random.split(jax.random.fold_in(key, step))
+        # all of this move's randomness (including the acceptance uniform)
+        # comes from splits of THIS step's folded key; the volume move owns
+        # its step value (the sweep advances the counter per move), so no
+        # draw can share threefry bits with a molecule move's stream
+        k_lnv, k_do, k_acc = jax.random.split(jax.random.fold_in(key, step), 3)
         do_move = jax.random.uniform(k_do, dtype=dtype) < params.p_volume
         u = jax.random.uniform(k_lnv, dtype=dtype)
+        u_acc = jax.random.uniform(k_acc, dtype=dtype)
         dlnv = (2.0 * u - 1.0) * dv_max
         vol_old = box**3
         vol_new = vol_old * jnp.exp(dlnv)
@@ -48,7 +53,7 @@ def make_volume_move_fn(system, params, kvecs, kweights, dtype=jnp.float32,
         pad = system.n_atoms_padded - A
         if pad:
             coords_new = jnp.pad(coords_new, ((0, 0), (0, pad)))
-        return do_move, box_new, com_new, coords_new, vol_old, vol_new
+        return do_move, box_new, com_new, coords_new, vol_old, vol_new, u_acc
 
     def recompute(coords_t, com, box):
         out = energy_breakdown(system, params, coords_t[:, :A].T, com, box,
@@ -57,10 +62,10 @@ def make_volume_move_fn(system, params, kvecs, kweights, dtype=jnp.float32,
 
     def volume_move(state):
         C = state.com.shape[0]
-        do_move, box_new, com_new, coords_new, vol_old, vol_new = jax.vmap(
-            attempt_one, in_axes=(0, 0, 0, 0, 0, 0, None)
-        )(state.com, state.quat, state.box, state.energy, state.key,
-          state.dv_max, state.step)
+        do_move, box_new, com_new, coords_new, vol_old, vol_new, u_acc = \
+            jax.vmap(attempt_one, in_axes=(0, 0, 0, 0, 0, 0, None))(
+                state.com, state.quat, state.box, state.energy, state.key,
+                state.dv_max, state.step)
 
         e_new, w_new, sfac_new = chunked_vmap(
             recompute, chunk, coords_new, com_new, box_new)
@@ -68,10 +73,8 @@ def make_volume_move_fn(system, params, kvecs, kweights, dtype=jnp.float32,
         d_e = e_new - state.energy
         arg = -(d_e + pres * (vol_new - vol_old)) / state.temp \
             + (M + 1.0) * jnp.log(vol_new / vol_old)
-        keys = jax.vmap(jax.random.fold_in)(
-            state.key, jnp.full((C,), state.step + 1_000_003, jnp.int32))
-        u = jax.vmap(lambda k: jax.random.uniform(k, dtype=dtype))(keys)
-        accept = do_move & ((arg > 0.0) | (u < jnp.exp(jnp.minimum(arg, 0.0))))
+        accept = do_move & ((arg > 0.0)
+                            | (u_acc < jnp.exp(jnp.minimum(arg, 0.0))))
 
         sel = lambda new, old: jnp.where(
             accept.reshape((C,) + (1,) * (new.ndim - 1)), new, old)

@@ -64,13 +64,15 @@ class RDFAccumulator:
             from metropolismontecarlo_tpu.utils.chunking import chunked_vmap
 
             counts = chunked_vmap(one_chain, chunk, coords_c, box_c)
-            return hist + jnp.sum(counts, axis=0)
+            # cast the per-update counts, never the accumulator: the
+            # histogram stays in its own (f64 when available) dtype even
+            # for f32 simulation states
+            return hist + jnp.sum(counts, axis=0).astype(hist.dtype)
 
         self._update = update
 
     def update(self, state):
-        self.hist = self._update(state.coords, state.box,
-                                 self.hist.astype(state.coords.dtype))
+        self.hist = self._update(state.coords, state.box, self.hist)
         c = state.coords.shape[0]
         self.n_samples += c
         self._vol_sum += float(jnp.sum(state.box**3))

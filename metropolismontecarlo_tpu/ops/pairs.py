@@ -91,7 +91,9 @@ def moved_pair_mask_site(ra, coords, mol_index, n_mol, box, r_cut):
 
 def pair_dist2(ra, rb, box):
     """Squared minimum-image distances (P, A) between ra (P,3) and rb (A,3),
-    floored at a tiny positive value so masked pairs cannot divide by zero."""
+    floored at 1e-4 A^2 — the SAME floor as every move path — so that
+    near-coincident pairs give finite (huge) energies rather than an f32
+    inf that a zero-epsilon pad pair would turn into 0*inf = NaN."""
     dr = min_image(ra[:, None, :] - rb[None, :, :], box)
     d2 = jnp.sum(dr * dr, axis=-1)
-    return jnp.maximum(d2, jnp.asarray(1e-12, d2.dtype)), dr
+    return jnp.maximum(d2, jnp.asarray(1e-4, d2.dtype)), dr
