@@ -298,10 +298,12 @@ class MonteCarlo:
             P = M T / V  -  dU/dV|_{rigid}
 
         This differentiates the SAME energy function the simulation
-        samples (including the kappa = 5.6/box convention), so it is
-        exact for every coulomb style — unlike the pair-virial route,
-        which for Ewald uses the reference's E/3 approximation.  Costs
-        two chunked full recomputes.  Returns (C,) pressures in K/A^3.
+        samples (including the kappa = 5.6/box convention).  Since round
+        2 the closed-form molecular virial (energy_breakdown "w", carried
+        in state.virial) gives the same pressure analytically at no extra
+        cost — this FD route is kept as the independent cross-check of
+        that derivation.  Costs two chunked full recomputes.  Returns
+        (C,) pressures in K/A^3.
         """
         M, P_ = self.system.n_mol, self.system.atoms_per_mol
         body = jnp.asarray(self.system.body, self.dtype)

@@ -50,10 +50,14 @@ def energy_breakdown(system, params, coords, com, box, kvecs=None, kweights=None
     key = com if params.cutoff_mode != "first" else coords_mp[:, 0, :]
 
     d2, dr_ab = pair_dist2(coords, coords, box)
-    # molecular displacement grid for the virial
-    mol_dr = com[:, None, :] - com[None, :, :]
-    mol_dr = mol_dr - box * jnp.round(mol_dr / box)
-    dr_ij = jnp.repeat(jnp.repeat(mol_dr, P, axis=0), P, axis=1)
+    # molecular (COM) displacement grid for the virial, in the image
+    # CONSISTENT with each atom pair: r_ij = r_ab - (d_a - d_b) with d the
+    # rigid atom-from-COM offsets.  Min-imaging the COM grid independently
+    # picks the wrong image for boundary pairs when r_cut approaches L/2
+    # (e.g. the 20 A NIST boxes), which corrupts the virial projection.
+    delta = coords - jnp.repeat(com, P, axis=0)
+    delta = delta - box * jnp.round(delta / box)
+    dr_ij = dr_ab - delta[:, None, :] + delta[None, :, :]
 
     site = params.cutoff_mode == "site"
     mask_lj = full_pair_mask(coords, key, M, box, params.r_cut,
@@ -68,15 +72,22 @@ def energy_breakdown(system, params, coords, com, box, kvecs=None, kweights=None
 
     counts = jnp.asarray(system.type_counts, dtype)
     vol = box**3
+    w_lrc = w_lrc_ref = jnp.zeros((), dtype)
     if params.use_lrc and params.lj_shift == "none":
         out["lrc"] = tail_ops.lrc_energy(counts, eps_t, sig_t, params.r_cut, vol)
-        w_total = w_total + 3.0 * vol * tail_ops.lrc_pressure(
+        # the sampled model adds U_lrc = C/V to the energy, so its exact
+        # dU/dV contribution is -U_lrc/V, i.e. w_lrc = 3 U_lrc; the
+        # textbook virial-integral form (reference convention) differs
+        # and is kept for w_ref
+        w_lrc = 3.0 * out["lrc"]
+        w_lrc_ref = 3.0 * vol * tail_ops.lrc_pressure(
             counts, eps_t, sig_t, params.r_cut, vol
         )
     else:
         out["lrc"] = jnp.zeros((), dtype)
 
     e_real = e_four = e_self = e_intra = jnp.zeros((), dtype)
+    w_ref = w_coul = jnp.zeros((), dtype)
     sfac = jnp.zeros((1, 2), dtype)
     if params.coulomb != "none":
         kappa = params.kappa_L / box
@@ -86,6 +97,7 @@ def energy_breakdown(system, params, coords, com, box, kvecs=None, kweights=None
         else:
             mask_qq = full_pair_mask(coords, key, M, box, params.qq_cut,
                                      params.cutoff_mode)
+        dot = jnp.sum(dr_ij * dr_ab, axis=-1)  # r_ij_com . r_ab per pair
         if params.coulomb == "ewald":
             e_real = 0.5 * ewald_ops.real_space_sum(d2, qq, mask_qq, kappa)
             cf = ewald_ops.cfac_coeffs(kvecs, kweights, kappa, box, dtype)
@@ -95,22 +107,39 @@ def energy_breakdown(system, params, coords, com, box, kvecs=None, kweights=None
             e_intra = ewald_ops.ewald_intra(
                 coords_mp, jnp.asarray(system.charges, dtype), kappa, box
             )
+            # EXACT molecular virial (closed form; see ops.ewald): the
+            # self term's kappa derivative equals E_self itself
+            w_coul = (
+                0.5 * ewald_ops.real_space_virial(d2, qq, dot, mask_qq,
+                                                  kappa, "ewald")
+                + ewald_ops.recip_virial(sfac, cf, coords,
+                                         jnp.repeat(com, P, axis=0),
+                                         charges, kvecs, box)
+                + e_self
+                + ewald_ops.ewald_intra_kappa(
+                    coords_mp, jnp.asarray(system.charges, dtype), kappa, box)
+            )
         elif params.coulomb == "wolf":
             e_real = 0.5 * wolf_ops.wolf_pair_sum(
                 d2, qq, mask_qq, kappa, params.qq_cut
             )
             e_self = wolf_ops.wolf_self(charges, kappa, params.qq_cut)
+            w_coul = (
+                0.5 * ewald_ops.real_space_virial(d2, qq, dot, mask_qq,
+                                                  kappa, "wolf",
+                                                  qq_cut=params.qq_cut)
+                + wolf_ops.wolf_self_kappa(charges, kappa, params.qq_cut)
+            )
         elif params.coulomb == "bare":
             e_real = 0.5 * coulomb_ops.bare_pair_sum(d2, qq, mask_qq)
+            w_coul = 0.5 * ewald_ops.real_space_virial(
+                d2, qq, dot, mask_qq, kappa, "bare")
         else:
             raise ValueError(f"unknown coulomb style {params.coulomb!r}")
-        # Coulomb virial: pair-virial of 1/r equals its energy; the
-        # reference uses E_coul/3 per component (`Ewald/energy.jl:1004-1021`).
-        # NOTE this is the reference's approximation — the exact Ewald
-        # virial has extra reciprocal-space terms, so absolute pressures
-        # of charged systems are approximate (LJ-only pressures are exact
-        # and NPT<->NVT cross-validated in tests).
-        w_total = w_total + (e_real + e_four + e_self + e_intra)
+        # reference convention kept for number-for-number comparison:
+        # pair-virial of 1/r equals its energy, E_coul/3 per component
+        # (`Ewald/energy.jl:1004-1021`)
+        w_ref = e_real + e_four + e_self + e_intra
 
     out["coul_real"] = e_real
     out["coul_fourier"] = e_four
@@ -119,7 +148,11 @@ def energy_breakdown(system, params, coords, com, box, kvecs=None, kweights=None
     out["total"] = (
         out["disp"] + out["lrc"] + e_real + e_four + e_self + e_intra
     )
-    out["w"] = w_total
+    # "w" is the EXACT molecular virial: P = rho T + w/(3V) matches the
+    # finite-difference pressure (MonteCarlo.pressure_fd) to FD error.
+    # "w_ref" keeps the reference's E/3 coulomb + textbook-LRC convention.
+    out["w"] = w_total + w_lrc + w_coul
+    out["w_ref"] = w_total + w_lrc_ref + w_ref
     out["sfac"] = sfac
     return out
 
@@ -159,7 +192,10 @@ def _energy_breakdown_tiled(system, params, coords, com, box, kvecs,
 
     coords_rows = jnp.zeros((A_r, 3), dtype).at[:A].set(coords)
     com_of_col = com[jnp.clip(mol_cols, 0, M - 1)]              # (A, 3)
-    com_of_row = com[jnp.clip(mol_rows, 0, M - 1)]              # (A_r, 3)
+    # rigid atom-from-COM offsets for the consistent-image virial grids
+    delta_col = coords - com_of_col
+    delta_col = delta_col - box * jnp.round(delta_col / box)    # (A, 3)
+    delta_row = jnp.zeros((A_r, 3), dtype).at[:A].set(delta_col)
 
     rc2 = jnp.asarray(params.r_cut**2, dtype)
     qrc2 = jnp.asarray(params.qq_cut**2, dtype)
@@ -167,12 +203,12 @@ def _energy_breakdown_tiled(system, params, coords, com, box, kvecs,
     use_coul = params.coulomb != "none"
 
     def tile(carry, i):
-        pot_a, w_a, er_a = carry
+        pot_a, w_a, er_a, wc_a = carry
         rows = jax.lax.dynamic_slice(coords_rows, (i * B, 0), (B, 3))
         mrow = jax.lax.dynamic_slice_in_dim(mol_rows, i * B, B)
         trow = jax.lax.dynamic_slice_in_dim(tid_rows, i * B, B)
         qrow = jax.lax.dynamic_slice_in_dim(q_rows, i * B, B)
-        crow = jax.lax.dynamic_slice(com_of_row, (i * B, 0), (B, 3))
+        drow = jax.lax.dynamic_slice(delta_row, (i * B, 0), (B, 3))
 
         dr = rows[:, None, :] - coords[None, :, :]
         dr = dr - box * jnp.round(dr / box)
@@ -197,8 +233,8 @@ def _energy_breakdown_tiled(system, params, coords, com, box, kvecs,
         pot_a = pot_a + jnp.sum(potm)
 
         # molecular virial: (r_ij_com . r_ab / r_ab^2) * 24 eps (2 s12 - s6)
-        mol_dr = crow[:, None, :] - com_of_col[None, :, :]
-        mol_dr = mol_dr - box * jnp.round(mol_dr / box)
+        # with the pair-consistent COM image r_ij = r_ab - (d_a - d_b)
+        mol_dr = dr - drow[:, None, :] + delta_col[None, :, :]
         proj = jnp.sum(mol_dr * dr, -1) / d2s
         wv = jnp.where(mask_lj, 24.0 * eps_pa * (2 * s6 * s6 - s6) * proj, 0.0)
         w_a = w_a + jnp.sum(wv)
@@ -214,30 +250,49 @@ def _energy_breakdown_tiled(system, params, coords, com, box, kvecs,
             else:
                 cp = qq / r
             er_a = er_a + jnp.sum(jnp.where(mask_qq, cp, 0.0))
-        return (pot_a, w_a, er_a), None
+            # exact molecular-virial pair terms (see ops.ewald.
+            # real_space_virial; factor applied after the scan)
+            dot = jnp.sum(mol_dr * dr, -1)
+            c2 = ewald_ops._TWO_OVER_RTPI
+            if params.coulomb == "bare":
+                wv = qq * dot / (d2s * r)
+            else:
+                gauss = jnp.exp(-(kappa * kappa) * d2s)
+                wv = qq * (dot * (jax.scipy.special.erfc(kappa * r)
+                                  / (d2s * r) + kappa * c2 * gauss / d2s)
+                           - kappa * c2 * gauss)
+                if params.coulomb == "wolf":
+                    wv = wv + qq * kappa * c2 \
+                        * jnp.exp(-(kappa * params.qq_cut) ** 2)
+            wc_a = wc_a + jnp.sum(jnp.where(mask_qq, wv, 0.0))
+        return (pot_a, w_a, er_a, wc_a), None
 
     zero = jnp.zeros((), dtype)
-    (pot, w, e_real_raw), _ = jax.lax.scan(
-        tile, (zero, zero, zero), jnp.arange(A_r // B))
+    (pot, w, e_real_raw, w_coul_raw), _ = jax.lax.scan(
+        tile, (zero, zero, zero, zero), jnp.arange(A_r // B))
 
     out = {}
     out["disp"] = 0.5 * pot
     w_total = 0.5 * w
     counts = jnp.asarray(system.type_counts, dtype)
     vol = box**3
+    w_lrc = w_lrc_ref = jnp.zeros((), dtype)
     if params.use_lrc and params.lj_shift == "none":
         out["lrc"] = tail_ops.lrc_energy(counts, eps_t, sig_t, params.r_cut, vol)
-        w_total = w_total + 3.0 * vol * tail_ops.lrc_pressure(
+        w_lrc = 3.0 * out["lrc"]  # exact dU/dV of the sampled model
+        w_lrc_ref = 3.0 * vol * tail_ops.lrc_pressure(
             counts, eps_t, sig_t, params.r_cut, vol)
     else:
         out["lrc"] = jnp.zeros((), dtype)
 
     from metropolismontecarlo_tpu.utils.constants import COULOMB_FACTOR
     e_real = e_four = e_self = e_intra = jnp.zeros((), dtype)
+    w_ref = w_coul = jnp.zeros((), dtype)
     sfac = jnp.zeros((1, 2), dtype)
     if use_coul:
         charges = q_cols
         e_real = 0.5 * COULOMB_FACTOR * e_real_raw
+        w_coul = 0.5 * COULOMB_FACTOR * w_coul_raw
         if params.coulomb == "ewald":
             cf = ewald_ops.cfac_coeffs(kvecs, kweights, kappa, box, dtype)
             sfac = ewald_ops.structure_factor(coords, charges, kvecs, box)
@@ -246,16 +301,27 @@ def _energy_breakdown_tiled(system, params, coords, com, box, kvecs,
             e_intra = ewald_ops.ewald_intra(
                 coords.reshape(M, P, 3),
                 jnp.asarray(system.charges, dtype), kappa, box)
+            w_coul = w_coul + (
+                ewald_ops.recip_virial(sfac, cf, coords,
+                                       com[jnp.clip(mol_cols, 0, M - 1)],
+                                       charges, kvecs, box)
+                + e_self
+                + ewald_ops.ewald_intra_kappa(
+                    coords.reshape(M, P, 3),
+                    jnp.asarray(system.charges, dtype), kappa, box))
         elif params.coulomb == "wolf":
             e_self = wolf_ops.wolf_self(charges, kappa, params.qq_cut)
-        w_total = w_total + (e_real + e_four + e_self + e_intra)
+            w_coul = w_coul + wolf_ops.wolf_self_kappa(
+                charges, kappa, params.qq_cut)
+        w_ref = e_real + e_four + e_self + e_intra
 
     out["coul_real"] = e_real
     out["coul_fourier"] = e_four
     out["coul_self"] = e_self
     out["coul_intra"] = e_intra
     out["total"] = out["disp"] + out["lrc"] + e_real + e_four + e_self + e_intra
-    out["w"] = w_total
+    out["w"] = w_total + w_lrc + w_coul
+    out["w_ref"] = w_total + w_lrc_ref + w_ref
     out["sfac"] = sfac
     return out
 

@@ -122,6 +122,98 @@ def real_space_sum(d2, qq, mask, kappa, factor=COULOMB_FACTOR):
     )
 
 
+_TWO_OVER_RTPI = 1.1283791670955126  # 2/sqrt(pi)
+
+
+def real_space_virial(d2, qq, dot_ij_ab, mask, kappa, style, qq_cut=None,
+                      factor=COULOMB_FACTOR):
+    """EXACT molecular-virial contribution of the real-space Coulomb sum,
+    for the model sampled by this framework (kappa = kappa_L / box, so
+    kappa carries a volume dependence).
+
+    Definition: W = -3V dU/dV under rigid-molecule COM scaling, so that
+    P = rho T + W/(3V) equals the finite-difference pressure exactly.
+    Two pieces per pair:
+
+      * force term      (r_ij_com . r_ab) * (-du/dr)/r, with
+        -du/dr = factor qq [erfc(kr)/r^2 + (2k/sqrt(pi)) e^{-k^2 r^2}/r]
+      * kappa term      kappa * du/dkappa = -factor qq (2k/sqrt(pi)) e^{-k^2 r^2}
+        (the chain-rule term from dkappa/dV = -kappa/3V; for Wolf the
+        r-independent shift adds +factor qq (2k/sqrt(pi)) e^{-k^2 rc^2})
+
+    Replaces the reference's E/3 approximation (`Ewald/energy.jl:1004-1021`).
+    d2/qq/mask as in real_space_sum; dot_ij_ab (..., P, A) is
+    r_ij_com . r_ab per pair.  Reduces the trailing two axes.
+    """
+    d2s = jnp.where(mask, d2, jnp.ones((), d2.dtype))
+    r = jnp.sqrt(d2s)
+    gauss = jnp.exp(-(kappa * kappa) * d2s)
+    if style == "bare":
+        w = qq * dot_ij_ab / (d2s * r)
+    else:
+        w = qq * (dot_ij_ab * (_erfc(kappa * r) / (d2s * r)
+                               + kappa * _TWO_OVER_RTPI * gauss / d2s)
+                  - kappa * _TWO_OVER_RTPI * gauss)
+        if style == "wolf":
+            w = w + qq * kappa * _TWO_OVER_RTPI \
+                * jnp.exp(-(kappa * qq_cut) ** 2)
+        elif style != "ewald":
+            raise ValueError(style)
+    return factor * jnp.sum(jnp.where(mask, w, jnp.zeros((), d2.dtype)),
+                            axis=(-1, -2))
+
+
+def recip_virial(sfac, cfac, coords, com_of_atom, charges, kvecs, box,
+                 factor=COULOMB_FACTOR):
+    """EXACT molecular virial of the reciprocal Ewald sum (closed form).
+
+    With kappa = kappa_L/box, the Gaussian exp(-k~^2/4 kappa^2) is
+    invariant under isotropic scaling, so
+
+      W_recip = E_recip - 2 factor sum_k cfac_k Im[conj(S_k) T_k],
+      T_k     = sum_a q_a (k~ . d_a) exp(i k~ . r_a),
+
+    where d_a = r_a - R_mol(a) is the (minimum-imaged, scale-invariant)
+    rigid-body offset of atom a from its molecule's COM.  Derivation:
+    k~.R_m is scale-invariant while k~.d_a ~ V^{-1/3}, so
+    dS/dV = -i T/(3V) and d|S|^2/dV = (2/3V) Im[conj(S) T]; together with
+    dcfac/dV = -cfac/(3V) this gives W = -3V dE/dV as above.
+
+    coords (..., A, 3); com_of_atom (..., A, 3); charges (A,) or batched.
+    Returns W_recip (scalar per batch element).
+    """
+    d = coords - com_of_atom
+    d = d - box * jnp.round(d / box)
+    kmat = jnp.asarray(kvecs, dtype=coords.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    tpl = 2.0 * jnp.pi / box
+    phase = tpl * jnp.einsum("...ad,kd->...ak", coords, kmat, precision=hi)
+    kdotd = tpl * jnp.einsum("...ad,kd->...ak", d, kmat, precision=hi)
+    q = jnp.broadcast_to(jnp.asarray(charges, coords.dtype), phase.shape[:-1])
+    t_re = jnp.einsum("...a,...ak->...k", q, kdotd * jnp.cos(phase),
+                      precision=hi)
+    t_im = jnp.einsum("...a,...ak->...k", q, kdotd * jnp.sin(phase),
+                      precision=hi)
+    im_sbar_t = sfac[..., 0] * t_im - sfac[..., 1] * t_re
+    e_recip = recip_energy(sfac, cfac, factor)
+    return e_recip - 2.0 * factor * jnp.sum(cfac * im_sbar_t, axis=-1)
+
+
+def ewald_intra_kappa(coords_mp, charges_mp, kappa, box,
+                      factor=COULOMB_FACTOR):
+    """kappa-derivative virial of the intramolecular correction:
+    W = kappa dE_intra/dkappa = -factor (2k/sqrt(pi)) sum qq e^{-k^2 r^2}
+    (intramolecular distances are invariant under rigid COM scaling)."""
+    dr = coords_mp[..., :, None, :] - coords_mp[..., None, :, :]
+    dr = dr - box * jnp.round(dr / box)
+    d2 = jnp.maximum(jnp.sum(dr * dr, axis=-1), jnp.asarray(1e-12, dr.dtype))
+    qq = charges_mp[..., :, None] * charges_mp[..., None, :]
+    P = coords_mp.shape[-2]
+    iu = jnp.triu(jnp.ones((P, P), dtype=bool), k=1)
+    term = jnp.where(iu, qq * jnp.exp(-(kappa * kappa) * d2), 0.0)
+    return -factor * kappa * _TWO_OVER_RTPI * jnp.sum(term, axis=(-1, -2, -3))
+
+
 def overlap_any(d2, qq, mask, d2_overlap=0.5):
     """Hard-overlap veto: any included pair closer than sqrt(d2_overlap)
     with opposite charges (reference `Ewald/ewalds.jl:359-361`)."""

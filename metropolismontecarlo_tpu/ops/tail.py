@@ -37,3 +37,26 @@ def lrc_pressure(counts, eps_table, sig_table, r_cut, volume):
     """Tail pressure correction (energy/volume units)."""
     _, p_term = _species_sum(counts, eps_table, sig_table, r_cut)
     return (16.0 * jnp.pi / (3.0 * volume**2)) * p_term
+
+
+def impulsive_pressure(counts, eps_table, sig_table, r_cut, volume):
+    """Impulsive (truncation-discontinuity) pressure of CUT-UNSHIFTED LJ,
+    in the standard g(r_cut) ~ 1 approximation (the reference's
+    `pressure_delta`, `Ewald/auxillary.jl:30-35`):
+
+      P_imp = (2 pi / 3 V^2) r_cut^3 sum_ab N_a N_b u_ab(r_cut)
+
+    Physics: the pair energy jumps by -u(r_cut) when a pair crosses the
+    cutoff, so the ensemble's mechanical pressure differs from the
+    smooth-branch virial pressure (dU/dV between crossings — what
+    `energy_breakdown` "w" and small-eps finite differences measure) by
+    this delta-function term.  Negative for attractive u(r_cut).  Exactly
+    zero for the force-shifted ("linear") potential.
+    """
+    sc3 = (sig_table / r_cut) ** 3
+    sc6 = sc3 * sc3
+    u_rc = 4.0 * eps_table * (sc6 * sc6 - sc6)
+    counts = jnp.asarray(counts, dtype=eps_table.dtype)
+    nn = counts[:, None] * counts[None, :]
+    return (2.0 * jnp.pi / (3.0 * volume**2)) * r_cut**3 \
+        * jnp.sum(nn * u_rc)

@@ -38,3 +38,12 @@ def wolf_self(charges, kappa, r_cut, factor=COULOMB_FACTOR):
     q = jnp.asarray(charges)
     coeff = _erfc(kappa * r_cut) / (2.0 * r_cut) + kappa / jnp.sqrt(jnp.pi)
     return -factor * coeff * jnp.sum(q * q, axis=-1)
+
+
+def wolf_self_kappa(charges, kappa, r_cut, factor=COULOMB_FACTOR):
+    """Exact-virial kappa term of the Wolf self energy (kappa = kappa_L/box
+    is volume-dependent; r_cut is not):
+    W = kappa dE_self/dkappa = -factor (k/sqrt(pi)) (1 - e^{-k^2 rc^2}) sum q^2."""
+    q = jnp.asarray(charges)
+    coeff = kappa / jnp.sqrt(jnp.pi) * (1.0 - jnp.exp(-(kappa * r_cut) ** 2))
+    return -factor * coeff * jnp.sum(q * q, axis=-1)

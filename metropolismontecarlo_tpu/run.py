@@ -143,13 +143,22 @@ def main(argv=None):
             state, swap_frac = exchange(state, xkey, block % 2)
             metrics["remc_swap_frac"] = float(swap_frac)
         vol = float(jnp.mean(state.box**3))
+        # EXACT dU/dV pressure: state.virial carries the closed-form
+        # molecular virial (incl. the reciprocal-Ewald term) computed for
+        # free in the block-end recompute — no extra FD recomputes needed
+        # (validated against MonteCarlo.pressure_fd in tests/test_mc.py).
+        # pressure_trunc_corr is the impulsive cutoff-crossing term
+        # (g~1 approx) to ADD for the thermodynamic pressure of
+        # cut-unshifted LJ (reference `pressure_delta` parity).
         metrics["pressure_mean"] = float(pressure_fn(
             params, system.n_mol, vol, metrics["virial_mean"]))
-        if params.coulomb != "none":
-            # exact dU/dV pressure (the pair-virial route approximates the
-            # coulomb part); two extra chunked recomputes per block
-            metrics["pressure_fd_mean"] = float(
-                jnp.mean(mc.pressure_fd(state)))
+        if params.lj_shift == "none":
+            from metropolismontecarlo_tpu.ops.tail import impulsive_pressure
+            metrics["pressure_trunc_corr"] = float(impulsive_pressure(
+                np.asarray(system.type_counts, np.float64),
+                jnp.asarray(system.eps_table, dtype),
+                jnp.asarray(system.sig_table, dtype),
+                params.r_cut, vol))
         if rdf is not None and not adjust:
             rdf.update(state)
         if not args.quiet:

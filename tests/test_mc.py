@@ -198,11 +198,16 @@ def test_pressure_ideal_gas_exact():
 
 @pytest.mark.slow
 def test_npt_nvt_pressure_consistency():
-    """Thermodynamic consistency loop: run NPT at P_target, measure the
-    equilibrium density, then run NVT at that density and check the
-    virial-route pressure reproduces P_target — validates the virial
+    """Ensemble consistency of the EXACT virial observable: (a) measured
+    directly on NPT-equilibrated states (per-chain volumes), the virial
+    pressure PLUS the impulsive truncation correction (g~1; the cutoff
+    crossings the smooth-branch virial cannot see) must average to the
+    target pressure; (b) an NVT run at the NPT mean density must
+    reproduce it too (looser: the density remapping carries finite-size
+    Jensen bias through the steep P(rho) slope).  Validates the virial
     observable and the volume-move acceptance against each other."""
     from metropolismontecarlo_tpu.models.energy import pressure
+    from metropolismontecarlo_tpu.ops.tail import impulsive_pressure
 
     n, t, p_target = 64, 2.0, 1.0
     system = lj_system(n)
@@ -215,12 +220,22 @@ def test_npt_nvt_pressure_consistency():
     st = mc1.init_state(jax.random.PRNGKey(9), cubic_lattice(n, box0),
                         box=box0, n_chains=32)
     st = mc1.run_steps(st, 300, False)
-    boxes = []
+    eps_t = jnp.asarray(system.eps_table, jnp.float64)
+    sig_t = jnp.asarray(system.sig_table, jnp.float64)
+    counts = jnp.asarray(system.type_counts, jnp.float64)
+    ps, boxes = [], []
     for _ in range(6):
         st = mc1.run_steps(st, 50, False)
+        _, w, _ = mc1.full_energy(st)
+        p_imp = impulsive_pressure(counts, eps_t, sig_t, npt.r_cut,
+                                   st.box**3)
+        ps.append(float(jnp.mean(pressure(npt, n, st.box**3, w) + p_imp)))
         boxes.append(np.asarray(st.box))
-    rho = float(np.mean([n / b**3 for b in boxes]))
+    p_npt = float(np.mean(ps))
+    sem = float(np.std(ps) / np.sqrt(len(ps)))
+    assert abs(p_npt - p_target) < max(5 * sem, 0.08), (p_npt, sem)
 
+    rho = float(np.mean([n / b**3 for b in boxes]))
     nvt = RunParams(temperature=t, r_cut=2.5, cutoff_mode="site",
                     coulomb="none", p_translate=1.0, dr_max=0.3,
                     use_lrc=True)
@@ -229,14 +244,15 @@ def test_npt_nvt_pressure_consistency():
     st2 = mc2.init_state(jax.random.PRNGKey(10), cubic_lattice(n, box),
                          box=box, n_chains=32)
     st2 = mc2.run_steps(st2, 200, False)
+    p_imp = float(impulsive_pressure(counts, eps_t, sig_t, nvt.r_cut,
+                                     jnp.asarray(box**3, jnp.float64)))
     ps = []
     for _ in range(6):
         st2 = mc2.run_steps(st2, 40, False)
         _, w, _ = mc2.full_energy(st2)
-        ps.append(float(pressure(nvt, n, box**3, jnp.mean(w))))
+        ps.append(float(pressure(nvt, n, box**3, jnp.mean(w))) + p_imp)
     p_meas = np.mean(ps)
-    # finite-size + statistical tolerance
-    assert abs(p_meas - p_target) / p_target < 0.15, (p_meas, rho)
+    assert abs(p_meas - p_target) / p_target < 0.2, (p_meas, rho)
 
 
 @pytest.mark.parametrize("mode", ["com", "first"])
@@ -271,6 +287,35 @@ def test_pressure_fd_ideal_gas_exact():
     state = mc.run_steps(state, 10, False)
     p_fd = np.asarray(mc.pressure_fd(state))
     np.testing.assert_allclose(p_fd, rho * t, rtol=1e-9)
+
+
+def test_exact_virial_matches_fd_all_styles(reference_dir):
+    """The closed-form molecular virial (energy_breakdown "w", carried in
+    state.virial) must reproduce the finite-difference pressure — the
+    dU/dV of the very model being sampled, including the kappa = 5.6/box
+    convention and the reciprocal-Ewald term — for every coulomb style.
+    This is the exact replacement of the reference's E/3 approximation
+    (`Ewald/energy.jl:1004-1021`)."""
+    import os
+
+    from metropolismontecarlo_tpu.models.energy import pressure
+    from metropolismontecarlo_tpu.models.water import spce_from_nist
+
+    path = os.path.join(reference_dir, "Ewald",
+                        "spce_sample_config_periodic1.txt")
+    for style in ("ewald", "wolf", "bare", "none"):
+        system, coords, com, box = spce_from_nist(path)
+        params = RunParams(temperature=298.15, r_cut=10.0,
+                           cutoff_mode="site", coulomb=style)
+        mc = MonteCarlo(system, params, dtype=jnp.float64,
+                        recompute_chunk=2, pallas=False)
+        state = mc.init_from_coords(jax.random.PRNGKey(0), coords, com, box,
+                                    n_chains=2)
+        p_fd = float(mc.pressure_fd(state, rel_eps=1e-6)[0])
+        p_v = float(pressure(params, system.n_mol,
+                             float(state.box[0]) ** 3, state.virial)[0])
+        assert abs(p_v - p_fd) < 1e-5 * max(abs(p_fd), 1.0), (
+            style, p_v, p_fd)
 
 
 @pytest.mark.slow

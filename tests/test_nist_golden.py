@@ -121,6 +121,6 @@ def test_tiled_recompute_matches_dense(reference_dir):
     dense = energy_breakdown_jit(system, PARAMS, *args, kvecs=kv, kweights=kw)
     tiled = _energy_breakdown_tiled(system, PARAMS, *args, kv, kw)
     for k in ("disp", "lrc", "coul_real", "coul_fourier", "coul_self",
-              "coul_intra", "total", "w"):
+              "coul_intra", "total", "w", "w_ref"):
         a, b = float(dense[k]), float(tiled[k])
         assert abs(a - b) <= 1e-9 * max(abs(a), 1.0), (k, a, b)
