@@ -80,7 +80,8 @@ def state_specs(state):
                         is_leaf=lambda x: not isinstance(x, tuple))
 
 
-def sharded_run_steps(mc, state, mesh, n_steps, adjust=False):
+def sharded_run_steps(mc, state, mesh, n_steps, adjust=False,
+                      remc_every=0, remc_key=None, phase0=0):
     """Run n_steps sweeps with the chain axis explicitly sharded via
     shard_map: each device advances its own chains independently (the MC
     hot loop is chain-local, so there are no collectives).
@@ -89,11 +90,39 @@ def sharded_run_steps(mc, state, mesh, n_steps, adjust=False):
     auto-sharding cannot partition a pallas_call, but under shard_map
     each device runs the kernel on its local shard.  The jnp path works
     under both; results match unsharded runs bitwise.
+
+    remc_every > 0 interleaves replica-exchange rounds (alternating
+    even/odd phases starting at phase0) every remc_every sweeps, using
+    the shard-local exchange whose cross-device partner traffic is
+    explicit `ppermute` edge swaps (parallel.remc.exchange_shardlocal).
+    Returns (state, swap_fracs (n_rounds,)) in that mode, else state.
     """
+    from metropolismontecarlo_tpu.parallel.remc import exchange_shardlocal
+
     specs = state_specs(state)
+    n_dev = mesh.shape[CHAINS]
+
+    if not remc_every:
+        def fn(st):
+            return mc.run_steps(st, n_steps, adjust)
+
+        return jax.shard_map(fn, mesh=mesh, in_specs=(specs,),
+                             out_specs=specs, check_vma=False)(state)
+
+    if n_steps % remc_every:
+        raise ValueError("n_steps must be a multiple of remc_every")
+    n_rounds = n_steps // remc_every
 
     def fn(st):
-        return mc.run_steps(st, n_steps, adjust)
+        fracs = []
+        for r in range(n_rounds):
+            st = mc.run_steps(st, remc_every, adjust)
+            st, frac = exchange_shardlocal(
+                st, jax.random.fold_in(remc_key, r), (phase0 + r) % 2,
+                n_dev, axis_name=CHAINS)
+            fracs.append(frac)
+        return st, jnp.stack(fracs)
 
-    return jax.shard_map(fn, mesh=mesh, in_specs=(specs,), out_specs=specs,
-                         check_vma=False)(state)
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=(specs,),
+        out_specs=(specs, P()), check_vma=False)(state)

@@ -107,3 +107,38 @@ def test_shard_map_run_steps_matches_unsharded():
     np.testing.assert_array_equal(np.asarray(out.energy), np.asarray(ref.energy))
     np.testing.assert_array_equal(np.asarray(out.coords), np.asarray(ref.coords))
     np.testing.assert_array_equal(np.asarray(out.acc), np.asarray(ref.acc))
+
+
+def test_sharded_remc_matches_unsharded():
+    """REMC inside shard_map — cross-device partner traffic as explicit
+    ppermute edge swaps — must reproduce the unsharded sweep+exchange
+    sequence bitwise, including swap fractions, across both phases (odd
+    phase pairs straddle device boundaries with 2 local chains/device)."""
+    from metropolismontecarlo_tpu.parallel.mesh import sharded_run_steps
+
+    mc, state = _tiny_water_mc(16)
+    ladder = temperature_ladder(250.0, 500.0, 16, dtype=state.temp.dtype)
+    state = state._replace(temp=ladder)
+    xkey = jax.random.PRNGKey(21)
+
+    # reference: unsharded sweeps + unsharded exchange, phases 0 then 1
+    ref = state
+    ref_fracs = []
+    for r in range(2):
+        ref = mc.run_steps(ref, 2, False)
+        ref, frac = exchange(ref, jax.random.fold_in(xkey, r), r % 2)
+        ref_fracs.append(float(frac))
+
+    mesh = make_mesh(8)
+    out, fracs = sharded_run_steps(mc, state, mesh, 4, False,
+                                   remc_every=2, remc_key=xkey, phase0=0)
+    np.testing.assert_array_equal(np.asarray(out.energy),
+                                  np.asarray(ref.energy))
+    np.testing.assert_array_equal(np.asarray(out.coords),
+                                  np.asarray(ref.coords))
+    np.testing.assert_array_equal(np.asarray(out.sfac), np.asarray(ref.sfac))
+    np.testing.assert_allclose(np.asarray(fracs), np.asarray(ref_fracs),
+                               rtol=1e-6)
+    # the wide ladder must actually discriminate: some swap rejected
+    # somewhere would show frac < 1; at minimum swaps occurred
+    assert np.all(np.asarray(fracs) > 0.0)
