@@ -98,12 +98,20 @@ class MonteCarlo:
             self._sweep_full = make_mega_sweep_fn(
                 system, params, self.kvecs, self.kweights,
                 interpret=(pallas_mode == "mega_interpret"))
-            self._sweep_move = None
+            self._sweep_moves = None
         else:
-            self._sweep_move = make_sweep_fn(system, params, self.kvecs,
-                                             self.kweights, dtype, pallas_mode)
+            # one sweep body per species block (a single block for uniform
+            # systems): each has static atom count/offset, so ragged
+            # mixtures pay per-move work proportional to THAT species'
+            # size, never the widest molecule's
+            self._sweep_moves = tuple(
+                (sl[1], sl[2],
+                 make_sweep_fn(system, params, self.kvecs, self.kweights,
+                               dtype, pallas_mode, species=sl))
+                for sl in system.species_slices)
         self._volume_move = (
-            make_volume_move_fn(system, params, self.kvecs, self.kweights, dtype)
+            make_volume_move_fn(system, params, self.kvecs, self.kweights,
+                                dtype, build_coords=self.build_coords)
             if params.pressure is not None and params.p_volume > 0.0
             else None
         )
@@ -114,10 +122,15 @@ class MonteCarlo:
         """Atoms from molecular COM + orientation: r = com + R(q) b.
         com (..., M, 3), quat (..., M, 4) -> (..., 3, A_pad): transposed
         atoms-on-lanes layout with zero-filled lane padding (see
-        SimState/System.n_atoms_padded)."""
+        SimState/System.n_atoms_padded).  Ragged systems gather only the
+        real atom slots of each molecule."""
         body = jnp.asarray(self.system.body, self.dtype)
         atoms = com[..., :, None, :] + rotate_vectors(quat, body)
-        flat = atoms.reshape(atoms.shape[:-3] + (self.system.n_atoms, 3))
+        if self.system.uniform_width:
+            flat = atoms.reshape(atoms.shape[:-3] + (self.system.n_atoms, 3))
+        else:
+            mol, slot = self.system.atom_mol_slot
+            flat = atoms[..., mol, slot, :]
         out = jnp.swapaxes(flat, -1, -2)
         pad = self.system.n_atoms_padded - self.system.n_atoms
         if pad:
@@ -173,14 +186,19 @@ class MonteCarlo:
 
         from metropolismontecarlo_tpu.ops.quaternions import fit_quaternions
 
-        M, P, A = self.system.n_mol, self.system.atoms_per_mol, self.system.n_atoms
+        M = self.system.n_mol
         C = n_chains
-        coords_np = np.asarray(coords, np.float64).reshape(M, P, 3)
+        coords_np = np.asarray(coords, np.float64).reshape(
+            self.system.n_atoms, 3)
         com_np = np.asarray(com, np.float64)
         box_np = float(np.asarray(box).reshape(-1)[0])
-        rel = coords_np - com_np[:, None, :]
-        rel -= box_np * np.round(rel / box_np)  # heal PBC-split molecules
-        quat_np = fit_quaternions(np.asarray(self.system.body, np.float64), rel)
+        body_np = np.asarray(self.system.body, np.float64)
+        quat_np = np.zeros((M, 4))
+        for _, m0, m1, p, a0 in self.system.species_slices:
+            c = coords_np[a0:a0 + (m1 - m0) * p].reshape(m1 - m0, p, 3)
+            rel = c - com_np[m0:m1, None, :]
+            rel -= box_np * np.round(rel / box_np)  # heal PBC-split molecules
+            quat_np[m0:m1] = fit_quaternions(body_np[m0:m1, :p], rel)
         com = jnp.broadcast_to(jnp.asarray(com_np, self.dtype)[None], (C, M, 3))
         quat = jnp.broadcast_to(jnp.asarray(quat_np, self.dtype)[None], (C, M, 4))
         coords = self.build_coords(com, quat)
@@ -255,8 +273,9 @@ class MonteCarlo:
         if self._sweep_full is not None:
             state = self._sweep_full(state)
         else:
-            order = jnp.arange(self.system.n_mol)
-            state, _ = jax.lax.scan(self._sweep_move, state, order)
+            for m0, m1, sweep_body in self._sweep_moves:
+                state, _ = jax.lax.scan(sweep_body, state,
+                                        jnp.arange(m0, m1))
         if self._volume_move is not None:
             state = self._volume_move(state)
         return state
@@ -305,22 +324,20 @@ class MonteCarlo:
         that derivation.  Costs two chunked full recomputes.  Returns
         (C,) pressures in K/A^3.
         """
-        M, P_ = self.system.n_mol, self.system.atoms_per_mol
-        body = jnp.asarray(self.system.body, self.dtype)
+        A = self.system.n_atoms
 
         def energy_at(scale, st):
             box = st.box * scale
             com = st.com * scale
-            coords = (com[:, :, None, :]
-                      + rotate_vectors(st.quat, body)).reshape(
-                          com.shape[0], M * P_, 3)
+            coords_t = self.build_coords(com, st.quat)
 
-            def one(crd, cm, bx):
-                out = energy_breakdown(self.system, self.params, crd, cm, bx,
+            def one(crd_t, cm, bx):
+                out = energy_breakdown(self.system, self.params,
+                                       crd_t[:, :A].T, cm, bx,
                                        self.kvecs, self.kweights)
                 return out["total"]
 
-            return chunked_vmap(one, self.recompute_chunk, coords, com, box)
+            return chunked_vmap(one, self.recompute_chunk, coords_t, com, box)
 
         eps = jnp.asarray(rel_eps, self.dtype)
         sp = (1.0 + eps) ** (1.0 / 3.0)

@@ -83,23 +83,37 @@ def rebuild_nlist(com, box, params, r_list, chunk=8):
 
 
 def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
-                  pallas_mode=None):
+                  pallas_mode=None, species=None):
     """Build `sweep_body(state, m) -> (state, None)` advancing every chain
     by one move of molecule m.
+
+    species: a System.species_slices entry (name, m0, m1, p, a0) — the
+    molecule range this body serves (m must lie in [m0, m1)); None means
+    the whole system as one uniform-width block.  Ragged mixtures build
+    one body per species block (each with its own static atom count p
+    and atom offset a0) and scan them in sequence — no per-molecule
+    padding work anywhere.
 
     pallas_mode: None (pure jnp), "tpu" (compiled Pallas kernel), or
     "interpret" (Pallas interpreter — CPU testing).
     """
-    M, P = system.n_mol, system.atoms_per_mol
+    M = system.n_mol
     A = system.n_atoms
     A_pad = system.n_atoms_padded
+    if species is None:
+        if not system.uniform_width:
+            raise ValueError("ragged systems need per-species sweep bodies")
+        species = ("all", 0, M, system.atoms_per_mol, 0)
+    _, m0, m1, P, a0 = species
+    off0 = a0 - m0 * P          # atom base of molecule m is off0 + m*P
 
-    body = jnp.asarray(system.body, dtype)                      # (M,P,3)
-    charges_mp = jnp.asarray(system.charges, dtype)             # (M,P)
+    body = jnp.asarray(np.asarray(system.body)[:, :P], dtype)   # (M,P,3)
+    charges_mp = jnp.asarray(np.asarray(system.charges)[:, :P], dtype)
     charges_pad = np.zeros(A_pad)
     charges_pad[:A] = system.flat(system.charges)
     charges_flat = jnp.asarray(charges_pad, dtype)              # (A_pad,)
     mol_of_atom = jnp.asarray(system.mol_of_atom_padded)        # (A_pad,)
+    first_atom_idx = jnp.asarray(system.mol_a0)                 # (M,)
 
     tid = system.flat(system.type_ids)
     # padded per-atom type ids with pads clamped to 0 (pads are excluded by
@@ -132,7 +146,7 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
         com_m = com[m]
         quat_m = quat[m]
         body_m = body[m]
-        ra_old = jax.lax.dynamic_slice(coords, (0, m * P), (3, P)).T
+        ra_old = jax.lax.dynamic_slice(coords, (0, off0 + m * P), (3, P)).T
         if use_rot:
             is_trans = jax.random.uniform(k_sel, dtype=dtype) < params.p_translate
         else:
@@ -175,7 +189,8 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
             quat, jnp.where(accept, pr["quat_new"], pr["quat_m"])[None, :],
             (m, 0))
         coords = jax.lax.dynamic_update_slice(
-            coords, jnp.where(accept, pr["ra_new"], pr["ra_old"]).T, (0, m * P))
+            coords, jnp.where(accept, pr["ra_new"], pr["ra_old"]).T,
+            (0, off0 + m * P))
         sfac = jnp.where(accept, sfac + dsfac, sfac)
         energy = jnp.where(accept, energy + d_e, energy)
         return com, quat, coords, sfac, energy, pr["is_trans"], accept
@@ -194,7 +209,7 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
             mask_qq = mask_lj if params.qq_r_cut is None else other & (d2 < qrc2)
         else:
             keys = com if params.cutoff_mode == "com" \
-                else coords_t[:, :A].reshape(3, M, P)[:, :, 0].T
+                else coords_t[:, first_atom_idx].T
             kpts = jnp.stack([key_old, key_new])                # (2, 3)
             d2m = jnp.sum(min_image(kpts[:, None, :] - keys[None], box) ** 2,
                           axis=-1)                              # (2, M)
@@ -205,7 +220,7 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
                 else other & ((d2m < qrc2)[:, mol_of_atom])[halves]
 
         d2s = jnp.where(mask_lj | mask_qq, d2, jnp.ones((), dtype))
-        tm = jnp.asarray(system.type_ids)[m]                    # (P,)
+        tm = tid_mp_all[m]                                      # (P,)
         eps_pa = eps_t[tm][:, tid_safe]                         # (P, A_pad)
         sig2_pa = (sig_t**2)[tm][:, tid_safe]
         eps2 = jnp.concatenate([eps_pa, eps_pa], axis=0)
@@ -244,19 +259,27 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
     use_nlist = params.nlist_width > 0
     if use_nlist and not site:
         raise NotImplementedError("neighbor lists require site cutoff")
-    tid_mp_all = jnp.asarray(system.type_ids)
+    tid_mp_all = jnp.asarray(np.asarray(system.type_ids)[:, :P])
+    # ragged-aware neighbor gather tables: neighbor molecule j owns
+    # mol_p[j] atoms starting at mol_a0[j]; gather width is the widest
+    # species, with out-of-molecule slots masked (clamped to column 0)
+    nl_p = system.atoms_per_mol
+    mol_p_j = jnp.asarray(system.mol_p)
+    mol_a0_j = jnp.asarray(system.mol_a0)
 
     def pair_energy_nlist(ra2p, nbr_row, coords_t, m, box, kappa):
         """Pair energies against gathered neighbor atoms only.
         ra2p (2P, 3); nbr_row (NB,) neighbor molecule indices (self-padded).
         """
-        atom_idx = (nbr_row[:, None] * P
-                    + jnp.arange(P, dtype=nbr_row.dtype)[None, :]).reshape(-1)
-        g = coords_t[:, atom_idx]                      # (3, NB*P)
-        mol_g = jnp.repeat(nbr_row, P)                 # (NB*P,)
+        slots = jnp.arange(nl_p, dtype=nbr_row.dtype)
+        valid = (slots[None, :] < mol_p_j[nbr_row][:, None]).reshape(-1)
+        atom_idx = (mol_a0_j[nbr_row][:, None] + slots[None, :]).reshape(-1)
+        atom_idx = jnp.where(valid, atom_idx, 0)       # clamped; masked out
+        g = coords_t[:, atom_idx]                      # (3, NB*nl_p)
+        mol_g = jnp.repeat(nbr_row, nl_p)              # (NB*nl_p,)
         dr = min_image(ra2p.T[:, :, None] - g[:, None, :], box)
         d2 = jnp.maximum(jnp.sum(dr * dr, axis=0), jnp.asarray(1e-4, dtype))
-        other = (mol_g != m)[None, :]
+        other = ((mol_g != m) & valid)[None, :]
         mask_lj = other & (d2 < rc2)
         mask_qq = mask_lj if params.qq_r_cut is None else other & (d2 < qrc2)
         d2s = jnp.where(mask_lj | mask_qq, d2, jnp.ones((), dtype))
@@ -354,16 +377,19 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
     n_types = system.eps_table.shape[0]
     t_pad = _round_up(n_types, 8)
 
-    # static per-row work flags: when every molecule has the same type
-    # pattern, rows whose site has no LJ (or no charge) skip that work at
-    # trace time (e.g. water H sites carry charge but no LJ)
-    tids_np = np.asarray(system.type_ids)
-    qs_np = np.asarray(system.charges)
-    uniform = system.is_uniform
+    # static per-row work flags: when every molecule OF THIS SPECIES has
+    # the same type pattern (always true for species built from one
+    # template), rows whose site has no LJ (or no charge) skip that work
+    # at trace time (e.g. water H sites carry charge but no LJ)
+    tids_np = np.asarray(system.type_ids)[:, :P]
+    qs_np = np.asarray(system.charges)[:, :P]
+    uniform = bool((tids_np[m0:m1] == tids_np[m0]).all()
+                   and (qs_np[m0:m1] == qs_np[m0]).all())
     if uniform:
         eps_np = np.asarray(system.eps_table)
-        has_lj_p = [bool(np.any(eps_np[tids_np[0, p]] != 0.0)) for p in range(P)]
-        has_q_p = [bool(qs_np[0, p] != 0.0) for p in range(P)]
+        has_lj_p = [bool(np.any(eps_np[tids_np[m0, p]] != 0.0))
+                    for p in range(P)]
+        has_q_p = [bool(qs_np[m0, p] != 0.0) for p in range(P)]
     else:
         has_lj_p = [True] * P
         has_q_p = [True] * P
@@ -387,15 +413,15 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
     q8_mol = np.zeros((M, n_rows), np.float32)
     et = np.asarray(system.eps_table, np.float32)
     st2 = np.asarray(system.sig_table, np.float32) ** 2
-    for mi in range(M):
-        tm = np.asarray(system.type_ids)[mi]
+    for mi in range(m0, m1):
+        tm = tids_np[mi]
         for p in range(P):
             eps_rows_mol[mi, p, :n_types] = et[tm[p]]
             eps_rows_mol[mi, P + p, :n_types] = et[tm[p]]
             sig2_rows_mol[mi, p, :n_types] = st2[tm[p]]
             sig2_rows_mol[mi, P + p, :n_types] = st2[tm[p]]
-        q8_mol[mi, :P] = np.asarray(system.charges)[mi]
-        q8_mol[mi, P:2 * P] = np.asarray(system.charges)[mi]
+        q8_mol[mi, :P] = qs_np[mi]
+        q8_mol[mi, P:2 * P] = qs_np[mi]
     eps_rows_mol = jnp.asarray(eps_rows_mol)
     sig2_rows_mol = jnp.asarray(sig2_rows_mol)
     q8_mol = jnp.asarray(q8_mol)

@@ -26,8 +26,12 @@ from metropolismontecarlo_tpu.utils.chunking import chunked_vmap
 
 
 def make_volume_move_fn(system, params, kvecs, kweights, dtype=jnp.float32,
-                        chunk=8):
-    """Build `volume_move(state) -> state` over the full chain batch."""
+                        chunk=8, build_coords=None):
+    """Build `volume_move(state) -> state` over the full chain batch.
+
+    build_coords: (com, quat) -> (3, A_pad) transposed padded atoms (the
+    driver's ragged-aware builder); a uniform-width fallback is used when
+    not given."""
     M, P, A = system.n_mol, system.atoms_per_mol, system.n_atoms
     body = jnp.asarray(system.body, dtype)
     pres = jnp.asarray(params.pressure, dtype)
@@ -48,11 +52,14 @@ def make_volume_move_fn(system, params, kvecs, kweights, dtype=jnp.float32,
         box_new = vol_new ** (1.0 / 3.0)
         scale = box_new / box
         com_new = com * scale
-        coords_new = (com_new[:, None, :] + rotate_vectors(quat, body)) \
-            .reshape(A, 3).T  # (3, A) transposed layout
-        pad = system.n_atoms_padded - A
-        if pad:
-            coords_new = jnp.pad(coords_new, ((0, 0), (0, pad)))
+        if build_coords is not None:
+            coords_new = build_coords(com_new, quat)
+        else:
+            coords_new = (com_new[:, None, :] + rotate_vectors(quat, body)) \
+                .reshape(A, 3).T  # (3, A) transposed layout
+            pad = system.n_atoms_padded - A
+            if pad:
+                coords_new = jnp.pad(coords_new, ((0, 0), (0, pad)))
         return do_move, box_new, com_new, coords_new, vol_old, vol_new, u_acc
 
     def recompute(coords_t, com, box):

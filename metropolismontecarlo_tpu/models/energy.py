@@ -23,6 +23,21 @@ from metropolismontecarlo_tpu.ops import wolf as wolf_ops
 from metropolismontecarlo_tpu.ops.pairs import full_pair_mask, pair_dist2
 
 
+def _intra_terms(system, coords, kappa, box, dtype):
+    """(E_intra, W_intra_kappa) summed over species blocks: ragged systems
+    evaluate each species' (count, p, 3) slice separately (static slices,
+    no per-molecule padding work)."""
+    e = w = jnp.zeros((), dtype)
+    for _, m0, m1, p, a0 in system.species_slices:
+        if p < 2:
+            continue
+        c = coords[a0:a0 + (m1 - m0) * p].reshape(m1 - m0, p, 3)
+        q = jnp.asarray(np.asarray(system.charges)[m0:m1, :p], dtype)
+        e = e + ewald_ops.ewald_intra(c, q, kappa, box)
+        w = w + ewald_ops.ewald_intra_kappa(c, q, kappa, box)
+    return e, w
+
+
 def energy_breakdown(system, params, coords, com, box, kvecs=None, kweights=None):
     """Total potential energy of one configuration, by component.
 
@@ -46,8 +61,9 @@ def energy_breakdown(system, params, coords, com, box, kvecs=None, kweights=None
     eps_pair = eps_t[tid[:, None], tid[None, :]]
     sig_pair = sig_t[tid[:, None], tid[None, :]]
 
-    coords_mp = coords.reshape(M, P, 3)
-    key = com if params.cutoff_mode != "first" else coords_mp[:, 0, :]
+    mol_id = jnp.asarray(system.mol_of_atom_padded[: system.n_atoms])
+    key = com if params.cutoff_mode != "first" \
+        else coords[jnp.asarray(system.mol_a0)]
 
     d2, dr_ab = pair_dist2(coords, coords, box)
     # molecular (COM) displacement grid for the virial, in the image
@@ -55,13 +71,14 @@ def energy_breakdown(system, params, coords, com, box, kvecs=None, kweights=None
     # rigid atom-from-COM offsets.  Min-imaging the COM grid independently
     # picks the wrong image for boundary pairs when r_cut approaches L/2
     # (e.g. the 20 A NIST boxes), which corrupts the virial projection.
-    delta = coords - jnp.repeat(com, P, axis=0)
+    delta = coords - com[mol_id]
     delta = delta - box * jnp.round(delta / box)
     dr_ij = dr_ab - delta[:, None, :] + delta[None, :, :]
 
     site = params.cutoff_mode == "site"
     mask_lj = full_pair_mask(coords, key, M, box, params.r_cut,
-                             "site" if site else params.cutoff_mode)
+                             "site" if site else params.cutoff_mode,
+                             mol_id=mol_id)
     pot, w = lj_ops.lj_masked_sum(
         d2, dr_ab, dr_ij, mask_lj, eps_pair, sig_pair, params.r_cut,
         params.lj_shift, site_cutoff=False,  # mask already applies site cutoff
@@ -96,7 +113,7 @@ def energy_breakdown(system, params, coords, com, box, kvecs=None, kweights=None
             mask_qq = mask_lj
         else:
             mask_qq = full_pair_mask(coords, key, M, box, params.qq_cut,
-                                     params.cutoff_mode)
+                                     params.cutoff_mode, mol_id=mol_id)
         dot = jnp.sum(dr_ij * dr_ab, axis=-1)  # r_ij_com . r_ab per pair
         if params.coulomb == "ewald":
             e_real = 0.5 * ewald_ops.real_space_sum(d2, qq, mask_qq, kappa)
@@ -104,20 +121,16 @@ def energy_breakdown(system, params, coords, com, box, kvecs=None, kweights=None
             sfac = ewald_ops.structure_factor(coords, charges, kvecs, box)
             e_four = ewald_ops.recip_energy(sfac, cf)
             e_self = ewald_ops.ewald_self(charges, kappa)
-            e_intra = ewald_ops.ewald_intra(
-                coords_mp, jnp.asarray(system.charges, dtype), kappa, box
-            )
+            e_intra, w_intra = _intra_terms(system, coords, kappa, box, dtype)
             # EXACT molecular virial (closed form; see ops.ewald): the
             # self term's kappa derivative equals E_self itself
             w_coul = (
                 0.5 * ewald_ops.real_space_virial(d2, qq, dot, mask_qq,
                                                   kappa, "ewald")
-                + ewald_ops.recip_virial(sfac, cf, coords,
-                                         jnp.repeat(com, P, axis=0),
+                + ewald_ops.recip_virial(sfac, cf, coords, com[mol_id],
                                          charges, kvecs, box)
                 + e_self
-                + ewald_ops.ewald_intra_kappa(
-                    coords_mp, jnp.asarray(system.charges, dtype), kappa, box)
+                + w_intra
             )
         elif params.coulomb == "wolf":
             e_real = 0.5 * wolf_ops.wolf_pair_sum(
@@ -177,7 +190,7 @@ def _energy_breakdown_tiled(system, params, coords, com, box, kvecs,
     tid_pad[:A] = tid
     tid_rows = jnp.asarray(tid_pad)
     mol_np = np.full(A_r, -1, np.int32)
-    mol_np[:A] = np.repeat(np.arange(M, dtype=np.int32), P)
+    mol_np[:A] = system.atom_mol_slot[0]
     mol_rows = jnp.asarray(mol_np)
     mol_cols = jnp.asarray(mol_np[:A])
     q_np = np.zeros(A_r)
@@ -298,17 +311,13 @@ def _energy_breakdown_tiled(system, params, coords, com, box, kvecs,
             sfac = ewald_ops.structure_factor(coords, charges, kvecs, box)
             e_four = ewald_ops.recip_energy(sfac, cf)
             e_self = ewald_ops.ewald_self(charges, kappa)
-            e_intra = ewald_ops.ewald_intra(
-                coords.reshape(M, P, 3),
-                jnp.asarray(system.charges, dtype), kappa, box)
+            e_intra, w_intra = _intra_terms(system, coords, kappa, box, dtype)
             w_coul = w_coul + (
                 ewald_ops.recip_virial(sfac, cf, coords,
                                        com[jnp.clip(mol_cols, 0, M - 1)],
                                        charges, kvecs, box)
                 + e_self
-                + ewald_ops.ewald_intra_kappa(
-                    coords.reshape(M, P, 3),
-                    jnp.asarray(system.charges, dtype), kappa, box))
+                + w_intra)
         elif params.coulomb == "wolf":
             e_self = wolf_ops.wolf_self(charges, kappa, params.qq_cut)
             w_coul = w_coul + wolf_ops.wolf_self_kappa(

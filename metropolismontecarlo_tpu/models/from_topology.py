@@ -76,7 +76,7 @@ def system_from_topology(
 
     p_max = max(len(top.mol_types[nm].atoms) for nm in used_mols)
 
-    bodies, masses, charges, type_ids = [], [], [], []
+    bodies, masses, charges, type_ids, species = [], [], [], [], []
     for mol_name, count in molecules:
         if count <= 0:
             continue
@@ -92,7 +92,9 @@ def system_from_topology(
         q = np.array([a[1] for a in mt.atoms])
         t = np.array([t_index[a[0]] for a in mt.atoms], np.int32)
         body = body_frame_from_template(tmpl, m)
-        # pad to p_max: slots at the COM with no mass/charge/LJ
+        # per-molecule arrays stay padded to p_max (shape regularity);
+        # the ATOM axis is ragged — the species metadata below makes each
+        # molecule own only its p real atom columns (System docstring)
         bp = np.zeros((p_max, 3)); bp[:p] = body
         mp = np.zeros(p_max); mp[:p] = m
         qp = np.zeros(p_max); qp[:p] = q
@@ -100,6 +102,7 @@ def system_from_topology(
         for _ in range(count):
             bodies.append(bp); masses.append(mp); charges.append(qp)
             type_ids.append(tp)
+        species.append((mol_name, count, p))
 
     return System(
         n_mol=len(bodies),
@@ -111,6 +114,7 @@ def system_from_topology(
         eps_table=eps_table,
         sig_table=sig_table,
         name=name,
+        species=tuple(species),
     )
 
 

@@ -37,10 +37,18 @@ class System:
 
     Reference analogue: FFParameters/Tables/soa/moa construction in
     `Ewald/setup.jl:446-673`.
+
+    Mixed species use RAGGED species-blocked storage: `species` lists
+    contiguous blocks of identical molecules as (name, count, p) tuples
+    (molecule order must match).  Per-molecule arrays stay padded to the
+    widest species (atoms_per_mol = P_max) for shape regularity, but the
+    ATOM axis is ragged — molecule m owns mol_p[m] atom columns starting
+    at mol_a0[m], so a 3-atom water next to an 11-atom MEA costs 3
+    columns, not 11.  species=None means one uniform-width block.
     """
 
     n_mol: int                 # M
-    atoms_per_mol: int         # P (padded width)
+    atoms_per_mol: int         # P_max (per-molecule array width)
     body: np.ndarray           # (M, P, 3) body-fixed coords (COM at origin)
     masses: np.ndarray         # (M, P); 0.0 marks padding slots
     charges: np.ndarray        # (M, P)
@@ -48,10 +56,48 @@ class System:
     eps_table: np.ndarray      # (T, T) epsilon_ij in K (pre-mixed)
     sig_table: np.ndarray      # (T, T) sigma_ij in Angstrom
     name: str = "system"
+    species: Optional[tuple] = None   # ((name, count, p), ...) or None
+
+    @property
+    def species_slices(self):
+        """((name, m0, m1, p, a0), ...): molecule range [m0, m1), atoms
+        per molecule p, and first atom column a0 of each species block."""
+        if self.species is None:
+            return (("all", 0, self.n_mol, self.atoms_per_mol, 0),)
+        out, m0, a0 = [], 0, 0
+        for name, count, p in self.species:
+            out.append((name, m0, m0 + count, p, a0))
+            m0 += count
+            a0 += count * p
+        assert m0 == self.n_mol, "species counts disagree with n_mol"
+        return tuple(out)
+
+    @property
+    def mol_p(self):
+        """(M,) true atoms per molecule."""
+        out = np.empty(self.n_mol, np.int32)
+        for _, m0, m1, p, _ in self.species_slices:
+            out[m0:m1] = p
+        return out
+
+    @property
+    def mol_a0(self):
+        """(M,) first atom column of each molecule."""
+        p = self.mol_p
+        return np.concatenate([[0], np.cumsum(p)[:-1]]).astype(np.int32)
+
+    @property
+    def uniform_width(self):
+        """True when every molecule has atoms_per_mol atom columns (the
+        fast reshape layout; ragged systems gather instead)."""
+        return self.species is None or all(
+            p == self.atoms_per_mol for _, _, p in self.species)
 
     @property
     def n_atoms(self):
-        return self.n_mol * self.atoms_per_mol
+        if self.species is None:
+            return self.n_mol * self.atoms_per_mol
+        return int(sum(count * p for _, count, p in self.species))
 
     @property
     def n_atoms_padded(self):
@@ -62,17 +108,29 @@ class System:
         return -(-self.n_atoms // gran) * gran
 
     @property
+    def atom_mol_slot(self):
+        """((A,) molecule index, (A,) slot-within-molecule index): the
+        gather map from (M, P_max) padded arrays to the ragged atom axis."""
+        mol = np.repeat(np.arange(self.n_mol, dtype=np.int32), self.mol_p)
+        slot = np.arange(self.n_atoms, dtype=np.int32) \
+            - np.repeat(self.mol_a0, self.mol_p)
+        return mol, slot
+
+    @property
     def mol_of_atom_padded(self):
         """(A_pad,) molecule index per atom column; -1 marks padding."""
         out = np.full(self.n_atoms_padded, -1, np.int32)
-        out[: self.n_atoms] = np.repeat(
-            np.arange(self.n_mol, dtype=np.int32), self.atoms_per_mol)
+        out[: self.n_atoms] = self.atom_mol_slot[0]
         return out
 
     @property
     def is_uniform(self):
         """True when every molecule shares one body/charge/type pattern
-        (enables the mega kernel and static per-row work flags)."""
+        (enables the single-call mega kernel and static per-row work
+        flags).  Ragged mixtures are instead PER-SPECIES uniform — see
+        species_slices."""
+        if not self.uniform_width:
+            return False
         t = np.asarray(self.type_ids)
         q = np.asarray(self.charges)
         b = np.asarray(self.body)
@@ -83,18 +141,22 @@ class System:
     def tid_row_padded(self):
         """(A_pad,) per-atom LJ type id; -1 marks lane padding."""
         out = np.full(self.n_atoms_padded, -1, np.int64)
-        out[: self.n_atoms] = self.type_ids.reshape(-1)
+        out[: self.n_atoms] = self.flat(self.type_ids)
         return out
 
     @property
     def type_counts(self):
         t = np.zeros(self.eps_table.shape[0])
-        np.add.at(t, self.type_ids.reshape(-1), 1.0)
+        np.add.at(t, self.flat(np.asarray(self.type_ids)), 1.0)
         return t
 
     def flat(self, arr):
-        """(M, P, ...) -> (A, ...)."""
-        return arr.reshape((self.n_atoms,) + arr.shape[2:])
+        """(M, P_max, ...) -> (A, ...): drop per-molecule padding slots.
+        Works on host numpy and traced jnp arrays alike."""
+        if self.uniform_width:
+            return arr.reshape((self.n_atoms,) + arr.shape[2:])
+        mol, slot = self.atom_mol_slot
+        return arr[mol, slot]
 
 
 @dataclasses.dataclass(frozen=True)

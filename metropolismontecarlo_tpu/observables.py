@@ -27,7 +27,7 @@ class RDFAccumulator:
         tid = system.flat(system.type_ids)
         self.idx_i = np.nonzero(tid == type_i)[0]
         self.idx_j = np.nonzero(tid == type_j)[0]
-        mol = np.repeat(np.arange(system.n_mol), system.atoms_per_mol)
+        mol = system.atom_mol_slot[0]
         self.mol_i = mol[self.idx_i]
         self.mol_j = mol[self.idx_j]
         self.same_type = type_i == type_j

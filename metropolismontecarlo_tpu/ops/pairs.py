@@ -32,17 +32,19 @@ def molecule_key_points(coords_mpa, com, mode):
     raise ValueError(f"no molecular key point for cutoff mode {mode!r}")
 
 
-def full_pair_mask(coords, com, n_mol, box, r_cut, mode):
+def full_pair_mask(coords, com, n_mol, box, r_cut, mode, mol_id=None):
     """(A, A) include-mask for a full-system pair sum.
 
-    coords: (A, 3) with A = n_mol * P, molecule-major atom order.
+    coords: (A, 3), molecule-major atom order.
     com:    (M, 3) molecular key points (COM or first-atom, per `mode`).
+    mol_id: (A,) molecule index per atom; derived assuming uniform width
+            A = n_mol * P when omitted (ragged systems must pass it).
     Excludes intramolecular pairs and the diagonal; applies the cutoff.
     Returns a bool mask.
     """
     A = coords.shape[0]
-    P = A // n_mol
-    mol_id = jnp.repeat(jnp.arange(n_mol), P)
+    if mol_id is None:
+        mol_id = jnp.repeat(jnp.arange(n_mol), A // n_mol)
     inter = mol_id[:, None] != mol_id[None, :]
     if mode == "site":
         d2 = min_image_dist2(coords[:, None, :], coords[None, :, :], box)

@@ -171,7 +171,7 @@ def main(argv=None):
             from metropolismontecarlo_tpu.io.pdb import write_pdb
             tid = system.flat(system.type_ids)
             names = [f"T{t}" for t in tid]
-            res = np.repeat(np.arange(system.n_mol) + 1, system.atoms_per_mol)
+            res = system.atom_mol_slot[0] + 1
             write_pdb(os.path.join(out_dir, f"frame_{block + 1}.pdb"),
                       np.asarray(state.coords[0]).T[: system.n_atoms], names,
                       [system.name[:3].upper()] * system.n_atoms, res,
