@@ -86,7 +86,7 @@ def _setup(config, n_chains):
 
 def main():
     config = os.environ.get("BENCH_CONFIG", "spce")
-    default_chains = {"mixture": 64}.get(config, 2048)
+    default_chains = {"mixture": 256}.get(config, 2048)
     n_chains = int(os.environ.get("BENCH_CHAINS", str(default_chains)))
     n_steps = int(os.environ.get("BENCH_STEPS", "2"))
 

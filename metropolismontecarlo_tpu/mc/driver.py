@@ -37,8 +37,9 @@ class MonteCarlo:
 
     def __init__(self, system, params, dtype=jnp.float32, recompute_chunk=8,
                  pallas="auto"):
-        """pallas: "auto" (on TPU: whole-sweep mega-kernel for uniform
-        single-species systems, else the per-move kernel), "mega"/"tpu"
+        """pallas: "auto" (on TPU: whole-sweep mega-kernel for species-
+        uniform systems — incl. ragged mixtures, one kernel call per
+        species block — else the per-move kernel), "mega"/"tpu"
         (force those), "interpret"/"mega_interpret" (Pallas interpreter,
         CPU testing), or False/None (pure-jnp path).
 
@@ -58,10 +59,12 @@ class MonteCarlo:
         supported = (params.cutoff_mode == "site"
                      and params.lj_shift == "none"
                      and dtype == jnp.float32)
-        uniform = system.is_uniform
-        # the mega kernel additionally supports the linear (Mossa) shift
+        # the mega kernel additionally supports the linear (Mossa) shift;
+        # ragged mixtures qualify when each species block is internally
+        # uniform (one kernel call per block)
         mega_ok = (params.cutoff_mode == "site" and dtype == jnp.float32
-                   and params.lj_shift in ("none", "linear") and uniform)
+                   and params.lj_shift in ("none", "linear")
+                   and system.species_uniform)
         if params.nlist_width > 0:
             if pallas not in ("auto", False, None):
                 raise ValueError(
@@ -86,8 +89,9 @@ class MonteCarlo:
             pallas_mode = None
         if pallas_mode in ("mega", "mega_interpret"):
             if not mega_ok:
-                raise ValueError("mega sweep requires a uniform system, "
-                                 "site cutoff, none/linear LJ shift, f32")
+                raise ValueError("mega sweep requires a species-uniform "
+                                 "system, site cutoff, none/linear LJ "
+                                 "shift, f32")
         elif pallas_mode and not supported:
             raise ValueError("Pallas path requires site cutoff, unshifted "
                              "LJ, and float32")

@@ -489,50 +489,61 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
 def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
     """Whole-sweep Pallas path: returns `sweep_full(state) -> state`.
 
-    Requires a molecule-uniform system (single species), site cutoff,
-    unshifted LJ, f32.  See ops.pallas.sweep_kernel.
+    Requires a species-uniform system (one body/charge/type template per
+    species block — System.species_uniform), site cutoff, none/linear LJ
+    shift, f32.  Ragged mixtures run ONE kernel call per species block:
+    each call sweeps that block's molecules (static atom count P and
+    offsets) over the FULL atom planes, threading coordinate/structure-
+    factor planes from call to call, so a sweep is exactly one move per
+    molecule in storage order — the same schedule as the jnp and
+    per-move-Pallas paths.  See ops.pallas.sweep_kernel.
     """
     from metropolismontecarlo_tpu.ops.pallas.sweep_kernel import sweep_pallas
 
-    M, P, A = system.n_mol, system.atoms_per_mol, system.n_atoms
+    M, A = system.n_mol, system.n_atoms
     A_pad = system.n_atoms_padded
     tids_np = np.asarray(system.type_ids)
     qs_np = np.asarray(system.charges)
     bodies_np = np.asarray(system.body)
-    if not system.is_uniform or params.cutoff_mode != "site" \
+    if not system.species_uniform or params.cutoff_mode != "site" \
             or params.lj_shift not in ("none", "linear"):
-        raise ValueError("mega sweep requires a uniform single-species "
-                         "system and site cutoff")
+        raise ValueError("mega sweep requires a species-uniform system "
+                         "and site cutoff")
 
     n_types = system.eps_table.shape[0]
     t_pad = _round_up(n_types, 8)
-    p_pad = _round_up(max(3 * P, P), 32)
-
-    body_row = np.zeros((1, p_pad), np.float32)
-    body_row[0, : 3 * P] = bodies_np[0].reshape(-1)
-    qp_row = np.zeros((1, p_pad), np.float32)
-    qp_row[0, :P] = qs_np[0]
-    eps_pt = np.zeros((max(P, 8), t_pad), np.float32)
-    sig2_pt = np.zeros((max(P, 8), t_pad), np.float32)
-    lam1_pt = np.zeros((max(P, 8), t_pad), np.float32)
-    lam2_pt = np.zeros((max(P, 8), t_pad), np.float32)
     et = np.asarray(system.eps_table, np.float32)
     st = np.asarray(system.sig_table, np.float32)
     st2 = st**2
-    for p in range(P):
-        eps_pt[p, :n_types] = et[tids_np[0, p]]
-        sig2_pt[p, :n_types] = st2[tids_np[0, p]]
-        if params.lj_shift == "linear":
-            from metropolismontecarlo_tpu.ops.lj import _shift_coeffs
-            srow = st[tids_np[0, p]]
-            l1, l2 = _shift_coeffs(params.r_cut / srow)
-            # pre-scale: in-kernel shift is eps*(lam1 + lam2 * r)
-            lam1_pt[p, :n_types] = et[tids_np[0, p]] * l1
-            lam2_pt[p, :n_types] = et[tids_np[0, p]] * l2 / srow
-    has_lj = tuple(bool(np.any(et[tids_np[0, p]] != 0.0))
-                   for p in range(P))
-    has_q = tuple(bool(qs_np[0, p] != 0.0) for p in range(P))
     use_coul = params.coulomb != "none"
+
+    def block_tables(m0, P):
+        """Per-species constant tables from the block's template
+        (molecule m0): body row, per-site charges, per-site LJ rows."""
+        p_pad = _round_up(max(3 * P, P), 32)
+        body_row = np.zeros((1, p_pad), np.float32)
+        body_row[0, : 3 * P] = bodies_np[m0, :P].reshape(-1)
+        qp_row = np.zeros((1, p_pad), np.float32)
+        qp_row[0, :P] = qs_np[m0, :P]
+        eps_pt = np.zeros((max(P, 8), t_pad), np.float32)
+        sig2_pt = np.zeros((max(P, 8), t_pad), np.float32)
+        lam1_pt = np.zeros((max(P, 8), t_pad), np.float32)
+        lam2_pt = np.zeros((max(P, 8), t_pad), np.float32)
+        for p in range(P):
+            eps_pt[p, :n_types] = et[tids_np[m0, p]]
+            sig2_pt[p, :n_types] = st2[tids_np[m0, p]]
+            if params.lj_shift == "linear":
+                from metropolismontecarlo_tpu.ops.lj import _shift_coeffs
+                srow = st[tids_np[m0, p]]
+                l1, l2 = _shift_coeffs(params.r_cut / srow)
+                # pre-scale: in-kernel shift is eps*(lam1 + lam2 * r)
+                lam1_pt[p, :n_types] = et[tids_np[m0, p]] * l1
+                lam2_pt[p, :n_types] = et[tids_np[m0, p]] * l2 / srow
+        has_lj = tuple(bool(np.any(et[tids_np[m0, p]] != 0.0))
+                       for p in range(P))
+        has_q = tuple(bool(qs_np[m0, p] != 0.0) for p in range(P))
+        return (body_row, qp_row, eps_pt, sig2_pt, lam1_pt, lam2_pt,
+                has_lj, has_q)
 
     tid_row = np.zeros(A_pad, np.float32)
     tid_row[:A] = system.flat(system.type_ids)
@@ -540,6 +551,8 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
     molid_row = system.mol_of_atom_padded.astype(np.float32)
     q_row = np.zeros(A_pad, np.float32)
     q_row[:A] = system.flat(system.charges)
+    shared_rows = (jnp.asarray(tid_row), jnp.asarray(molid_row),
+                   jnp.asarray(q_row))
 
     if kvecs is not None:
         kx = jnp.asarray(kvecs[:, 0], jnp.float32)
@@ -549,36 +562,50 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
     else:
         kx = ky = kz = kw_r = jnp.zeros((1,), jnp.float32)
 
-    statics = dict(
-        M=M, P=P, coulomb=params.coulomb, n_types=n_types,
-        has_lj=has_lj, has_q=has_q, rc2=float(params.r_cut**2),
-        qrc2=float(params.qq_cut**2), kappa_l=float(params.kappa_L),
-        d2_overlap=float(params.d2_overlap),
-        p_translate=float(params.p_translate),
-        use_rot=(P > 1 and params.p_translate < 1.0),
-        lj_shift=params.lj_shift,
-        cb=int(os.environ.get("MMC_MEGA_CB", "64")),
-        interpret=interpret,
-    )
-    consts = (jnp.asarray(body_row), jnp.asarray(qp_row),
-              jnp.asarray(eps_pt), jnp.asarray(sig2_pt),
-              jnp.asarray(lam1_pt), jnp.asarray(lam2_pt),
-              jnp.asarray(tid_row), jnp.asarray(molid_row),
-              jnp.asarray(q_row), kx, ky, kz, kw_r)
-
     m_pad = _round_up(M, 128)
+    K = len(kweights) if kvecs is not None else 1
+    P_max = max(sl[3] for sl in system.species_slices)
+    # Auto chain-block size: the kernel's VMEM working set must fit the
+    # ~16 MiB scoped limit.  Per chain: in+out atom/COM-quat/sfac planes
+    # + cfac scratch; shared: tid/mol/q rows, k rows, per-row LJ scratch.
+    per_chain = 4 * (2 * 3 * A_pad + 2 * 7 * m_pad + (2 * 2 + 1) * K + 40)
+    lam_w = A_pad if params.lj_shift == "linear" else 128
+    shared = 4 * (3 * A_pad + 4 * K
+                  + max(P_max, 8) * (2 * A_pad + 2 * lam_w))
+    budget = 12 * 1024 * 1024 - shared
+    cb_fit = max(1, budget // per_chain)
+    cb = int(os.environ.get("MMC_MEGA_CB", "0")) \
+        or min(64, next(b for b in (64, 32, 16, 8, 4, 2, 1) if b <= cb_fit))
+    blocks = []
+    for _, m0, m1, P, a0 in system.species_slices:
+        (body_row, qp_row, eps_pt, sig2_pt, lam1_pt, lam2_pt,
+         has_lj, has_q) = block_tables(m0, P)
+        statics = dict(
+            M=m1 - m0, P=P, coulomb=params.coulomb, n_types=n_types,
+            has_lj=has_lj, has_q=has_q, rc2=float(params.r_cut**2),
+            qrc2=float(params.qq_cut**2), kappa_l=float(params.kappa_L),
+            d2_overlap=float(params.d2_overlap),
+            p_translate=float(params.p_translate),
+            use_rot=(P > 1 and params.p_translate < 1.0),
+            lj_shift=params.lj_shift, cb=cb, interpret=interpret,
+            m_start=m0, a_start=a0,
+        )
+        consts = (jnp.asarray(body_row), jnp.asarray(qp_row),
+                  jnp.asarray(eps_pt), jnp.asarray(sig2_pt),
+                  jnp.asarray(lam1_pt), jnp.asarray(lam2_pt),
+                  *shared_rows, kx, ky, kz, kw_r)
+        blocks.append((statics, consts))
 
     def sweep_full(state):
         C = state.com.shape[0]
         f32 = jnp.float32
         stats = jnp.zeros((C, 8), f32)
-        seed = state.step.astype(jnp.int32)
         chain_keys = state.key[:, 0].astype(jnp.int32)
 
         def mplane(arr):  # (C, M) -> (C, M_pad) for aligned window access
             return jnp.pad(arr.astype(f32), ((0, 0), (0, m_pad - M)))
 
-        out = sweep_pallas(
+        planes = (
             state.coords[:, 0, :].astype(f32),
             state.coords[:, 1, :].astype(f32),
             state.coords[:, 2, :].astype(f32),
@@ -587,12 +614,21 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
             mplane(state.quat[:, :, 0]), mplane(state.quat[:, :, 1]),
             mplane(state.quat[:, :, 2]), mplane(state.quat[:, :, 3]),
             state.sfac[:, :, 0].astype(f32), state.sfac[:, :, 1].astype(f32),
-            state.box.reshape(C, 1).astype(f32),
-            state.temp.reshape(C, 1).astype(f32),
-            state.dr_max.reshape(C, 1).astype(f32),
-            state.dphi_max.reshape(C, 1).astype(f32),
-            stats, seed, chain_keys, *consts, **statics)
-        x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, stats = out
+        )
+        box_t = (state.box.reshape(C, 1).astype(f32),
+                 state.temp.reshape(C, 1).astype(f32),
+                 state.dr_max.reshape(C, 1).astype(f32),
+                 state.dphi_max.reshape(C, 1).astype(f32))
+        moves_done = 0
+        for statics, consts in blocks:
+            # per-block seed = the global move counter at block start, so
+            # RNG streams stay disjoint across blocks and sweeps
+            seed = (state.step + moves_done).astype(jnp.int32)
+            out = sweep_pallas(*planes, *box_t, stats, seed, chain_keys,
+                               *consts, **statics)
+            planes, stats = out[:12], out[12]
+            moves_done += statics["M"]
+        x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim = planes
         cx, cy, cz = cx[:, :M], cy[:, :M], cz[:, :M]
         qw, qx, qy, qz = qw[:, :M], qx[:, :M], qy[:, :M], qz[:, :M]
         dtype = state.com.dtype

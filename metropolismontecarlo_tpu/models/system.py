@@ -138,6 +138,23 @@ class System:
                     and np.allclose(b, b[0]))
 
     @property
+    def species_uniform(self):
+        """True when every species block is internally uniform (one
+        body/charge/type template per block) — the mega-kernel
+        requirement.  Uniform single-species systems trivially qualify;
+        blocks built by models.from_topology always do (one template
+        per species)."""
+        t = np.asarray(self.type_ids)
+        q = np.asarray(self.charges)
+        b = np.asarray(self.body)
+        for _, m0, m1, p, _ in self.species_slices:
+            if not ((t[m0:m1, :p] == t[m0, :p]).all()
+                    and (q[m0:m1, :p] == q[m0, :p]).all()
+                    and np.allclose(b[m0:m1, :p], b[m0, :p])):
+                return False
+        return True
+
+    @property
     def tid_row_padded(self):
         """(A_pad,) per-atom LJ type id; -1 marks lane padding."""
         out = np.full(self.n_atoms_padded, -1, np.int64)

@@ -53,8 +53,16 @@ def _uniform(bits):
 
 
 def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
-                 kappa_l, d2_overlap, p_translate, use_rot, K, lj_shift):
-    """Builds the kernel body (all sizes/flags static)."""
+                 kappa_l, d2_overlap, p_translate, use_rot, K, lj_shift,
+                 m_start, a_start):
+    """Builds the kernel body (all sizes/flags static).
+
+    M molecules are swept starting at global molecule index `m_start`,
+    whose atoms are the P-wide column groups starting at column
+    `a_start` — a species BLOCK of a ragged mixture (m_start=a_start=0
+    and M=n_mol for uniform systems).  Within the block every molecule
+    shares one body/charge/type template; the pair grid still spans ALL
+    atom lanes, so cross-species interactions are exact."""
 
     def kernel(seed_ref, ckey_ref, body_ref, qp_ref, eps_pt_ref, sig2_pt_ref,
                lam1_pt_ref, lam2_pt_ref,
@@ -138,7 +146,8 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
         def body_pd(p, d):
             return body_ref[0, p * 3 + d]
 
-        def move(m, stats):
+        def move(mi, stats):
+            m = mi + m_start            # global molecule index
             # ---- RNG draws for this move: (cb, 128) bits -> columns ----
             bits = pltpu.prng_random_bits((cb, 128))
             u = _uniform(bits)
@@ -225,9 +234,10 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
             other = (mol_row != m.astype(jnp.float32)) & valid_col  # (1, A)
 
             # aligned 256-wide window containing molecule m's atoms
-            abase = jnp.minimum(m * P // 128 * 128, A_pad - W_a)
+            acol = a_start + mi * P     # first atom column of molecule m
+            abase = jnp.minimum(acol // 128 * 128, A_pad - W_a)
             abase = pl.multiple_of(abase, 128)
-            aoff = m * P - abase
+            aoff = acol - abase
             xwin = x_o[:, pl.ds(abase, W_a)]
             ywin = y_o[:, pl.ds(abase, W_a)]
             zwin = z_o[:, pl.ds(abase, W_a)]
@@ -388,7 +398,8 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
     jax.jit,
     static_argnames=("M", "P", "coulomb", "n_types", "has_lj", "has_q",
                      "rc2", "qrc2", "kappa_l", "d2_overlap", "p_translate",
-                     "use_rot", "cb", "interpret", "lj_shift"),
+                     "use_rot", "cb", "interpret", "lj_shift", "m_start",
+                     "a_start"),
 )
 def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
                  box, temp, drmax, dphi, stats,
@@ -396,22 +407,26 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
                  lam2_pt, tid_row, molid_row, q_row,
                  kx, ky, kz, kw, *, M, P, coulomb, n_types, has_lj, has_q,
                  rc2, qrc2, kappa_l, d2_overlap, p_translate, use_rot,
-                 lj_shift="none", cb=64, interpret=False):
-    """One full MC sweep for all chains.  Planes (C, A_pad)/(C, M)/(C, K);
-    box/temp/drmax/dphi (C, 1); stats (C, 8).
+                 lj_shift="none", cb=64, interpret=False, m_start=0,
+                 a_start=0):
+    """One MC sweep of a species block: molecules [m_start, m_start+M)
+    whose atoms start at column a_start (0/0/n_mol = whole uniform
+    system).  Planes (C, A_pad)/(C, M_pad)/(C, K); box/temp/drmax/dphi
+    (C, 1); stats (C, 8).
     Returns updated (x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, stats).
     """
     C, A = x.shape
     K = sre.shape[1]
     assert A % 128 == 0, "atom planes must be 128-aligned"
+    assert P <= 128, "molecule wider than the aligned atom window"
     MP = cx.shape[1]
     assert MP % 128 == 0, "molecule planes must be 128-padded"
-    cb = next(b for b in (min(cb, C), 32, 16, 8) if C % b == 0)
+    cb = next(b for b in (min(cb, C), 32, 16, 8, 4, 2, 1) if C % b == 0)
     grid = (C // cb,)
 
     kern = _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                         kappa_l, d2_overlap, p_translate, use_rot, K,
-                        lj_shift)
+                        lj_shift, m_start, a_start)
 
     cell = lambda n: pl.BlockSpec((cb, n), lambda c: (c, 0),  # noqa: E731
                                   memory_space=pltpu.VMEM)

@@ -84,6 +84,26 @@ def test_mega_sweep_interpret_energy_bookkeeping():
     assert np.isfinite(m["energy_mean"])
 
 
+def test_mega_sweep_interpret_mixture(reference_dir):
+    """Species-blocked mega path on a ragged MEA+TIP3P mixture: one
+    kernel call per species block (static atom count/offsets each) must
+    keep the drift invariant — exercising per-block templates, the
+    ragged atom windows, and cross-species pair terms in-kernel."""
+    from test_mixture import PARAMS, _mixture
+
+    system = _mixture(reference_dir)
+    assert not system.is_uniform and system.species_uniform
+    mc = MonteCarlo(system, PARAMS, dtype=jnp.float32,
+                    pallas="mega_interpret", recompute_chunk=2)
+    state = mc.init_state(jax.random.PRNGKey(3),
+                          cubic_lattice(system.n_mol, 20.0), box=20.0,
+                          n_chains=8)
+    state, m = mc.run_block(state, 3, adjust=False)
+    assert m["drift_max_rel"] < 5e-5, m["drift_max_rel"]
+    assert np.isfinite(m["energy_mean"])
+    assert int(state.step) == 3 * system.n_mol
+
+
 def test_mega_sweep_interpret_linear_shift():
     """Mega kernel with the Mossa cut-and-shifted LJ: the in-kernel shift
     must match the full recompute's (drift check in interpreter mode)."""
