@@ -56,14 +56,17 @@ class MonteCarlo:
             )
         else:
             self.kvecs, self.kweights = None, None
+        # the Ewald surface (dipole) term lives on the jnp move path only
         supported = (params.cutoff_mode == "site"
                      and params.lj_shift == "none"
-                     and dtype == jnp.float32)
+                     and dtype == jnp.float32
+                     and not params.ewald_surface)
         # the mega kernel additionally supports the linear (Mossa) shift;
         # ragged mixtures qualify when each species block is internally
         # uniform (one kernel call per block)
         mega_ok = (params.cutoff_mode == "site" and dtype == jnp.float32
                    and params.lj_shift in ("none", "linear")
+                   and not params.ewald_surface
                    and system.species_uniform)
         if params.nlist_width > 0:
             if pallas not in ("auto", False, None):

@@ -43,6 +43,14 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def _kernel_coulomb(params):
+    """Static coulomb style for the Pallas kernels ('wolf_ref' selects
+    the reference convention's unshifted erfc pair form)."""
+    if params.coulomb == "wolf" and params.wolf_style != "pairwise":
+        return "wolf_ref"
+    return params.coulomb
+
+
 def nlist_radius(system, params):
     """COM-based list radius: the site cutoff, plus the skin, plus twice
     the largest atom-to-COM distance (atoms of a molecule pair can be
@@ -176,6 +184,21 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
             cf = ewald_ops.cfac_coeffs(kv, kw, kappa, box, dtype)
             d_recip = ewald_ops.recip_energy_delta(sfac, dsfac, cf)
             d_e = d_e + d_recip
+            if params.ewald_surface:
+                # dipole/surface delta: E = c |M|^2, c = factor 2pi/(3V);
+                # M recomputed from state (O(A), jnp path only) and the
+                # moved molecule's dipole swapped old -> new
+                com_all = com[jnp.clip(mol_of_atom, 0, M - 1)]  # (A_pad, 3)
+                m_tot = ewald_ops.surface_dipole(
+                    coords.T, com_all, charges_flat, box)
+                mu_old = ewald_ops.surface_dipole(
+                    pr["ra_old"], pr["com_m"][None, :], q_m, box)
+                mu_new = ewald_ops.surface_dipole(
+                    pr["ra_new"], pr["com_new"][None, :], q_m, box)
+                m_new = m_tot - mu_old + mu_new
+                c_surf = factor * 2.0 * jnp.pi / (3.0 * box**3)
+                d_e = d_e + c_surf * (jnp.sum(m_new * m_new)
+                                      - jnp.sum(m_tot * m_tot))
         else:
             dsfac = jnp.zeros_like(sfac)
 
@@ -244,8 +267,12 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
             if params.coulomb == "ewald":
                 cpair = qq2 * _erfc(kappa * r) / r
             elif params.coulomb == "wolf":
-                shift = _erfc(kappa * params.qq_cut) / params.qq_cut
-                cpair = qq2 * (_erfc(kappa * r) / r - shift)
+                if params.wolf_style == "pairwise":
+                    shift = _erfc(kappa * params.qq_cut) / params.qq_cut
+                    cpair = qq2 * (_erfc(kappa * r) / r - shift)
+                else:  # reference convention: plain erfc pair sum; its
+                    # global constant cancels in deltas (ops.wolf)
+                    cpair = qq2 * _erfc(kappa * r) / r
             elif params.coulomb == "bare":
                 cpair = qq2 / r
             else:
@@ -308,8 +335,12 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
             if params.coulomb == "ewald":
                 cpair = qq2 * _erfc(kappa * r) / r
             elif params.coulomb == "wolf":
-                shift = _erfc(kappa * params.qq_cut) / params.qq_cut
-                cpair = qq2 * (_erfc(kappa * r) / r - shift)
+                if params.wolf_style == "pairwise":
+                    shift = _erfc(kappa * params.qq_cut) / params.qq_cut
+                    cpair = qq2 * (_erfc(kappa * r) / r - shift)
+                else:  # reference convention: plain erfc pair sum; its
+                    # global constant cancels in deltas (ops.wolf)
+                    cpair = qq2 * _erfc(kappa * r) / r
             else:
                 cpair = qq2 / r
             e_coul = factor * jnp.sum(jnp.where(mask_qq, cpair, 0.0), axis=-1)
@@ -456,7 +487,7 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
             state.box, m,
             eps_rows_mol[m], sig2_rows_mol[m], q8_mol[m],
             tid_row_j, molid_row_j, q_row_j,
-            coulomb=params.coulomb, n_types=n_types,
+            coulomb=_kernel_coulomb(params), n_types=n_types,
             n_used=2 * P, row_has_lj=row_has_lj, row_has_q=row_has_q,
             cb=int(os.environ.get("MMC_PALLAS_CB", "256")),
             l_tile=int(os.environ.get("MMC_PALLAS_L", "1024")),
@@ -581,7 +612,7 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
         (body_row, qp_row, eps_pt, sig2_pt, lam1_pt, lam2_pt,
          has_lj, has_q) = block_tables(m0, P)
         statics = dict(
-            M=m1 - m0, P=P, coulomb=params.coulomb, n_types=n_types,
+            M=m1 - m0, P=P, coulomb=_kernel_coulomb(params), n_types=n_types,
             has_lj=has_lj, has_q=has_q, rc2=float(params.r_cut**2),
             qrc2=float(params.qq_cut**2), kappa_l=float(params.kappa_L),
             d2_overlap=float(params.d2_overlap),

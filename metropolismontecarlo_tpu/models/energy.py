@@ -132,17 +132,28 @@ def energy_breakdown(system, params, coords, com, box, kvecs=None, kweights=None
                 + e_self
                 + w_intra
             )
+            if params.ewald_surface:
+                e_surf = ewald_ops.surface_term(coords, com[mol_id],
+                                                charges, box)
+                e_four = e_four + e_surf
+                w_coul = w_coul + 3.0 * e_surf  # U ~ 1/V, like the LRC
         elif params.coulomb == "wolf":
+            shifted = params.wolf_style == "pairwise"
             e_real = 0.5 * wolf_ops.wolf_pair_sum(
-                d2, qq, mask_qq, kappa, params.qq_cut
+                d2, qq, mask_qq, kappa, params.qq_cut, shifted=shifted
             )
             e_self = wolf_ops.wolf_self(charges, kappa, params.qq_cut)
             w_coul = (
-                0.5 * ewald_ops.real_space_virial(d2, qq, dot, mask_qq,
-                                                  kappa, "wolf",
-                                                  qq_cut=params.qq_cut)
+                0.5 * ewald_ops.real_space_virial(
+                    d2, qq, dot, mask_qq, kappa,
+                    "wolf" if shifted else "ewald", qq_cut=params.qq_cut)
                 + wolf_ops.wolf_self_kappa(charges, kappa, params.qq_cut)
             )
+            if not shifted:  # reference convention's global constant
+                e_self = e_self + wolf_ops.wolf_ref_const(
+                    charges, kappa, params.qq_cut)
+                w_coul = w_coul + wolf_ops.wolf_ref_const_kappa(
+                    charges, kappa, params.qq_cut)
         elif params.coulomb == "bare":
             e_real = 0.5 * coulomb_ops.bare_pair_sum(d2, qq, mask_qq)
             w_coul = 0.5 * ewald_ops.real_space_virial(
@@ -255,7 +266,9 @@ def _energy_breakdown_tiled(system, params, coords, com, box, kvecs,
         if use_coul:
             qq = qrow[:, None] * q_cols[None, :]
             r = jnp.sqrt(d2s)
-            if params.coulomb == "ewald":
+            if params.coulomb == "ewald" or (
+                    params.coulomb == "wolf"
+                    and params.wolf_style != "pairwise"):
                 cp = qq * jax.scipy.special.erfc(kappa * r) / r
             elif params.coulomb == "wolf":
                 sh = jax.scipy.special.erfc(kappa * params.qq_cut) / params.qq_cut
@@ -274,7 +287,8 @@ def _energy_breakdown_tiled(system, params, coords, com, box, kvecs,
                 wv = qq * (dot * (jax.scipy.special.erfc(kappa * r)
                                   / (d2s * r) + kappa * c2 * gauss / d2s)
                            - kappa * c2 * gauss)
-                if params.coulomb == "wolf":
+                if params.coulomb == "wolf" \
+                        and params.wolf_style == "pairwise":
                     wv = wv + qq * kappa * c2 \
                         * jnp.exp(-(kappa * params.qq_cut) ** 2)
             wc_a = wc_a + jnp.sum(jnp.where(mask_qq, wv, 0.0))
@@ -318,10 +332,20 @@ def _energy_breakdown_tiled(system, params, coords, com, box, kvecs,
                                        charges, kvecs, box)
                 + e_self
                 + w_intra)
+            if params.ewald_surface:
+                e_surf = ewald_ops.surface_term(
+                    coords, com[jnp.clip(mol_cols, 0, M - 1)], charges, box)
+                e_four = e_four + e_surf
+                w_coul = w_coul + 3.0 * e_surf
         elif params.coulomb == "wolf":
             e_self = wolf_ops.wolf_self(charges, kappa, params.qq_cut)
             w_coul = w_coul + wolf_ops.wolf_self_kappa(
                 charges, kappa, params.qq_cut)
+            if params.wolf_style != "pairwise":
+                e_self = e_self + wolf_ops.wolf_ref_const(
+                    charges, kappa, params.qq_cut)
+                w_coul = w_coul + wolf_ops.wolf_ref_const_kappa(
+                    charges, kappa, params.qq_cut)
         w_ref = e_real + e_four + e_self + e_intra
 
     out["coul_real"] = e_real

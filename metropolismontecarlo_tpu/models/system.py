@@ -187,6 +187,16 @@ class RunParams:
     lj_shift: str = "none"            # "none" | "linear" (ops.lj)
     use_lrc: bool = True              # LJ tail corrections
     coulomb: str = "none"             # "none" | "ewald" | "wolf" | "bare"
+    # Wolf flavor: "pairwise" = standard Wolf et al. (1999) pairwise-
+    # shifted form; "ref" = the reference's convention (plain erfc pair
+    # sum + global -Q^2 erfc(k rc)/rc constant, `Ewald/energy.jl:924-934`)
+    # for number-for-number energy comparison.
+    wolf_style: str = "pairwise"
+    # Ewald surface (dipole) term, removing the tinfoil-boundary
+    # assumption: + factor 2pi/(3V) |sum_i q_i r_i|^2 (vacuum epsilon'=1;
+    # the reference's written-but-disabled `TinfoilBoundary`,
+    # `Ewald/ewalds.jl:835-844`).  jnp move path only (kernels off).
+    ewald_surface: bool = False
     kappa_L: float = 5.6              # Ewald/Wolf damping: kappa = kappa_L / box
     nk: int = 5                       # Ewald k-space range
     ksq_max: int = 27                 # 0 < |k|^2 < ksq_max (integer units)

@@ -247,3 +247,32 @@ def ewald_intra(coords_mp, charges_mp, kappa, box, factor=COULOMB_FACTOR):
     erf = 1.0 - _erfc(kappa * r)
     term = jnp.where(iu, qq * erf / r, 0.0)
     return -factor * jnp.sum(term, axis=(-1, -2, -3))
+
+
+def surface_dipole(coords, com_of_atom, charges, box):
+    """Total dipole M = sum_i q_i (r_i - R_mol(i)) (..., 3), the sum of
+    molecular dipoles.  Equal to sum q_i r_i for charge-neutral molecules
+    but, unlike that form, translation-invariant per molecule and hence
+    continuous under periodic wrapping.  The rigid offset is minimum-
+    imaged like everywhere else."""
+    d = coords - com_of_atom
+    d = d - box * jnp.round(d / box)
+    q = jnp.asarray(charges, coords.dtype)
+    return jnp.einsum("...a,...ad->...d", jnp.broadcast_to(q, d.shape[:-1]),
+                      d)
+
+
+def surface_term(coords, com_of_atom, charges, box, factor=COULOMB_FACTOR):
+    """Ewald surface (dipole) term for vacuum boundary (epsilon' = 1):
+
+      E_surf = factor * 2 pi / (3 V) * |M|^2
+
+    The reference's written-but-disabled `TinfoilBoundary`
+    (`Ewald/ewalds.jl:835-844`); identical to its sum-q_i-r_i form for
+    neutral molecules.  Omitting it (the default) is the tinfoil /
+    conducting boundary convention, which all NIST golden values use.
+    Virial: E ~ 1/V with |M|^2 scale-invariant, so w_surf = 3 E_surf
+    (same pattern as the LRC term)."""
+    m = surface_dipole(coords, com_of_atom, charges, box)
+    vol = box**3
+    return factor * 2.0 * jnp.pi / (3.0 * vol) * jnp.sum(m * m, axis=-1)

@@ -136,6 +136,9 @@ def _kernel(coulomb, n_types, n_used, row_has_lj, row_has_q,
             elif coulomb == "wolf":
                 shift = _erfc_f32(kappa * wolf_rc) / wolf_rc   # (CB, 1)
                 cpair = qq * (_erfc_f32(kappa * r) * inv_r - shift)
+            elif coulomb == "wolf_ref":  # reference convention: no
+                # pairwise shift (global constant cancels in deltas)
+                cpair = qq * (_erfc_f32(kappa * r) * inv_r)
             else:  # bare
                 cpair = qq * inv_r
             ecoul = jnp.sum(jnp.where(mask_qq, cpair, 0.0), axis=1)

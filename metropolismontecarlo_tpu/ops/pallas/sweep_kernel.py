@@ -313,6 +313,9 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                             sh_w = _erfc_f32(kappa * jnp.sqrt(qrc2)) \
                                 / jnp.sqrt(qrc2)
                             cp = qq * (_erfc_f32(kappa * r) * inv_r - sh_w)
+                        elif coulomb == "wolf_ref":  # ref convention:
+                            # unshifted erfc pair (constant cancels)
+                            cp = qq * (_erfc_f32(kappa * r) * inv_r)
                         else:
                             cp = qq * inv_r
                         d_e += (sign * _FACTOR) * jnp.sum(

@@ -21,16 +21,36 @@ from jax.scipy.special import erfc as _erfc
 from metropolismontecarlo_tpu.utils.constants import COULOMB_FACTOR
 
 
-def wolf_pair_sum(d2, qq, mask, kappa, r_cut, factor=COULOMB_FACTOR):
+def wolf_pair_sum(d2, qq, mask, kappa, r_cut, factor=COULOMB_FACTOR,
+                  shifted=True):
     """Masked pairwise Wolf sum: factor * sum qq [erfc(k r)/r - erfc(k rc)/rc]
     over included pairs with r < r_cut.  d2/qq/mask as in ewald.real_space_sum.
-    """
+    shifted=False drops the pairwise shift (the reference convention's
+    plain erfc pair sum; its global constant is wolf_ref_const)."""
     d2s = jnp.where(mask, d2, jnp.ones((), d2.dtype))
     r = jnp.sqrt(d2s)
-    shift = _erfc(kappa * r_cut) / r_cut
+    shift = _erfc(kappa * r_cut) / r_cut if shifted else 0.0
     term = qq * (_erfc(kappa * r) / r - shift)
     keep = mask & (d2 < r_cut * r_cut)
     return factor * jnp.sum(jnp.where(keep, term, 0.0), axis=(-1, -2))
+
+
+def wolf_ref_const(charges, kappa, r_cut, factor=COULOMB_FACTOR):
+    """The reference convention's global constant
+    (`Ewald/energy.jl:924-931`): -factor * erfc(k rc)/rc * (sum_i q_i)^2
+    — the total-charge-square "prefactor", zero for neutral systems.
+    Position-independent, so per-move deltas are unaffected."""
+    q_tot = jnp.sum(jnp.asarray(charges), axis=-1)
+    return -factor * _erfc(kappa * r_cut) / r_cut * q_tot * q_tot
+
+
+def wolf_ref_const_kappa(charges, kappa, r_cut, factor=COULOMB_FACTOR):
+    """kappa-virial of wolf_ref_const (kappa = kappa_L/box is volume-
+    dependent): W = kappa dE/dkappa = +factor (2k/sqrt(pi)) e^{-k^2 rc^2}
+    (sum q)^2."""
+    q_tot = jnp.sum(jnp.asarray(charges), axis=-1)
+    coeff = 2.0 * kappa / jnp.sqrt(jnp.pi) * jnp.exp(-(kappa * r_cut) ** 2)
+    return factor * coeff * q_tot * q_tot
 
 
 def wolf_self(charges, kappa, r_cut, factor=COULOMB_FACTOR):
