@@ -100,8 +100,12 @@ class MonteCarlo:
                              "LJ, and float32")
         self.pallas_mode = pallas_mode
         self._sweep_full = None
+        self._slab_cfg = None
         if pallas_mode in ("mega", "mega_interpret"):
             from metropolismontecarlo_tpu.mc.moves import make_mega_sweep_fn
+            # built WITHOUT sorted slabs here (no box known yet);
+            # init_state/init_from_coords re-build with the actual box so
+            # slab_config can size the windows (_maybe_slab_mega)
             self._sweep_full = make_mega_sweep_fn(
                 system, params, self.kvecs, self.kweights,
                 interpret=(pallas_mode == "mega_interpret"))
@@ -122,6 +126,38 @@ class MonteCarlo:
             if params.pressure is not None and params.p_volume > 0.0
             else None
         )
+
+    def _maybe_slab_mega(self, box_hint, z_hint=None):
+        """Rebuild the mega sweep with sorted-slab windows sized for this
+        box + initial configuration, when profitable (mc.moves.
+        slab_config; no-op otherwise)."""
+        if self.pallas_mode not in ("mega", "mega_interpret"):
+            return
+        from metropolismontecarlo_tpu.mc.moves import (
+            make_mega_sweep_fn,
+            slab_config,
+        )
+        cfg = slab_config(self.system, self.params, box_hint, z_hint)
+        key = None if cfg is None else (cfg["W"], cfg["A_store"])
+        cur = None if self._slab_cfg is None else (
+            self._slab_cfg["W"], self._slab_cfg["A_store"])
+        if key == cur:
+            return
+        self._slab_cfg = cfg
+        self._sweep_full = make_mega_sweep_fn(
+            self.system, self.params, self.kvecs, self.kweights,
+            interpret=(self.pallas_mode == "mega_interpret"),
+            box_hint=box_hint if cfg is not None else None,
+            z_hint=z_hint)
+
+    def retune_slabs(self, state):
+        """Re-size the sorted-slab windows from the CURRENT configuration
+        (e.g. after equilibrating away a lattice start, whose z-plane
+        clumps force conservative windows at init).  Recompiles the mega
+        sweep if the window width changes; resets the coverage counter."""
+        self._maybe_slab_mega(float(jnp.min(state.box)),
+                              np.asarray(state.com[0, :, 2], np.float64))
+        return state._replace(nbr_needed=jnp.zeros_like(state.nbr_needed))
 
     # ---------------- state construction ----------------
 
@@ -163,6 +199,8 @@ class MonteCarlo:
                 quat = jnp.broadcast_to(quat[None], (C, M, 4))
         box = jnp.asarray(box, self.dtype)
         box = jnp.broadcast_to(jnp.atleast_1d(box), (C,))
+        self._maybe_slab_mega(float(jnp.min(box)),
+                              np.asarray(com[0, :, 2], np.float64))
         coords = self.build_coords(com, quat)
         keys = jax.vmap(jax.random.fold_in, (None, 0))(key, jnp.arange(C))
         p = self.params
@@ -208,6 +246,7 @@ class MonteCarlo:
             quat_np[m0:m1] = fit_quaternions(body_np[m0:m1, :p], rel)
         com = jnp.broadcast_to(jnp.asarray(com_np, self.dtype)[None], (C, M, 3))
         quat = jnp.broadcast_to(jnp.asarray(quat_np, self.dtype)[None], (C, M, 4))
+        self._maybe_slab_mega(box_np, com_np[:, 2])
         coords = self.build_coords(com, quat)
         box = jnp.broadcast_to(jnp.asarray(box, self.dtype)[None], (C,))
         keys = jax.vmap(jax.random.fold_in, (None, 0))(key, jnp.arange(C))
@@ -298,9 +337,12 @@ class MonteCarlo:
                 p = self.params
                 # list exactness requires dr_max <= nlist_skin/2 (proposals
                 # are +-dr_max/2 per axis; see RunParams.nlist_width) — cap
-                # the controller so it cannot silently stale the lists
+                # the controller so it cannot silently stale the lists;
+                # sorted-slab windows analogously need dr_max <= slab_skin
                 dr_hi = state.box / 2.0 if p.nlist_width <= 0 else \
                     jnp.minimum(state.box / 2.0, p.nlist_skin / 2.0)
+                if self._slab_cfg is not None:
+                    dr_hi = jnp.minimum(dr_hi, p.slab_skin)
                 dr = adjust_dmax(state.dr_max, state.acc[:, 0], state.att[:, 0],
                                  p.move_accept, dr_hi)
                 dphi = adjust_dmax(state.dphi_max, state.acc[:, 1], state.att[:, 1],
@@ -379,6 +421,15 @@ class MonteCarlo:
                     f"neighbor-list overflow: up to {needed} molecules fell "
                     f"within the list radius during this block but "
                     f"nlist_width={self.params.nlist_width}; increase it")
+        if self._slab_cfg is not None:
+            needed = int(jnp.max(state.nbr_needed))
+            if needed > self._slab_cfg["W"]:
+                raise RuntimeError(
+                    f"sorted-slab window overflow: a molecule's z-"
+                    f"neighborhood needed {needed} columns but the static "
+                    f"window is W={self._slab_cfg['W']}; density "
+                    f"fluctuations exceeded the sizing margin — set "
+                    f"MMC_SLAB_W higher or slab_mode='off'")
         metrics = {
             "energy_mean": float(jnp.mean(e)),
             "energy_min": float(jnp.min(e)),

@@ -51,6 +51,176 @@ def _kernel_coulomb(params):
     return params.coulomb
 
 
+# ---------------- sorted-slab windows (mega path) -----------------------
+#
+# TPU-native sparsity (the reference's neighbor-list TODO,
+# `Ewald/readme.md:21`, re-designed for lane-oriented storage): every
+# chain keeps the LAST (largest) species block z-SORTED, so a molecule's
+# sorted SLOT determines its z-region in every chain and each move's
+# pair scan against that block reads a static 128-aligned window of
+# atom lanes.  Periodic wrap is handled by a halo of ghost columns at
+# the end of the atom axis replicating the block's first W columns
+# (window width W <= A_blk guarantees no real+ghost double count).
+# Cross-block movers (also z-sorted) get slot-proportional windows.
+# Coverage is verified per sort (searchsorted spans vs the static
+# windows) into the nbr_needed counter, checked at block boundaries —
+# the same staleness-guard pattern as the Verlet lists.
+
+
+def slab_config(system, params, box_hint, z_hint=None):
+    """Sorted-slab window configuration for the mega path, or None.
+
+    box_hint: a representative box edge.  z_hint: optional (M,) host
+    z-coordinates of a representative configuration — the window is
+    sized to cover its MEASURED worst slab occupancy (+15%), not just
+    the uniform-density estimate (lattice starts cluster molecules into
+    discrete z-planes that blow a mean-density margin).  The per-sort
+    coverage check still guards against later drift/fluctuations."""
+    if params.slab_mode == "off" or os.environ.get("MMC_SLABS") == "0":
+        return None
+    if box_hint is None or params.p_volume > 0.0:
+        return None     # NPT boxes change; window sizing needs a box
+    force = params.slab_mode == "force" or os.environ.get("MMC_SLABS") == "1"
+    slices = system.species_slices
+    _, m0, m1, P_w, a0_w = slices[-1]
+    M_w = m1 - m0
+    A_blk = M_w * P_w
+    A = system.n_atoms
+    assert a0_w + A_blk == A, "windowed block must end the atom axis"
+    if M_w < 2:
+        return None
+    bodies = np.asarray(system.body)
+    r_body = [float(np.max(np.linalg.norm(bodies[b0:b1, :p], axis=-1)))
+              for _, b0, b1, p, _ in slices]
+    r_half = (max(params.r_cut, params.qq_cut) + r_body[-1]
+              + max(r_body) + params.slab_skin)
+    frac = 2.0 * r_half / float(box_hint)
+    if frac >= 1.0:
+        return None
+    env_w = int(os.environ.get("MMC_SLAB_W", "0"))
+    if env_w:
+        W = _round_up(env_w, 128)
+    else:
+        # windows are slot-CENTERED, so sizing is driven by the worst
+        # ONE-SIDED slab occupancy (an interface/lattice clump is
+        # asymmetric around a molecule at its edge): W covers twice that
+        # (+15% fluctuation margin, +2 molecules, +256 alignment slack)
+        one_sided = frac * M_w / 2.0 * 1.12
+        if z_hint is not None:
+            # measure on the hint config, probed at EVERY molecule's z
+            # (movers of other blocks scan this window too); the driver
+            # can re-tune after equilibration (MonteCarlo.retune_slabs)
+            L = float(box_hint)
+            zq = np.asarray(z_hint, np.float64) % L
+            zb = np.sort(zq[m0:m1])
+            mid = np.searchsorted(zb, zq)
+            lo = np.where(zq - r_half < 0,
+                          np.searchsorted(zb, zq - r_half + L) - M_w,
+                          np.searchsorted(zb, zq - r_half))
+            hi = np.where(zq + r_half >= L,
+                          np.searchsorted(zb, zq + r_half - L) + M_w,
+                          np.searchsorted(zb, zq + r_half))
+            one_sided = max(one_sided,
+                            1.15 * float(np.max(np.maximum(mid - lo,
+                                                           hi - mid))))
+        W = _round_up(2 * int(np.ceil(one_sided + 2)) * P_w + 256, 128)
+        W = min(W, _round_up(A_blk, 128) - 128 if A_blk % 128 else A_blk)
+    if W > A_blk or (not force and W > 0.7 * A_blk):
+        return None     # window would not pay for itself
+    if params.dr_max > params.slab_skin:
+        if force:
+            raise ValueError(
+                f"sorted slabs require dr_max <= slab_skin "
+                f"({params.dr_max} > {params.slab_skin})")
+        return None
+    return dict(m0=m0, m1=m1, P=P_w, a0=a0_w, A_blk=A_blk, W=W,
+                r_half=float(r_half), A=A,
+                A_store=_round_up(A + W, 128))
+
+
+def slab_window_starts(system, cfg):
+    """(M,) int32: the static, 128-aligned global window base for every
+    molecule's scan of the windowed block.  Same-block molecules center
+    on their own sorted slot; other (also z-sorted) blocks map their
+    slot proportionally.  Shared by the kernel (static per move) and the
+    resort coverage check."""
+    m0_w, P_w, a0_w = cfg["m0"], cfg["P"], cfg["a0"]
+    M_w = cfg["m1"] - m0_w
+    A_blk, W, A_store = cfg["A_blk"], cfg["W"], cfg["A_store"]
+    out = np.zeros(system.n_mol, np.int32)
+    for _, b0, b1, p, _ in system.species_slices:
+        for m in range(b0, b1):
+            if b0 == m0_w:
+                c = (m - m0_w) * P_w
+            else:
+                c = int((m - b0 + 0.5) / (b1 - b0) * M_w) * P_w
+            start_rel = (c + P_w // 2 - W // 2) % A_blk
+            g = a0_w + start_rel
+            out[m] = min((g // 128) * 128, A_store - W)
+    return out
+
+
+def make_slab_resort_fn(system, params, cfg):
+    """Returns resort(state) -> state: per-chain z-sort of every species
+    block (>= 2 molecules), plus the window-coverage check folded into
+    state.nbr_needed (max columns any molecule's neighbors needed vs the
+    static W; driver errors at block boundaries if it exceeds W)."""
+    m0_w, m1_w, P_w, a0_w = cfg["m0"], cfg["m1"], cfg["P"], cfg["a0"]
+    M_w = m1_w - m0_w
+    A_blk, W, r_half = cfg["A_blk"], cfg["W"], cfg["r_half"]
+    wstarts = jnp.asarray(slab_window_starts(system, cfg))   # (M,) global
+    wstart_rel = wstarts - a0_w    # may be negative (alignment overhang)
+    sortable = [(b0, b1, p, a0) for _, b0, b1, p, a0
+                in system.species_slices if b1 - b0 >= 2]
+
+    def resort(state):
+        C = state.com.shape[0]
+        box = state.box[:, None]                                # (C, 1)
+        com, quat, coords = state.com, state.quat, state.coords
+        z_s_w = None
+        for b0, b1, p, a0 in sortable:
+            z = com[:, b0:b1, 2]
+            z = z - box * jnp.floor(z / box)                    # [0, box)
+            perm = jnp.argsort(z, axis=1).astype(jnp.int32)     # (C, Mb)
+            idx_m = b0 + perm
+            com = com.at[:, b0:b1].set(
+                jnp.take_along_axis(com, idx_m[:, :, None], axis=1))
+            quat = quat.at[:, b0:b1].set(
+                jnp.take_along_axis(quat, idx_m[:, :, None], axis=1))
+            cols = (a0 + perm[:, :, None] * p
+                    + jnp.arange(p, dtype=jnp.int32)[None, None, :]
+                    ).reshape(C, 1, (b1 - b0) * p)
+            blk = jnp.take_along_axis(
+                coords, jnp.broadcast_to(cols, (C, 3, (b1 - b0) * p)),
+                axis=2)
+            coords = coords.at[:, :, a0:a0 + (b1 - b0) * p].set(blk)
+            if b0 == m0_w:
+                z_s_w = jnp.take_along_axis(z, perm, axis=1)    # sorted
+
+        # coverage check: every molecule's z-neighborhood in the windowed
+        # block must fit its static window (circular, in columns)
+        z_all = com[:, :, 2]
+        z_all = z_all - box * jnp.floor(z_all / box)
+        lo_v = z_all - r_half
+        wl = lo_v < 0.0
+        vs = jax.vmap(jnp.searchsorted)
+        lo = vs(z_s_w, jnp.where(wl, lo_v + box, lo_v)) \
+            - jnp.where(wl, M_w, 0)
+        hi_v = z_all + r_half
+        wh = hi_v >= box
+        hi = vs(z_s_w, jnp.where(wh, hi_v - box, hi_v)) \
+            + jnp.where(wh, M_w, 0)
+        offset = jnp.mod(lo * P_w - wstart_rel[None, :], A_blk)
+        needed = offset + (hi - lo) * P_w                       # (C, M)
+        needed = jnp.where(hi > lo, needed, 0)  # empty span: nothing owed
+        needed = jnp.max(needed, axis=1).astype(jnp.int32)      # (C,)
+        return state._replace(
+            com=com, quat=quat, coords=coords,
+            nbr_needed=jnp.maximum(state.nbr_needed, needed))
+
+    return resort
+
+
 def nlist_radius(system, params):
     """COM-based list radius: the site cutoff, plus the skin, plus twice
     the largest atom-to-COM distance (atoms of a molecule pair can be
@@ -517,7 +687,8 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
     return sweep_body
 
 
-def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
+def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
+                       box_hint=None, z_hint=None):
     """Whole-sweep Pallas path: returns `sweep_full(state) -> state`.
 
     Requires a species-uniform system (one body/charge/type template per
@@ -528,6 +699,11 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
     factor planes from call to call, so a sweep is exactly one move per
     molecule in storage order — the same schedule as the jnp and
     per-move-Pallas paths.  See ops.pallas.sweep_kernel.
+
+    box_hint (a representative box edge) enables the sorted-slab window
+    path when profitable (see slab_config): each sweep starts with a
+    per-chain z-resort, the planes grow a ghost halo, and the kernels
+    scan a static window of the big block instead of all lanes.
     """
     from metropolismontecarlo_tpu.ops.pallas.sweep_kernel import sweep_pallas
 
@@ -540,6 +716,18 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
             or params.lj_shift not in ("none", "linear"):
         raise ValueError("mega sweep requires a species-uniform system "
                          "and site cutoff")
+
+    cfg = slab_config(system, params, box_hint, z_hint)
+    if cfg is not None:
+        A_plane = cfg["A_store"]
+        a0w, Wc = cfg["a0"], cfg["W"]
+        resort = make_slab_resort_fn(system, params, cfg)
+        wstarts_np = slab_window_starts(system, cfg)
+    else:
+        A_plane = A_pad
+        resort = None
+        wstarts_np = np.zeros(M, np.int32)
+    wstarts_j = jnp.asarray(wstarts_np)
 
     n_types = system.eps_table.shape[0]
     t_pad = _round_up(n_types, 8)
@@ -576,12 +764,18 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
         return (body_row, qp_row, eps_pt, sig2_pt, lam1_pt, lam2_pt,
                 has_lj, has_q)
 
-    tid_row = np.zeros(A_pad, np.float32)
+    tid_row = np.full(A_plane, -1.0, np.float32)
     tid_row[:A] = system.flat(system.type_ids)
-    tid_row[A:] = -1.0
-    molid_row = system.mol_of_atom_padded.astype(np.float32)
-    q_row = np.zeros(A_pad, np.float32)
+    molid_row = np.full(A_plane, -1.0, np.float32)
+    molid_row[:A] = system.atom_mol_slot[0]
+    q_row = np.zeros(A_plane, np.float32)
     q_row[:A] = system.flat(system.charges)
+    if cfg is not None:
+        # ghost halo replicates the windowed block's head columns (the
+        # replicated TEMPLATE values are permutation-invariant; ghost
+        # mol ids stay -1 — slab masks are column-range based)
+        tid_row[A:A + Wc] = tid_row[a0w:a0w + Wc]
+        q_row[A:A + Wc] = q_row[a0w:a0w + Wc]
     shared_rows = (jnp.asarray(tid_row), jnp.asarray(molid_row),
                    jnp.asarray(q_row))
 
@@ -599,10 +793,10 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
     # Auto chain-block size: the kernel's VMEM working set must fit the
     # ~16 MiB scoped limit.  Per chain: in+out atom/COM-quat/sfac planes
     # + cfac scratch; shared: tid/mol/q rows, k rows, per-row LJ scratch.
-    per_chain = 4 * (2 * 3 * A_pad + 2 * 7 * m_pad + (2 * 2 + 1) * K + 40)
-    lam_w = A_pad if params.lj_shift == "linear" else 128
-    shared = 4 * (3 * A_pad + 4 * K
-                  + max(P_max, 8) * (2 * A_pad + 2 * lam_w))
+    per_chain = 4 * (2 * 3 * A_plane + 2 * 7 * m_pad + (2 * 2 + 1) * K + 40)
+    lam_w = A_plane if params.lj_shift == "linear" else 128
+    shared = 4 * (3 * A_plane + 4 * K
+                  + max(P_max, 8) * (2 * A_plane + 2 * lam_w))
     budget = 12 * 1024 * 1024 - shared
     cb_fit = max(1, budget // per_chain)
     cb = int(os.environ.get("MMC_MEGA_CB", "0")) \
@@ -611,6 +805,14 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
     for _, m0, m1, P, a0 in system.species_slices:
         (body_row, qp_row, eps_pt, sig2_pt, lam1_pt, lam2_pt,
          has_lj, has_q) = block_tables(m0, P)
+        if cfg is None:
+            slab_b = None
+        else:
+            dense_segs = tuple(
+                (s_a0, (s_m1 - s_m0) * s_p, s_m0 == m0)
+                for _, s_m0, s_m1, s_p, s_a0 in system.species_slices[:-1])
+            slab_b = (cfg["a0"], cfg["A_blk"], cfg["W"],
+                      m0 == cfg["m0"], dense_segs)
         statics = dict(
             M=m1 - m0, P=P, coulomb=_kernel_coulomb(params), n_types=n_types,
             has_lj=has_lj, has_q=has_q, rc2=float(params.r_cut**2),
@@ -619,7 +821,7 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
             p_translate=float(params.p_translate),
             use_rot=(P > 1 and params.p_translate < 1.0),
             lj_shift=params.lj_shift, cb=cb, interpret=interpret,
-            m_start=m0, a_start=a0,
+            m_start=m0, a_start=a0, slab=slab_b,
         )
         consts = (jnp.asarray(body_row), jnp.asarray(qp_row),
                   jnp.asarray(eps_pt), jnp.asarray(sig2_pt),
@@ -628,6 +830,10 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
         blocks.append((statics, consts))
 
     def sweep_full(state):
+        if resort is not None:
+            # per-chain z-sort (energy-invariant relabeling of identical
+            # molecules) + window-coverage check into nbr_needed
+            state = resort(state)
         C = state.com.shape[0]
         f32 = jnp.float32
         stats = jnp.zeros((C, 8), f32)
@@ -636,10 +842,15 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
         def mplane(arr):  # (C, M) -> (C, M_pad) for aligned window access
             return jnp.pad(arr.astype(f32), ((0, 0), (0, m_pad - M)))
 
+        def aplane(k):    # (C, A_pad) -> (C, A_plane) + ghost-halo fill
+            p = state.coords[:, k, :].astype(f32)
+            if cfg is not None:
+                p = jnp.pad(p, ((0, 0), (0, A_plane - A_pad)))
+                p = p.at[:, A:A + Wc].set(p[:, a0w:a0w + Wc])
+            return p
+
         planes = (
-            state.coords[:, 0, :].astype(f32),
-            state.coords[:, 1, :].astype(f32),
-            state.coords[:, 2, :].astype(f32),
+            aplane(0), aplane(1), aplane(2),
             mplane(state.com[:, :, 0]), mplane(state.com[:, :, 1]),
             mplane(state.com[:, :, 2]),
             mplane(state.quat[:, :, 0]), mplane(state.quat[:, :, 1]),
@@ -656,10 +867,12 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False):
             # RNG streams stay disjoint across blocks and sweeps
             seed = (state.step + moves_done).astype(jnp.int32)
             out = sweep_pallas(*planes, *box_t, stats, seed, chain_keys,
-                               *consts, **statics)
+                               wstarts_j, *consts, **statics)
             planes, stats = out[:12], out[12]
             moves_done += statics["M"]
         x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim = planes
+        if cfg is not None:   # drop the ghost halo
+            x, y, z = x[:, :A_pad], y[:, :A_pad], z[:, :A_pad]
         cx, cy, cz = cx[:, :M], cy[:, :M], cz[:, :M]
         qw, qx, qy, qz = qw[:, :M], qx[:, :M], qy[:, :M], qz[:, :M]
         dtype = state.com.dtype

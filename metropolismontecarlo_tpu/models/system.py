@@ -221,6 +221,16 @@ class RunParams:
     # neighbor slabs), future work.
     nlist_width: int = 0
     nlist_skin: float = 2.0
+    # TPU-native sparsity for the mega path: per-chain z-sorted molecule
+    # storage of the LAST (largest) species block, so each move's pair
+    # scan reads a static, 128-aligned window of atom lanes (plus a halo
+    # of head-replica ghost columns for periodic wrap) instead of all
+    # A_pad lanes.  "auto" enables it when the window saves >= 30% of the
+    # block; "force"/"off" override.  Window staleness is bounded by
+    # slab_skin (dr_max is capped at it when active) and guarded by a
+    # per-sort coverage check at block boundaries.
+    slab_mode: str = "auto"           # "auto" | "off" | "force"
+    slab_skin: float = 1.0            # sort-staleness margin, Angstrom
 
     @property
     def qq_cut(self):

@@ -54,18 +54,29 @@ def _uniform(bits):
 
 def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                  kappa_l, d2_overlap, p_translate, use_rot, K, lj_shift,
-                 m_start, a_start):
+                 m_start, a_start, slab):
     """Builds the kernel body (all sizes/flags static).
 
     M molecules are swept starting at global molecule index `m_start`,
     whose atoms are the P-wide column groups starting at column
     `a_start` — a species BLOCK of a ragged mixture (m_start=a_start=0
     and M=n_mol for uniform systems).  Within the block every molecule
-    shares one body/charge/type template; the pair grid still spans ALL
-    atom lanes, so cross-species interactions are exact."""
+    shares one body/charge/type template; the pair grid spans ALL atom
+    lanes, so cross-species interactions are exact.
 
-    def kernel(seed_ref, ckey_ref, body_ref, qp_ref, eps_pt_ref, sig2_pt_ref,
-               lam1_pt_ref, lam2_pt_ref,
+    slab: None = dense scan of the full planes.  Else the sorted-slab
+    window config (a0_w, A_blk, W, in_wblk, dense_segs) — see
+    mc.moves.slab_config: the pair scan reads each non-windowed block as
+    a static segment plus ONE W-wide aligned window of the (z-sorted)
+    windowed block, whose per-slot static base comes from wst_ref.
+    Periodic wrap reads the ghost halo (head-replica columns after the
+    last real atom); accepted moves of windowed-block head molecules
+    write their ghost twin too.  Own-molecule exclusion is by column
+    range (storage is species-blocked, so a molecule's atoms are
+    contiguous)."""
+
+    def kernel(seed_ref, ckey_ref, wst_ref, body_ref, qp_ref, eps_pt_ref,
+               sig2_pt_ref, lam1_pt_ref, lam2_pt_ref,
                tid_ref, molid_ref, qrow_ref, kx_ref, ky_ref, kz_ref, kw_ref,
                x_in, y_in, z_in, cx_in, cy_in, cz_in,
                qw_in, qx_in, qy_in, qz_in, sre_in, sim_in,
@@ -231,7 +242,8 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                                                        + (yz + wx) * by)
                 return ox, oy, oz
 
-            other = (mol_row != m.astype(jnp.float32)) & valid_col  # (1, A)
+            if slab is None:
+                other = (mol_row != m.astype(jnp.float32)) & valid_col
 
             # aligned 256-wide window containing molecule m's atoms
             acol = a_start + mi * P     # first atom column of molecule m
@@ -267,64 +279,101 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                     nx_ = ny_ = nz_ = jnp.zeros_like(com_mx)
                 news.append((nmx + nx_, nmy + ny_, nmz + nz_))
 
-            px, py, pz = x_o[:], y_o[:], z_o[:]   # one plane read per move
-            for sign, atoms in ((-1.0, olds), (1.0, news)):
-                for p in range(P):
-                    ax, ay, az = atoms[p]
-                    dx = px - ax
-                    dy = py - ay
-                    dz = pz - az
-                    dx = dx - box * jnp.round(dx * inv_box)
-                    dy = dy - box * jnp.round(dy * inv_box)
-                    dz = dz - box * jnp.round(dz * inv_box)
-                    d2 = jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-4)
-                    mask_lj = other & (d2 < rc2)
-                    use_q = coulomb != "none" and has_q[p]
-                    if use_q and qrc2 == rc2:   # static: shared cutoff
-                        mask_qq = mask_lj
-                        mask_any = mask_lj
-                    elif use_q:
-                        mask_qq = other & (d2 < qrc2)
-                        mask_any = mask_lj | mask_qq
-                    else:
-                        mask_any = mask_lj
-                    # one rsqrt serves both: 1/d2 = inv_r^2, r = d2*inv_r
-                    inv_r = jnp.where(mask_any, jax.lax.rsqrt(d2), 1.0)
-                    inv_d2 = inv_r * inv_r
-                    if has_lj[p]:
-                        s2 = sig2_rows[p:p + 1, :] * inv_d2
-                        s6 = s2 * s2 * s2
-                        pot = (4.0 * eps_rows[p:p + 1, :]) * (s6 * s6 - s6)
-                        if lj_shift == "linear":
-                            # cut-and-force-shifted (Mossa): eps*(l1 + l2*r)
-                            # with l2 pre-divided by sigma host-side
-                            r_lj = jnp.sqrt(d2)
-                            pot = pot + (lam1_rows[p:p + 1, :]
-                                         + lam2_rows[p:p + 1, :] * r_lj)
-                        d_e += sign * jnp.sum(
-                            jnp.where(mask_lj, pot, 0.0), axis=1,
-                            keepdims=True)
-                    if use_q:
-                        qq = qp_ref[0, p] * q_row
-                        r = d2 * inv_r
-                        if coulomb == "ewald":
-                            cp = qq * (_erfc_f32(kappa * r) * inv_r)
-                        elif coulomb == "wolf":
-                            sh_w = _erfc_f32(kappa * jnp.sqrt(qrc2)) \
-                                / jnp.sqrt(qrc2)
-                            cp = qq * (_erfc_f32(kappa * r) * inv_r - sh_w)
-                        elif coulomb == "wolf_ref":  # ref convention:
-                            # unshifted erfc pair (constant cancels)
-                            cp = qq * (_erfc_f32(kappa * r) * inv_r)
+            # ---- pair-scan parts: full planes (dense) or slab segments
+            if slab is None:
+                parts = [(slice(0, A_pad), other)]
+            else:
+                a0_w, A_blk_w, W_w, in_wblk, dense_segs = slab
+                parts = []
+                for b0s, wid, own_here in dense_segs:
+                    b_al = b0s // 128 * 128
+                    e_al = -(-(b0s + wid) // 128) * 128
+                    gcol = b_al + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, e_al - b_al), 1)
+                    msk = (gcol >= b0s) & (gcol < b0s + wid)
+                    if own_here:
+                        msk = msk & ((gcol < acol) | (gcol >= acol + P))
+                    parts.append((slice(b_al, e_al), msk))
+                # the z-sorted windowed block: one W-wide aligned window
+                # at this slot's static base (SMEM table)
+                wb = wst_ref[0, m]
+                wb = pl.multiple_of(wb, 128)
+                gcol = wb + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, W_w), 1)
+                msk = gcol >= a0_w   # alignment overhang into prev block
+                if in_wblk:
+                    # exclude own atoms AND their ghost twins (+A_blk)
+                    msk = msk & ((gcol < acol) | (gcol >= acol + P)) \
+                        & ((gcol < acol + A_blk_w)
+                           | (gcol >= acol + A_blk_w + P))
+                parts.append((pl.ds(wb, W_w), msk))
+
+            for csl, inc_mask in parts:
+                pxs = x_o[:, csl]
+                pys = y_o[:, csl]
+                pzs = z_o[:, csl]
+                q_sub = qrow_ref[0:1, csl]
+                for sign, atoms in ((-1.0, olds), (1.0, news)):
+                    for p in range(P):
+                        ax, ay, az = atoms[p]
+                        dx = pxs - ax
+                        dy = pys - ay
+                        dz = pzs - az
+                        dx = dx - box * jnp.round(dx * inv_box)
+                        dy = dy - box * jnp.round(dy * inv_box)
+                        dz = dz - box * jnp.round(dz * inv_box)
+                        d2 = jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-4)
+                        mask_lj = inc_mask & (d2 < rc2)
+                        use_q = coulomb != "none" and has_q[p]
+                        if use_q and qrc2 == rc2:   # static: shared cutoff
+                            mask_qq = mask_lj
+                            mask_any = mask_lj
+                        elif use_q:
+                            mask_qq = inc_mask & (d2 < qrc2)
+                            mask_any = mask_lj | mask_qq
                         else:
-                            cp = qq * inv_r
-                        d_e += (sign * _FACTOR) * jnp.sum(
-                            jnp.where(mask_qq, cp, 0.0), axis=1,
-                            keepdims=True)
-                        if sign > 0:
-                            bad = (d2 < d2_overlap) & (qq < 0.0) & mask_qq
-                            n_ovr += jnp.sum(bad.astype(jnp.float32),
-                                             axis=1, keepdims=True)
+                            mask_any = mask_lj
+                        # one rsqrt serves both: 1/d2=inv_r^2, r=d2*inv_r
+                        inv_r = jnp.where(mask_any, jax.lax.rsqrt(d2), 1.0)
+                        inv_d2 = inv_r * inv_r
+                        if has_lj[p]:
+                            s2 = sig2_rows[p:p + 1, csl] * inv_d2
+                            s6 = s2 * s2 * s2
+                            pot = (4.0 * eps_rows[p:p + 1, csl]) \
+                                * (s6 * s6 - s6)
+                            if lj_shift == "linear":
+                                # cut-and-force-shifted (Mossa):
+                                # eps*(l1 + l2*r), l2 pre-divided by sigma
+                                r_lj = jnp.sqrt(d2)
+                                pot = pot + (lam1_rows[p:p + 1, csl]
+                                             + lam2_rows[p:p + 1, csl]
+                                             * r_lj)
+                            d_e += sign * jnp.sum(
+                                jnp.where(mask_lj, pot, 0.0), axis=1,
+                                keepdims=True)
+                        if use_q:
+                            qq = qp_ref[0, p] * q_sub
+                            r = d2 * inv_r
+                            if coulomb == "ewald":
+                                cp = qq * (_erfc_f32(kappa * r) * inv_r)
+                            elif coulomb == "wolf":
+                                sh_w = _erfc_f32(kappa * jnp.sqrt(qrc2)) \
+                                    / jnp.sqrt(qrc2)
+                                cp = qq * (_erfc_f32(kappa * r) * inv_r
+                                           - sh_w)
+                            elif coulomb == "wolf_ref":  # ref convention:
+                                # unshifted erfc pair (constant cancels)
+                                cp = qq * (_erfc_f32(kappa * r) * inv_r)
+                            else:
+                                cp = qq * inv_r
+                            d_e += (sign * _FACTOR) * jnp.sum(
+                                jnp.where(mask_qq, cp, 0.0), axis=1,
+                                keepdims=True)
+                            if sign > 0:
+                                bad = (d2 < d2_overlap) & (qq < 0.0) \
+                                    & mask_qq
+                                n_ovr += jnp.sum(bad.astype(jnp.float32),
+                                                 axis=1, keepdims=True)
 
             if coulomb == "ewald":
                 ds_re = jnp.zeros((cb, K), jnp.float32)
@@ -377,6 +426,26 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
             x_o[:, pl.ds(abase, W_a)] = xwin
             y_o[:, pl.ds(abase, W_a)] = ywin
             z_o[:, pl.ds(abase, W_a)] = zwin
+            if slab is not None and in_wblk:
+                # head molecules are replicated in the ghost halo; keep
+                # the twin fresh for later windowed reads this sweep
+                gown = acol + A_blk_w
+                has_ghost = (acol - a0_w) < W_w
+                gbase = jnp.minimum(gown // 128 * 128, A_pad - W_a)
+                gbase = pl.multiple_of(gbase, 128)
+                goff = gown - gbase
+                gx = x_o[:, pl.ds(gbase, W_a)]
+                gy = y_o[:, pl.ds(gbase, W_a)]
+                gz = z_o[:, pl.ds(gbase, W_a)]
+                for p in range(P):
+                    nxp, nyp, nzp = news[p]
+                    atk = (wiota_a == goff + p) & accept & has_ghost
+                    gx = jnp.where(atk, nxp, gx)
+                    gy = jnp.where(atk, nyp, gy)
+                    gz = jnp.where(atk, nzp, gz)
+                x_o[:, pl.ds(gbase, W_a)] = gx
+                y_o[:, pl.ds(gbase, W_a)] = gy
+                z_o[:, pl.ds(gbase, W_a)] = gz
             if coulomb == "ewald":
                 sre_o[:] = sre_o[:] + asel * ds_re
                 sim_o[:] = sim_o[:] + asel * ds_im
@@ -402,20 +471,21 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
     static_argnames=("M", "P", "coulomb", "n_types", "has_lj", "has_q",
                      "rc2", "qrc2", "kappa_l", "d2_overlap", "p_translate",
                      "use_rot", "cb", "interpret", "lj_shift", "m_start",
-                     "a_start"),
+                     "a_start", "slab"),
 )
 def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
                  box, temp, drmax, dphi, stats,
-                 seed, chain_keys, body, qp, eps_pt, sig2_pt, lam1_pt,
-                 lam2_pt, tid_row, molid_row, q_row,
+                 seed, chain_keys, wstarts, body, qp, eps_pt, sig2_pt,
+                 lam1_pt, lam2_pt, tid_row, molid_row, q_row,
                  kx, ky, kz, kw, *, M, P, coulomb, n_types, has_lj, has_q,
                  rc2, qrc2, kappa_l, d2_overlap, p_translate, use_rot,
                  lj_shift="none", cb=64, interpret=False, m_start=0,
-                 a_start=0):
+                 a_start=0, slab=None):
     """One MC sweep of a species block: molecules [m_start, m_start+M)
     whose atoms start at column a_start (0/0/n_mol = whole uniform
     system).  Planes (C, A_pad)/(C, M_pad)/(C, K); box/temp/drmax/dphi
-    (C, 1); stats (C, 8).
+    (C, 1); stats (C, 8); wstarts (1, n_mol) int32 static window bases
+    (zeros when slab is None — see _make_kernel).
     Returns updated (x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, stats).
     """
     C, A = x.shape
@@ -426,10 +496,11 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
     assert MP % 128 == 0, "molecule planes must be 128-padded"
     cb = next(b for b in (min(cb, C), 32, 16, 8, 4, 2, 1) if C % b == 0)
     grid = (C // cb,)
+    wstarts = wstarts.reshape(1, -1).astype(jnp.int32)
 
     kern = _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                         kappa_l, d2_overlap, p_translate, use_rot, K,
-                        lj_shift, m_start, a_start)
+                        lj_shift, m_start, a_start, slab)
 
     cell = lambda n: pl.BlockSpec((cb, n), lambda c: (c, 0),  # noqa: E731
                                   memory_space=pltpu.VMEM)
@@ -442,6 +513,8 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
         in_specs=[
             pl.BlockSpec((1, 1), lambda c: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((cb, 1), lambda c: (c, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, wstarts.shape[1]), lambda c: (0, 0),
+                         memory_space=pltpu.SMEM),          # window bases
             pl.BlockSpec((1, body.shape[1]), lambda c: (0, 0),
                          memory_space=pltpu.SMEM),          # body (1, 3P)
             pl.BlockSpec((1, qp.shape[1]), lambda c: (0, 0),
@@ -482,6 +555,7 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
         # the TPU interpreter (not the generic one) emulates pltpu.prng_*
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed.reshape(1, 1), chain_keys.reshape(C, 1).astype(jnp.int32),
+      wstarts,
       body, qp, eps_pt, sig2_pt, lam1_pt, lam2_pt,
       tid_row.reshape(1, A), molid_row.reshape(1, A), q_row.reshape(1, A),
       kx.reshape(1, K), ky.reshape(1, K), kz.reshape(1, K), kw.reshape(1, K),
