@@ -111,6 +111,8 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
         dphi_max = dphi_ref[:]
         inv_box = 1.0 / box
         kappa = kappa_l * inv_box
+        if coulomb == "wolf":   # per-chain constant pairwise shift
+            sh_w = _erfc_f32(kappa * jnp.sqrt(qrc2)) / jnp.sqrt(qrc2)
         M_pad = cx_in.shape[1]
         A_pad = x_in.shape[1]
         # iota rows over 128/256-wide aligned access windows: dynamic lane
@@ -313,8 +315,17 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                 pys = y_o[:, csl]
                 pzs = z_o[:, csl]
                 q_sub = qrow_ref[0:1, csl]
-                for sign, atoms in ((-1.0, olds), (1.0, news)):
-                    for p in range(P):
+                for p in range(P):   # p outer: hoist per-site row constants
+                    use_q = coulomb != "none" and has_q[p]
+                    if use_q:
+                        qq = qp_ref[0, p] * q_sub
+                    if has_lj[p]:
+                        sig2_p = sig2_rows[p:p + 1, csl]
+                        eps4_p = 4.0 * eps_rows[p:p + 1, csl]
+                        if lj_shift == "linear":
+                            lam1_p = lam1_rows[p:p + 1, csl]
+                            lam2_p = lam2_rows[p:p + 1, csl]
+                    for sign, atoms in ((-1.0, olds), (1.0, news)):
                         ax, ay, az = atoms[p]
                         dx = pxs - ax
                         dy = pys - ay
@@ -324,41 +335,31 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                         dz = dz - box * jnp.round(dz * inv_box)
                         d2 = jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-4)
                         mask_lj = inc_mask & (d2 < rc2)
-                        use_q = coulomb != "none" and has_q[p]
-                        if use_q and qrc2 == rc2:   # static: shared cutoff
-                            mask_qq = mask_lj
-                            mask_any = mask_lj
-                        elif use_q:
+                        if use_q and qrc2 != rc2:
                             mask_qq = inc_mask & (d2 < qrc2)
-                            mask_any = mask_lj | mask_qq
-                        else:
-                            mask_any = mask_lj
-                        # one rsqrt serves both: 1/d2=inv_r^2, r=d2*inv_r
-                        inv_r = jnp.where(mask_any, jax.lax.rsqrt(d2), 1.0)
+                        else:                       # static: shared cutoff
+                            mask_qq = mask_lj
+                        # one rsqrt serves both: 1/d2=inv_r^2, r=d2*inv_r;
+                        # maskless: the 1e-4 floor keeps everything finite
+                        # (worst s6^2 ~ (sig^2 1e4)^6 stays under f32 max)
+                        inv_r = jax.lax.rsqrt(d2)
                         inv_d2 = inv_r * inv_r
                         if has_lj[p]:
-                            s2 = sig2_rows[p:p + 1, csl] * inv_d2
+                            s2 = sig2_p * inv_d2
                             s6 = s2 * s2 * s2
-                            pot = (4.0 * eps_rows[p:p + 1, csl]) \
-                                * (s6 * s6 - s6)
+                            pot = eps4_p * (s6 * s6 - s6)
                             if lj_shift == "linear":
                                 # cut-and-force-shifted (Mossa):
                                 # eps*(l1 + l2*r), l2 pre-divided by sigma
-                                r_lj = jnp.sqrt(d2)
-                                pot = pot + (lam1_rows[p:p + 1, csl]
-                                             + lam2_rows[p:p + 1, csl]
-                                             * r_lj)
+                                pot = pot + (lam1_p + lam2_p * jnp.sqrt(d2))
                             d_e += sign * jnp.sum(
                                 jnp.where(mask_lj, pot, 0.0), axis=1,
                                 keepdims=True)
                         if use_q:
-                            qq = qp_ref[0, p] * q_sub
                             r = d2 * inv_r
                             if coulomb == "ewald":
                                 cp = qq * (_erfc_f32(kappa * r) * inv_r)
                             elif coulomb == "wolf":
-                                sh_w = _erfc_f32(kappa * jnp.sqrt(qrc2)) \
-                                    / jnp.sqrt(qrc2)
                                 cp = qq * (_erfc_f32(kappa * r) * inv_r
                                            - sh_w)
                             elif coulomb == "wolf_ref":  # ref convention:
