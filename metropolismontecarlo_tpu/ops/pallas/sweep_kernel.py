@@ -42,6 +42,24 @@ _TWO_PI = 6.283185307179586
 _FACTOR = float(COULOMB_FACTOR)
 
 
+def _sincos_npi(ph):
+    """(sin, cos) for range-reduced ph in [-pi, pi] via shared-u minimax
+    polynomials (cos: deg-6 in u=ph^2, 1.1e-8 abs; sin: deg-5, 9.5e-8 abs
+    — both below the f32 phase-accumulation noise).  Mosaic lowers
+    jnp.cos/sin to long generic range-reduced expansions; with the
+    explicit reduction already done, the two together cost ~14 fma
+    (measured: the 12 per-move trig evals in the reciprocal block were
+    ~120 us of a 680 us kernel-move)."""
+    u = ph * ph
+    c = (0.999999989 + u * (-0.499999892 + u * (0.0416664902
+         + u * (-0.00138878078 + u * (2.47699663e-05
+         + u * (-2.70797753e-07 + u * 1.72476047e-09))))))
+    s = ph * (0.999999604 + u * (-0.166665535 + u * (0.00833240763
+              + u * (-0.000198087408 + u * (2.69982354e-06
+              + u * -2.03662567e-08)))))
+    return s, c
+
+
 def _uniform(bits):
     """random bits -> f32 uniforms in [0, 1).
 
@@ -199,14 +217,17 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                 e4 = u[:, 8:9]
                 r1 = jnp.sqrt(-2.0 * jnp.log(e1))
                 r2 = jnp.sqrt(-2.0 * jnp.log(e3))
-                g1 = r1 * jnp.cos(_TWO_PI * e2)
-                g2 = r1 * jnp.sin(_TWO_PI * e2)
-                g3 = r2 * jnp.cos(_TWO_PI * e4)
+                # e in [0,1): 2*pi*(e - round(e)) is the range-reduced angle
+                s2_, c2_ = _sincos_npi(_TWO_PI * (e2 - jnp.round(e2)))
+                s4_, c4_ = _sincos_npi(_TWO_PI * (e4 - jnp.round(e4)))
+                g1 = r1 * c2_
+                g2 = r1 * s2_
+                g3 = r2 * c4_
                 gn = jax.lax.rsqrt(g1 * g1 + g2 * g2 + g3 * g3 + 1e-20)
                 angle = (2.0 * u[:, 9:10] - 1.0) * dphi_max
-                half = 0.5 * angle
-                ch = jnp.cos(half)
-                sh = jnp.sin(half) * gn
+                half = 0.5 * angle          # |half| <= dphi_max/2 < pi
+                sh, ch = _sincos_npi(half)
+                sh = sh * gn
                 rw, rx, ry, rz = ch, sh * g1, sh * g2, sh * g3
                 # q_new = r * q  (Hamilton), identity when translating
                 nw = rw * w0 - rx * x0 - ry * y0 - rz * z0
@@ -387,12 +408,13 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                         ax, ay, az = atoms[p]
                         ph = tpl * (kx_ref[0:1, :] * ax + ky_ref[0:1, :] * ay
                                     + kz_ref[0:1, :] * az)
-                        # explicit range reduction: hardware trig loses
+                        # explicit range reduction: trig expansions lose
                         # accuracy for |ph| >> pi
                         ph = ph - _TWO_PI * jnp.round(ph * (1.0 / _TWO_PI))
                         qp = sign * qp_ref[0, p]
-                        ds_re += qp * jnp.cos(ph)
-                        ds_im += qp * jnp.sin(ph)
+                        sn, cs = _sincos_npi(ph)
+                        ds_re += qp * cs
+                        ds_im += qp * sn
                 cross = 2.0 * (sre_o[:] * ds_re + sim_o[:] * ds_im) \
                     + ds_re * ds_re + ds_im * ds_im
                 d_e += _FACTOR * jnp.sum(
