@@ -36,7 +36,7 @@ class MonteCarlo:
     """
 
     def __init__(self, system, params, dtype=jnp.float32, recompute_chunk=8,
-                 pallas="auto"):
+                 pallas="auto", tp_mesh=None):
         """pallas: "auto" (on TPU: whole-sweep mega-kernel for species-
         uniform systems — incl. ragged mixtures, one kernel call per
         species block — else the per-move kernel), "mega"/"tpu"
@@ -45,11 +45,18 @@ class MonteCarlo:
 
         Note: the mega kernel uses the on-core TPU PRNG, a different (but
         equally deterministic and resume-stable) random stream than the
-        jax.random-based paths."""
+        jax.random-based paths.
+
+        tp_mesh: a 2-D ("chains", "atoms") Mesh (parallel.tp.make_mesh_2d)
+        routes every full-energy recompute (drift check, resync,
+        pressure) through the tensor-parallel row-sharded path — for
+        single systems far beyond 10^4 atoms.  The sweep itself stays
+        chain-local; chains must be divisible by the chains-axis size."""
         self.system = system
         self.params = params
         self.dtype = dtype
         self.recompute_chunk = recompute_chunk
+        self.tp_mesh = tp_mesh
         if params.coulomb == "ewald":
             self.kvecs, self.kweights = ewald_ops.make_kvectors(
                 params.nk, params.ksq_max, strict=True
@@ -280,8 +287,17 @@ class MonteCarlo:
     @functools.partial(jax.jit, static_argnums=0)
     def full_energy(self, state):
         """Chunked full-system energy over chains: (C,) totals, virials,
-        and (C, K, 2) structure factors."""
+        and (C, K, 2) structure factors.  With tp_mesh set, the pair
+        tiles and recip contractions are sharded over the atoms axis."""
         A = self.system.n_atoms
+        if self.tp_mesh is not None:
+            from metropolismontecarlo_tpu.parallel.tp import tp_full_energy_fn
+            if getattr(self, "_tp_fe", None) is None:
+                self._tp_fe = tp_full_energy_fn(
+                    self.system, self.params, self.tp_mesh,
+                    self.kvecs, self.kweights,
+                    recompute_chunk=self.recompute_chunk)
+            return self._tp_fe(state.coords, state.com, state.box)
 
         def one(coords_t, com, box):
             out = energy_breakdown(self.system, self.params,

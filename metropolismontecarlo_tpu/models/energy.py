@@ -182,19 +182,35 @@ def energy_breakdown(system, params, coords, com, box, kvecs=None, kweights=None
 
 
 def _energy_breakdown_tiled(system, params, coords, com, box, kvecs,
-                            kweights, row_block=256):
+                            kweights, row_block=256, row_shard=None):
     """Row-tiled full energy for large systems (site cutoff only).
 
     Scans row blocks of B atoms against all A atoms: peak pair-grid
     memory O(B*A) instead of O(A^2).  Per-pair LJ parameters come from a
     (B, T) gather x (T, A) one-hot matmul (MXU), never an (A, A) table.
+
+    row_shard=(axis_name, n_shards): tensor-parallel mode for use INSIDE
+    shard_map — the row-block scan, the S(k) structure factor, and the
+    reciprocal-virial contraction (the O(A^2) and O(K*A) work) are split
+    over the named mesh axis and psum-reduced over ICI; the O(A)
+    assembly terms are computed replicated.  Every device returns the
+    identical full breakdown.  This is the SURVEY section-2.2 "shard the
+    pair tiles / (K, A) recip matmul" path for systems far beyond 10^4
+    atoms; the per-move sweep stays chain-local by design (a per-move
+    psum would be ICI-latency-bound — sorted-slab windows are the
+    per-move answer, mc.moves.slab_config).
     """
     if params.cutoff_mode != "site":
         raise NotImplementedError("tiled recompute supports site cutoff")
     M, P, A = system.n_mol, system.atoms_per_mol, system.n_atoms
     dtype = coords.dtype
     B = row_block
-    A_r = -(-A // B) * B  # rows padded to a block multiple
+    if row_shard is not None:
+        shard_axis, n_sh = row_shard
+        A_r = -(-A // (B * n_sh)) * (B * n_sh)  # same block count per shard
+    else:
+        shard_axis, n_sh = None, 1
+        A_r = -(-A // B) * B  # rows padded to a block multiple
 
     tid = system.flat(system.type_ids)
     tid_pad = np.zeros(A_r, tid.dtype)
@@ -295,8 +311,17 @@ def _energy_breakdown_tiled(system, params, coords, com, box, kvecs,
         return (pot_a, w_a, er_a, wc_a), None
 
     zero = jnp.zeros((), dtype)
+    if shard_axis is not None:
+        nblk_loc = A_r // B // n_sh
+        blocks = (jnp.arange(nblk_loc)
+                  + jax.lax.axis_index(shard_axis) * nblk_loc)
+    else:
+        blocks = jnp.arange(A_r // B)
     (pot, w, e_real_raw, w_coul_raw), _ = jax.lax.scan(
-        tile, (zero, zero, zero, zero), jnp.arange(A_r // B))
+        tile, (zero, zero, zero, zero), blocks)
+    if shard_axis is not None:
+        pot, w, e_real_raw, w_coul_raw = jax.lax.psum(
+            (pot, w, e_real_raw, w_coul_raw), shard_axis)
 
     out = {}
     out["disp"] = 0.5 * pot
@@ -322,16 +347,34 @@ def _energy_breakdown_tiled(system, params, coords, com, box, kvecs,
         w_coul = 0.5 * COULOMB_FACTOR * w_coul_raw
         if params.coulomb == "ewald":
             cf = ewald_ops.cfac_coeffs(kvecs, kweights, kappa, box, dtype)
-            sfac = ewald_ops.structure_factor(coords, charges, kvecs, box)
-            e_four = ewald_ops.recip_energy(sfac, cf)
+            if shard_axis is not None:
+                # shard the O(K*A) contractions over local atom slices
+                # (padded rows carry q=0, coords=com=0: zero contribution)
+                A_loc = A_r // n_sh
+                a0 = jax.lax.axis_index(shard_axis) * A_loc
+                z0 = jnp.zeros((), a0.dtype)
+                c_sl = jax.lax.dynamic_slice(coords_rows, (a0, z0),
+                                             (A_loc, 3))
+                q_sl = jax.lax.dynamic_slice_in_dim(q_rows, a0, A_loc)
+                com_rows = jnp.zeros((A_r, 3), dtype).at[:A].set(com_of_col)
+                m_sl = jax.lax.dynamic_slice(com_rows, (a0, z0), (A_loc, 3))
+                sfac = jax.lax.psum(
+                    ewald_ops.structure_factor(c_sl, q_sl, kvecs, box),
+                    shard_axis)
+                e_four = ewald_ops.recip_energy(sfac, cf)
+                # recip_virial = e_recip (replicated, from the full S(k))
+                # minus the sharded T-contraction: psum only the latter
+                w_recip = e_four + jax.lax.psum(
+                    ewald_ops.recip_virial(sfac, cf, c_sl, m_sl, q_sl,
+                                           kvecs, box) - e_four, shard_axis)
+            else:
+                sfac = ewald_ops.structure_factor(coords, charges, kvecs, box)
+                w_recip = ewald_ops.recip_virial(
+                    sfac, cf, coords, com_of_col, charges, kvecs, box)
+                e_four = ewald_ops.recip_energy(sfac, cf)
             e_self = ewald_ops.ewald_self(charges, kappa)
             e_intra, w_intra = _intra_terms(system, coords, kappa, box, dtype)
-            w_coul = w_coul + (
-                ewald_ops.recip_virial(sfac, cf, coords,
-                                       com[jnp.clip(mol_cols, 0, M - 1)],
-                                       charges, kvecs, box)
-                + e_self
-                + w_intra)
+            w_coul = w_coul + w_recip + e_self + w_intra
             if params.ewald_surface:
                 e_surf = ewald_ops.surface_term(
                     coords, com[jnp.clip(mol_cols, 0, M - 1)], charges, box)

@@ -142,3 +142,72 @@ def test_sharded_remc_matches_unsharded():
     # the wide ladder must actually discriminate: some swap rejected
     # somewhere would show frac < 1; at minimum swaps occurred
     assert np.all(np.asarray(fracs) > 0.0)
+
+
+def test_tp_full_energy_matches_unsharded():
+    """2x4 (chains x atoms) mesh: the tensor-parallel recompute —
+    row-sharded pair tiles + psum'd S(k)/recip contractions — must match
+    the single-device full_energy to roundoff (f64)."""
+    from metropolismontecarlo_tpu.parallel.tp import (
+        make_mesh_2d, tp_full_energy_fn)
+
+    system = spce_system(9)   # 27 atoms: NOT divisible by block*shards
+    params = RunParams(temperature=300.0, r_cut=5.0, cutoff_mode="site",
+                       coulomb="ewald", nk=3, ksq_max=9, p_translate=0.5,
+                       dr_max=0.3, dphi_max=0.4)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=2)
+    state = mc.init_state(jax.random.PRNGKey(3), cubic_lattice(9, 12.5),
+                          box=12.5, n_chains=4)
+    state = mc.run_steps(state, 2, False)   # de-lattice a bit
+
+    e_ref, w_ref, sfac_ref = mc.full_energy(state)
+
+    mesh = make_mesh_2d(2, 4)
+    fn = tp_full_energy_fn(system, params, mesh, mc.kvecs, mc.kweights,
+                           recompute_chunk=2, row_block=8)
+    e, w, sfac = fn(state.coords, state.com, state.box)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(sfac), np.asarray(sfac_ref),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_tp_full_energy_wolf_lj():
+    """TP recompute on a charge-free LJ system exercises the no-coulomb
+    assembly path under the atoms axis."""
+    from metropolismontecarlo_tpu.parallel.tp import (
+        make_mesh_2d, tp_full_energy_fn)
+
+    n, rho = 27, 0.6
+    box = lj_box_for_density(n, rho)
+    params = RunParams(temperature=1.2, r_cut=2.5, cutoff_mode="site",
+                       coulomb="none", p_translate=1.0, dr_max=0.15)
+    mc = MonteCarlo(lj_system(n), params, dtype=jnp.float64)
+    state = mc.init_state(jax.random.PRNGKey(5), cubic_lattice(n, box),
+                          box=box, n_chains=8)
+    state = mc.run_steps(state, 2, False)
+    e_ref, w_ref, _ = mc.full_energy(state)
+
+    mesh = make_mesh_2d(4, 2)
+    fn = tp_full_energy_fn(mc.system, params, mesh, recompute_chunk=1,
+                           row_block=8)
+    e, w, _ = fn(state.coords, state.com, state.box)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), rtol=1e-10)
+
+
+def test_driver_tp_mesh_run_block():
+    """MonteCarlo(tp_mesh=...) integration: a full block (sweeps +
+    TP-sharded drift recompute) agrees with the accumulated energies."""
+    from metropolismontecarlo_tpu.parallel.tp import make_mesh_2d
+
+    system = spce_system(8)
+    params = RunParams(temperature=300.0, r_cut=5.0, cutoff_mode="site",
+                       coulomb="ewald", nk=3, ksq_max=9, p_translate=0.5,
+                       dr_max=0.3, dphi_max=0.4)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=2,
+                    tp_mesh=make_mesh_2d(2, 4))
+    state = mc.init_state(jax.random.PRNGKey(0), cubic_lattice(8, 12.0),
+                          box=12.0, n_chains=4)
+    state, stats = mc.run_block(state, 2)
+    assert float(stats["drift_max_rel"]) < 1e-10
