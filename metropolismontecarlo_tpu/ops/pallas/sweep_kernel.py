@@ -278,7 +278,6 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
             zwin = z_o[:, pl.ds(abase, W_a)]
 
             d_e = jnp.zeros((cb, 1), jnp.float32)
-            n_ovr = jnp.zeros((cb, 1), jnp.float32)
             olds = []
             news = []
             for p in range(P):
@@ -339,7 +338,14 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                 for p in range(P):   # p outer: hoist per-site row constants
                     use_q = coulomb != "none" and has_q[p]
                     if use_q:
-                        qq = qp_ref[0, p] * q_sub
+                        # Coulomb factor pre-folded so LJ + Coulomb (+ the
+                        # overlap penalty) share ONE masked lane-reduction
+                        # per (sign, site) instead of three
+                        qq = (_FACTOR * qp_ref[0, p]) * q_sub
+                        att_q = qq < 0.0        # attractive rows: the only
+                        # close approaches a huge energy would WELCOME —
+                        # vetoed via a finite +1e30 penalty that forces
+                        # rejection (exp(-beta*1e30) == 0, beta_de > 0)
                     if has_lj[p]:
                         sig2_p = sig2_rows[p:p + 1, csl]
                         eps4_p = 4.0 * eps_rows[p:p + 1, csl]
@@ -365,6 +371,7 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                         # (worst s6^2 ~ (sig^2 1e4)^6 stays under f32 max)
                         inv_r = jax.lax.rsqrt(d2)
                         inv_d2 = inv_r * inv_r
+                        contrib = None
                         if has_lj[p]:
                             s2 = sig2_p * inv_d2
                             s6 = s2 * s2 * s2
@@ -373,9 +380,7 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                                 # cut-and-force-shifted (Mossa):
                                 # eps*(l1 + l2*r), l2 pre-divided by sigma
                                 pot = pot + (lam1_p + lam2_p * jnp.sqrt(d2))
-                            d_e += sign * jnp.sum(
-                                jnp.where(mask_lj, pot, 0.0), axis=1,
-                                keepdims=True)
+                            contrib = jnp.where(mask_lj, pot, 0.0)
                         if use_q:
                             r = d2 * inv_r
                             if coulomb == "ewald":
@@ -388,14 +393,16 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                                 cp = qq * (_erfc_f32(kappa * r) * inv_r)
                             else:
                                 cp = qq * inv_r
-                            d_e += (sign * _FACTOR) * jnp.sum(
-                                jnp.where(mask_qq, cp, 0.0), axis=1,
-                                keepdims=True)
-                            if sign > 0:
-                                bad = (d2 < d2_overlap) & (qq < 0.0) \
-                                    & mask_qq
-                                n_ovr += jnp.sum(bad.astype(jnp.float32),
-                                                 axis=1, keepdims=True)
+                            if sign > 0:   # hard-overlap veto as penalty
+                                cp = jnp.where(
+                                    (d2 < d2_overlap) & att_q,
+                                    jnp.float32(1e30), cp)
+                            qpart = jnp.where(mask_qq, cp, 0.0)
+                            contrib = qpart if contrib is None \
+                                else contrib + qpart
+                        if contrib is not None:
+                            d_e += sign * jnp.sum(contrib, axis=1,
+                                                  keepdims=True)
 
             if coulomb == "ewald":
                 ds_re = jnp.zeros((cb, K), jnp.float32)
@@ -421,8 +428,9 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                     cfac_s[:] * cross, axis=1, keepdims=True)
 
             beta_de = d_e / temp
-            accept = ((beta_de < 0.0) | (u_acc < jnp.exp(-beta_de))) \
-                & (n_ovr < 0.5)                                  # (cb, 1)
+            # the overlap veto rides d_e as a +1e30 penalty: beta_de is
+            # then hugely positive, exp(-beta_de) == 0, u_acc >= 0 fails
+            accept = (beta_de < 0.0) | (u_acc < jnp.exp(-beta_de))  # (cb, 1)
             asel = accept.astype(jnp.float32)
 
             # ---- state updates: masked writes within aligned windows ----
