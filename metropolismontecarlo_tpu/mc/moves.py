@@ -607,22 +607,23 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
     molid_row_j = jnp.asarray(molid_row_np)
     q_row_j = jnp.asarray(q_row_np)
 
-    # per-molecule (R, T_pad) LJ parameter rows and (R,) charges, gathered
-    # per move by molecule index (tiny)
-    eps_rows_mol = np.zeros((M, n_rows, t_pad), np.float32)
-    sig2_rows_mol = np.zeros((M, n_rows, t_pad), np.float32)
-    q8_mol = np.zeros((M, n_rows), np.float32)
+    # per-molecule (R, T_pad) LJ parameter rows and (R,) charges for THIS
+    # species block only (rows indexed by m - m0), gathered per move
+    M_blk = m1 - m0
+    eps_rows_mol = np.zeros((M_blk, n_rows, t_pad), np.float32)
+    sig2_rows_mol = np.zeros((M_blk, n_rows, t_pad), np.float32)
+    q8_mol = np.zeros((M_blk, n_rows), np.float32)
     et = np.asarray(system.eps_table, np.float32)
     st2 = np.asarray(system.sig_table, np.float32) ** 2
     for mi in range(m0, m1):
         tm = tids_np[mi]
         for p in range(P):
-            eps_rows_mol[mi, p, :n_types] = et[tm[p]]
-            eps_rows_mol[mi, P + p, :n_types] = et[tm[p]]
-            sig2_rows_mol[mi, p, :n_types] = st2[tm[p]]
-            sig2_rows_mol[mi, P + p, :n_types] = st2[tm[p]]
-        q8_mol[mi, :P] = qs_np[mi]
-        q8_mol[mi, P:2 * P] = qs_np[mi]
+            eps_rows_mol[mi - m0, p, :n_types] = et[tm[p]]
+            eps_rows_mol[mi - m0, P + p, :n_types] = et[tm[p]]
+            sig2_rows_mol[mi - m0, p, :n_types] = st2[tm[p]]
+            sig2_rows_mol[mi - m0, P + p, :n_types] = st2[tm[p]]
+        q8_mol[mi - m0, :P] = qs_np[mi]
+        q8_mol[mi - m0, P:2 * P] = qs_np[mi]
     eps_rows_mol = jnp.asarray(eps_rows_mol)
     sig2_rows_mol = jnp.asarray(sig2_rows_mol)
     q8_mol = jnp.asarray(q8_mol)
@@ -655,7 +656,7 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
             mx.astype(jnp.float32), my.astype(jnp.float32),
             mz.astype(jnp.float32),
             state.box, m,
-            eps_rows_mol[m], sig2_rows_mol[m], q8_mol[m],
+            eps_rows_mol[m - m0], sig2_rows_mol[m - m0], q8_mol[m - m0],
             tid_row_j, molid_row_j, q_row_j,
             coulomb=_kernel_coulomb(params), n_types=n_types,
             n_used=2 * P, row_has_lj=row_has_lj, row_has_q=row_has_q,
@@ -873,6 +874,12 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
         x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim = planes
         if cfg is not None:   # drop the ghost halo
             x, y, z = x[:, :A_pad], y[:, :A_pad], z[:, :A_pad]
+            if A < A_pad:
+                # the halo overlaps the lane padding [A, A_pad); re-zero
+                # it to preserve the zero-filled-pad invariant (the halo
+                # is rebuilt from coords at every sweep entry, aplane())
+                pad0 = (jnp.arange(A_pad) < A).astype(f32)[None, :]
+                x, y, z = x * pad0, y * pad0, z * pad0
         cx, cy, cz = cx[:, :M], cy[:, :M], cz[:, :M]
         qw, qx, qy, qz = qw[:, :M], qx[:, :M], qy[:, :M], qz[:, :M]
         dtype = state.com.dtype

@@ -143,9 +143,14 @@ def energy_breakdown(system, params, coords, com, box, kvecs=None, kweights=None
                 d2, qq, mask_qq, kappa, params.qq_cut, shifted=shifted
             )
             e_self = wolf_ops.wolf_self(charges, kappa, params.qq_cut)
+            # wolf_pair_sum keeps only SITE pairs inside qq_cut even under
+            # molecular cutoff modes (the shifted form must vanish at the
+            # cutoff); the exact-dU/dV virial must sum the SAME pair set
+            # (keep == mask_qq in site mode)
+            keep_w = mask_qq & (d2 < params.qq_cut ** 2)
             w_coul = (
                 0.5 * ewald_ops.real_space_virial(
-                    d2, qq, dot, mask_qq, kappa,
+                    d2, qq, dot, keep_w, kappa,
                     "wolf" if shifted else "ewald", qq_cut=params.qq_cut)
                 + wolf_ops.wolf_self_kappa(charges, kappa, params.qq_cut)
             )

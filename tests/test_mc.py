@@ -303,10 +303,17 @@ def test_exact_virial_matches_fd_all_styles(reference_dir):
 
     path = os.path.join(reference_dir, "Ewald",
                         "spce_sample_config_periodic1.txt")
-    for style in ("ewald", "wolf", "bare", "none"):
+    cases = [("ewald", "site", "pairwise"), ("wolf", "site", "pairwise"),
+             ("bare", "site", "pairwise"), ("none", "site", "pairwise"),
+             # molecular cutoff modes: wolf keeps only SITE pairs inside
+             # qq_cut (regression: the virial once summed all of mask_qq)
+             ("ewald", "com", "pairwise"), ("wolf", "com", "pairwise"),
+             ("wolf", "first", "reference")]
+    for style, mode, wstyle in cases:
         system, coords, com, box = spce_from_nist(path)
         params = RunParams(temperature=298.15, r_cut=10.0,
-                           cutoff_mode="site", coulomb=style)
+                           cutoff_mode=mode, coulomb=style,
+                           wolf_style=wstyle)
         mc = MonteCarlo(system, params, dtype=jnp.float64,
                         recompute_chunk=2, pallas=False)
         state = mc.init_from_coords(jax.random.PRNGKey(0), coords, com, box,
@@ -315,7 +322,7 @@ def test_exact_virial_matches_fd_all_styles(reference_dir):
         p_v = float(pressure(params, system.n_mol,
                              float(state.box[0]) ** 3, state.virial)[0])
         assert abs(p_v - p_fd) < 1e-5 * max(abs(p_fd), 1.0), (
-            style, p_v, p_fd)
+            style, mode, wstyle, p_v, p_fd)
 
 
 @pytest.mark.slow

@@ -118,9 +118,22 @@ def test_tiled_recompute_matches_dense(reference_dir):
     kv, kw = make_kvectors(PARAMS.nk, PARAMS.ksq_max, strict=True)
     args = (jnp.asarray(coords, jnp.float64), jnp.asarray(com, jnp.float64),
             jnp.asarray(box, jnp.float64))
-    dense = energy_breakdown_jit(system, PARAMS, *args, kvecs=kv, kweights=kw)
-    tiled = _energy_breakdown_tiled(system, PARAMS, *args, kv, kw)
-    for k in ("disp", "lrc", "coul_real", "coul_fourier", "coul_self",
-              "coul_intra", "total", "w", "w_ref"):
-        a, b = float(dense[k]), float(tiled[k])
-        assert abs(a - b) <= 1e-9 * max(abs(a), 1.0), (k, a, b)
+    # every coulomb/wolf-style branch: the tile scan re-derives the pair
+    # energy AND exact-virial terms inline — this cross-check is what
+    # keeps the two copies of the physics from diverging
+    import dataclasses
+    variants = [PARAMS,
+                dataclasses.replace(PARAMS, coulomb="wolf",
+                                    wolf_style="pairwise"),
+                dataclasses.replace(PARAMS, coulomb="wolf",
+                                    wolf_style="reference"),
+                dataclasses.replace(PARAMS, coulomb="bare")]
+    for prm in variants:
+        dense = energy_breakdown_jit(system, prm, *args, kvecs=kv,
+                                     kweights=kw)
+        tiled = _energy_breakdown_tiled(system, prm, *args, kv, kw)
+        for k in ("disp", "lrc", "coul_real", "coul_fourier", "coul_self",
+                  "coul_intra", "total", "w", "w_ref"):
+            a, b = float(dense[k]), float(tiled[k])
+            assert abs(a - b) <= 1e-9 * max(abs(a), 1.0), (
+                prm.coulomb, prm.wolf_style, k, a, b)
