@@ -157,6 +157,25 @@ class MonteCarlo:
             box_hint=box_hint if cfg is not None else None,
             z_hint=z_hint)
 
+    def _check_min_image(self, box):
+        """r_cut <= box/2 or pair energies silently miss second images
+        (reference asserts this, `Ewald/main.jl:483-485`; equality is
+        allowed — the NIST configs use r_cut = box/2 exactly).  Under
+        NPT the volume move enforces the same wall on sampled boxes.
+        params.strict_min_image=False downgrades to a warning (the
+        truncated-nearest-image model is still self-consistent)."""
+        max_cut = float(max(self.params.r_cut, self.params.qq_cut))
+        bmin = float(jnp.min(box))
+        if bmin + 1e-6 < 2.0 * max_cut:
+            msg = (f"minimum image violated: box {bmin:.4f} < 2 * cutoff "
+                   f"{max_cut} — enlarge the system or shrink "
+                   f"r_cut/qq_r_cut (or set strict_min_image=False to "
+                   f"sample the truncated-nearest-image model)")
+            if self.params.strict_min_image:
+                raise ValueError(msg)
+            import warnings
+            warnings.warn(msg, stacklevel=3)
+
     def retune_slabs(self, state):
         """Re-size the sorted-slab windows from the CURRENT configuration
         (e.g. after equilibrating away a lattice start, whose z-plane
@@ -206,6 +225,7 @@ class MonteCarlo:
                 quat = jnp.broadcast_to(quat[None], (C, M, 4))
         box = jnp.asarray(box, self.dtype)
         box = jnp.broadcast_to(jnp.atleast_1d(box), (C,))
+        self._check_min_image(box)
         self._maybe_slab_mega(float(jnp.min(box)),
                               np.asarray(com[0, :, 2], np.float64))
         coords = self.build_coords(com, quat)
@@ -253,6 +273,7 @@ class MonteCarlo:
             quat_np[m0:m1] = fit_quaternions(body_np[m0:m1, :p], rel)
         com = jnp.broadcast_to(jnp.asarray(com_np, self.dtype)[None], (C, M, 3))
         quat = jnp.broadcast_to(jnp.asarray(quat_np, self.dtype)[None], (C, M, 4))
+        self._check_min_image(jnp.asarray(box_np))
         self._maybe_slab_mega(box_np, com_np[:, 2])
         coords = self.build_coords(com, quat)
         box = jnp.broadcast_to(jnp.asarray(box, self.dtype)[None], (C,))

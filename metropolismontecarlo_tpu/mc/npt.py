@@ -80,8 +80,18 @@ def make_volume_move_fn(system, params, kvecs, kweights, dtype=jnp.float32,
         d_e = e_new - state.energy
         arg = -(d_e + pres * (vol_new - vol_old)) / state.temp \
             + (M + 1.0) * jnp.log(vol_new / vol_old)
-        accept = do_move & ((arg > 0.0)
-                            | (u_acc < jnp.exp(jnp.minimum(arg, 0.0))))
+        # hard minimum-image wall: boxes below 2*cutoff silently miss
+        # second-image interactions (reference asserts this at startup,
+        # `Ewald/main.jl:483-485`; under NPT it must hold for every
+        # SAMPLED volume).  Rejecting the proposal preserves detailed
+        # balance (hard-wall veto).  strict_min_image=False samples the
+        # truncated-nearest-image model without the wall.
+        legal = True
+        if params.strict_min_image:
+            max_cut = float(max(params.r_cut, params.qq_cut))
+            legal = box_new >= 2.0 * max_cut - 1e-9   # counts as attempted
+        accept = do_move & legal & (
+            (arg > 0.0) | (u_acc < jnp.exp(jnp.minimum(arg, 0.0))))
 
         sel = lambda new, old: jnp.where(
             accept.reshape((C,) + (1,) * (new.ndim - 1)), new, old)

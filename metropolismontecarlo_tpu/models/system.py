@@ -232,6 +232,14 @@ class RunParams:
     slab_mode: str = "auto"           # "auto" | "off" | "force"
     slab_skin: float = 1.0            # sort-staleness margin, Angstrom
 
+    # Minimum-image discipline (reference asserts r_cut <= box/2 at
+    # startup, `Ewald/main.jl:483-485`).  True: init raises if violated
+    # and the NPT volume move hard-walls boxes below 2*cutoff — sampled
+    # physics always sees valid nearest images.  False: sample the
+    # truncated-nearest-image model as-is (self-consistent, but misses
+    # second-image interactions; used by small test systems).
+    strict_min_image: bool = True
+
     @property
     def qq_cut(self):
         return self.r_cut if self.qq_r_cut is None else self.qq_r_cut

@@ -134,6 +134,11 @@ def main(argv=None):
             state = state._replace(
                 temp=jnp.full_like(state.temp, params.temperature))
         state, metrics = mc.run_block(state, n_steps, adjust=adjust)
+        if block == equil - 1 and mc._slab_cfg is not None:
+            # equilibrated: re-size the sorted-slab windows from the
+            # actual fluid structure (lattice-start z-clumps force
+            # conservative windows at init; smaller W = faster sweeps)
+            state = mc.retune_slabs(state)
         if remc_cfg:
             from metropolismontecarlo_tpu.parallel.remc import exchange
             xkey = jax.random.fold_in(

@@ -74,7 +74,7 @@ def test_rdf_excluded_core_for_lj():
     n, rho, t = 64, 0.7, 1.2
     box = lj_box_for_density(n, rho)
     system = lj_system(n)
-    params = RunParams(temperature=t, r_cut=2.5, cutoff_mode="site",
+    params = RunParams(strict_min_image=False, temperature=t, r_cut=2.5, cutoff_mode="site",
                        coulomb="none", p_translate=1.0, dr_max=0.25,
                        use_lrc=False)
     mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=8)
@@ -104,7 +104,7 @@ def test_cli_end_to_end(tmp_path):
     """Full CLI run from a JSON config: metrics, RDF, checkpoint, resume."""
     cfg = {
         "model": {"kind": "lj", "n_mol": 27},
-        "params": {"temperature": 1.5, "r_cut": 2.5, "cutoff_mode": "site",
+        "params": {"strict_min_image": False, "temperature": 1.5, "r_cut": 2.5, "cutoff_mode": "site",
                    "coulomb": "none", "p_translate": 1.0, "dr_max": 0.3,
                    "use_lrc": True},
         "run": {"n_chains": 8, "n_blocks": 3, "n_steps": 10,
@@ -152,7 +152,7 @@ def test_profiling_throughput_helper():
     from metropolismontecarlo_tpu.utils.profiling import sweeps_per_sec
 
     system = lj_system(27)
-    params = RunParams(temperature=1.5, r_cut=2.5, cutoff_mode="site",
+    params = RunParams(strict_min_image=False, temperature=1.5, r_cut=2.5, cutoff_mode="site",
                        coulomb="none", p_translate=1.0, dr_max=0.3,
                        use_lrc=False)
     mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=8)
@@ -168,7 +168,7 @@ def test_cli_annealing_schedule(tmp_path):
     the production temperature."""
     cfg = {
         "model": {"kind": "lj", "n_mol": 27},
-        "params": {"temperature": 1.0, "r_cut": 2.5, "cutoff_mode": "site",
+        "params": {"strict_min_image": False, "temperature": 1.0, "r_cut": 2.5, "cutoff_mode": "site",
                    "coulomb": "none", "p_translate": 1.0, "dr_max": 0.3,
                    "use_lrc": False},
         "run": {"n_chains": 8, "n_blocks": 4, "n_steps": 5,

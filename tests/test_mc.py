@@ -132,7 +132,7 @@ def test_adjust_steers_acceptance():
     n, rho, t = 27, 0.6, 1.5
     box = lj_box_for_density(n, rho)
     system = lj_system(n)
-    params = RunParams(temperature=t, r_cut=2.5, cutoff_mode="site",
+    params = RunParams(strict_min_image=False, temperature=t, r_cut=2.5, cutoff_mode="site",
                        coulomb="none", p_translate=1.0, dr_max=0.01,
                        move_accept=0.5, use_lrc=False)
     mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=8)
@@ -334,7 +334,7 @@ def test_npt_lj_fd_pressure_matches_target():
     separately.)"""
     n, t, p_target = 64, 2.0, 1.0
     system = lj_system(n)
-    params = RunParams(temperature=t, r_cut=2.5, cutoff_mode="site",
+    params = RunParams(strict_min_image=False, temperature=t, r_cut=2.5, cutoff_mode="site",
                        coulomb="none", p_translate=1.0, dr_max=0.3,
                        use_lrc=True, pressure=p_target, p_volume=0.1,
                        dv_max=0.1)
@@ -359,7 +359,7 @@ def test_npt_water_fd_pressure_matches_target():
     a validation the crude E/3 coulomb-virial route fails."""
     n, t, p_target = 32, 340.0, 0.0205  # ~ dense vapor/liquid-ish point
     system = spce_system(n)
-    params = RunParams(temperature=t, r_cut=6.0, cutoff_mode="site",
+    params = RunParams(strict_min_image=False, temperature=t, r_cut=6.0, cutoff_mode="site",
                        coulomb="ewald", nk=3, ksq_max=9, p_translate=0.5,
                        dr_max=0.25, dphi_max=0.3, pressure=p_target,
                        p_volume=0.1, dv_max=0.05)

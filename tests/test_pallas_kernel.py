@@ -54,7 +54,7 @@ def test_pallas_monatomic_padded_lanes():
     n = 27
     box = lj_box_for_density(n, 0.5)
     system = lj_system(n)
-    params = RunParams(temperature=1.5, r_cut=2.5, cutoff_mode="site",
+    params = RunParams(strict_min_image=False, temperature=1.5, r_cut=2.5, cutoff_mode="site",
                        coulomb="none", p_translate=1.0, dr_max=0.3,
                        use_lrc=False)
     mc_j, mc_p, s_j, s_p = _mc_pair(system, params, 8, box,
@@ -116,7 +116,7 @@ def test_mega_sweep_interpret_linear_shift():
     # move; keep the deterministic steps tiny so the walk stays physical
     # and the check measures bookkeeping, not overlap-energy noise.
     system = triatomic_system(27)
-    params = mossa_params(temperature=1.0, dr_max=2e-3, dphi_max=2e-3)
+    params = mossa_params(strict_min_image=False, temperature=1.0, dr_max=2e-3, dphi_max=2e-3)
     box = (27 / 0.25) ** (1 / 3)
     mc = MonteCarlo(system, params, dtype=jnp.float32,
                     pallas="mega_interpret", recompute_chunk=4)

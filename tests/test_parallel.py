@@ -50,7 +50,7 @@ def test_remc_orders_energy_by_temperature():
     n, rho = 27, 0.5
     box = lj_box_for_density(n, rho)
     system = lj_system(n)
-    params = RunParams(temperature=1.0, r_cut=2.5, cutoff_mode="site",
+    params = RunParams(strict_min_image=False, temperature=1.0, r_cut=2.5, cutoff_mode="site",
                        coulomb="none", p_translate=1.0, dr_max=0.4,
                        use_lrc=False)
     mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=8)
@@ -180,7 +180,7 @@ def test_tp_full_energy_wolf_lj():
 
     n, rho = 27, 0.6
     box = lj_box_for_density(n, rho)
-    params = RunParams(temperature=1.2, r_cut=2.5, cutoff_mode="site",
+    params = RunParams(strict_min_image=False, temperature=1.2, r_cut=2.5, cutoff_mode="site",
                        coulomb="none", p_translate=1.0, dr_max=0.15)
     mc = MonteCarlo(lj_system(n), params, dtype=jnp.float64)
     state = mc.init_state(jax.random.PRNGKey(5), cubic_lattice(n, box),

@@ -67,7 +67,7 @@ def test_cnf_start_and_drift(reference_dir):
 
 def test_quench_lowers_energy():
     system = triatomic_system(27)
-    params = mossa_params(temperature=2.0, dr_max=0.3, dphi_max=0.5)
+    params = mossa_params(strict_min_image=False, temperature=2.0, dr_max=0.3, dphi_max=0.5)
     box = (27 / 0.3) ** (1 / 3)
     mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=4)
     state = mc.init_state(jax.random.PRNGKey(1), cubic_lattice(27, box),
@@ -83,7 +83,7 @@ def test_neighbor_list_with_linear_shift_drift():
     """Regression: the neighbor-list pair path must apply the Mossa force
     shift consistently with the full recompute."""
     system = triatomic_system(27)
-    params = mossa_params(temperature=1.0, dr_max=0.2, dphi_max=0.3,
+    params = mossa_params(strict_min_image=False, temperature=1.0, dr_max=0.2, dphi_max=0.3,
                           nlist_width=26, nlist_skin=1.0)
     box = (27 / 0.25) ** (1 / 3)
     mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=4)
@@ -103,7 +103,7 @@ def test_tiled_recompute_linear_shift_matches_dense():
     )
 
     system = triatomic_system(27)
-    params = mossa_params()
+    params = mossa_params(strict_min_image=False, )
     box = (27 / 0.25) ** (1 / 3)
     mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=4)
     state = mc.init_state(jax.random.PRNGKey(4), cubic_lattice(27, box),
