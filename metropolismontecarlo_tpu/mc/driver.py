@@ -57,6 +57,7 @@ class MonteCarlo:
         self.dtype = dtype
         self.recompute_chunk = recompute_chunk
         self.tp_mesh = tp_mesh
+        self._tp_fe = None          # built lazily on first full_energy
         if params.coulomb == "ewald":
             self.kvecs, self.kweights = ewald_ops.make_kvectors(
                 params.nk, params.ksq_max, strict=True
@@ -313,7 +314,7 @@ class MonteCarlo:
         A = self.system.n_atoms
         if self.tp_mesh is not None:
             from metropolismontecarlo_tpu.parallel.tp import tp_full_energy_fn
-            if getattr(self, "_tp_fe", None) is None:
+            if self._tp_fe is None:
                 self._tp_fe = tp_full_energy_fn(
                     self.system, self.params, self.tp_mesh,
                     self.kvecs, self.kweights,

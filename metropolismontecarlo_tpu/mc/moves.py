@@ -51,6 +51,22 @@ def _kernel_coulomb(params):
     return params.coulomb
 
 
+def _coulomb_pair(qq2, r, kappa, params):
+    """Per-pair Coulomb energies for the jnp move paths (style dispatch
+    mirrors models.energy; the wolf 'reference' convention's global
+    constant cancels in per-move deltas — ops.wolf)."""
+    if params.coulomb == "ewald":
+        return qq2 * _erfc(kappa * r) / r
+    if params.coulomb == "wolf":
+        if params.wolf_style == "pairwise":
+            shift = _erfc(kappa * params.qq_cut) / params.qq_cut
+            return qq2 * (_erfc(kappa * r) / r - shift)
+        return qq2 * _erfc(kappa * r) / r
+    if params.coulomb == "bare":
+        return qq2 / r
+    raise ValueError(params.coulomb)
+
+
 # ---------------- sorted-slab windows (mega path) -----------------------
 #
 # TPU-native sparsity (the reference's neighbor-list TODO,
@@ -434,19 +450,7 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
             qq_pa = charges_mp[m][:, None] * charges_flat[None, :]
             qq2 = jnp.concatenate([qq_pa, qq_pa], axis=0)
             r = jnp.sqrt(d2s)
-            if params.coulomb == "ewald":
-                cpair = qq2 * _erfc(kappa * r) / r
-            elif params.coulomb == "wolf":
-                if params.wolf_style == "pairwise":
-                    shift = _erfc(kappa * params.qq_cut) / params.qq_cut
-                    cpair = qq2 * (_erfc(kappa * r) / r - shift)
-                else:  # reference convention: plain erfc pair sum; its
-                    # global constant cancels in deltas (ops.wolf)
-                    cpair = qq2 * _erfc(kappa * r) / r
-            elif params.coulomb == "bare":
-                cpair = qq2 / r
-            else:
-                raise ValueError(params.coulomb)
+            cpair = _coulomb_pair(qq2, r, kappa, params)
             e_coul = factor * jnp.sum(jnp.where(mask_qq, cpair, 0.0), axis=-1)
             d_e = d_e + jnp.sum(e_coul[P:]) - jnp.sum(e_coul[:P])
             bad = (d2 < params.d2_overlap) & (qq2 < 0.0) & mask_qq
@@ -502,17 +506,7 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
             qq_pa = charges_mp[m][:, None] * q_g[None, :]
             qq2 = jnp.concatenate([qq_pa, qq_pa], axis=0)
             r = jnp.sqrt(d2s)
-            if params.coulomb == "ewald":
-                cpair = qq2 * _erfc(kappa * r) / r
-            elif params.coulomb == "wolf":
-                if params.wolf_style == "pairwise":
-                    shift = _erfc(kappa * params.qq_cut) / params.qq_cut
-                    cpair = qq2 * (_erfc(kappa * r) / r - shift)
-                else:  # reference convention: plain erfc pair sum; its
-                    # global constant cancels in deltas (ops.wolf)
-                    cpair = qq2 * _erfc(kappa * r) / r
-            else:
-                cpair = qq2 / r
+            cpair = _coulomb_pair(qq2, r, kappa, params)
             e_coul = factor * jnp.sum(jnp.where(mask_qq, cpair, 0.0), axis=-1)
             d_e = d_e + jnp.sum(e_coul[P:]) - jnp.sum(e_coul[:P])
             bad = (d2 < params.d2_overlap) & (qq2 < 0.0) & mask_qq

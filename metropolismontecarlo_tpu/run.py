@@ -134,10 +134,11 @@ def main(argv=None):
             state = state._replace(
                 temp=jnp.full_like(state.temp, params.temperature))
         state, metrics = mc.run_block(state, n_steps, adjust=adjust)
-        if block == equil - 1 and mc._slab_cfg is not None:
+        if block == equil - 1:
             # equilibrated: re-size the sorted-slab windows from the
             # actual fluid structure (lattice-start z-clumps force
-            # conservative windows at init; smaller W = faster sweeps)
+            # conservative windows at init; smaller W = faster sweeps).
+            # No-op when slabs are off or the width doesn't change.
             state = mc.retune_slabs(state)
         if remc_cfg:
             from metropolismontecarlo_tpu.parallel.remc import exchange
