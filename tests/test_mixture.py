@@ -118,3 +118,31 @@ def test_ragged_virial_matches_fd(reference_dir):
     p_v = float(pressure(PARAMS, system.n_mol,
                          float(state.box[0]) ** 3, state.virial)[0])
     assert abs(p_v - p_fd) < 1e-5 * max(abs(p_fd), 1.0), (p_v, p_fd)
+
+
+def test_tp_full_energy_ragged(reference_dir):
+    """Tensor-parallel recompute on a RAGGED mixture: the row-sharded
+    tiled path must match the unsharded full_energy (the row padding to
+    block*shards multiples and the per-species intra terms must survive
+    the atoms-axis split)."""
+    from metropolismontecarlo_tpu.parallel.tp import (
+        make_mesh_2d, tp_full_energy_fn)
+
+    system = _mixture(reference_dir)
+    box = 16.0
+    mc = MonteCarlo(system, PARAMS, dtype=jnp.float64, recompute_chunk=2,
+                    pallas=False)
+    state = mc.init_state(jax.random.PRNGKey(2),
+                          cubic_lattice(system.n_mol, box), box=box,
+                          n_chains=4)
+    state = mc.run_steps(state, 2, False)
+    e_ref, w_ref, sfac_ref = mc.full_energy(state)
+
+    fn = tp_full_energy_fn(system, PARAMS, make_mesh_2d(2, 4),
+                           mc.kvecs, mc.kweights, recompute_chunk=2,
+                           row_block=8)
+    e, w, sfac = fn(state.coords, state.com, state.box)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(sfac), np.asarray(sfac_ref),
+                               rtol=1e-10, atol=1e-12)
