@@ -794,8 +794,10 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
                   + max(P_max, 8) * (2 * A_plane + 2 * lam_w))
     budget = 12 * 1024 * 1024 - shared
     cb_fit = max(1, budget // per_chain)
+    # cap 128: measured +31% on 256-atom LJ (amortized per-cell fixed
+    # cost); 256 wedges Mosaic even when the model says it fits
     cb = int(os.environ.get("MMC_MEGA_CB", "0")) \
-        or min(64, next(b for b in (64, 32, 16, 8, 4, 2, 1) if b <= cb_fit))
+        or next(b for b in (128, 64, 32, 16, 8, 4, 2, 1) if b <= cb_fit)
     blocks = []
     for _, m0, m1, P, a0 in system.species_slices:
         (body_row, qp_row, eps_pt, sig2_pt, lam1_pt, lam2_pt,
