@@ -158,3 +158,26 @@ def test_slab_mega_interpret_drift():
     state, m = mc.run_block(state, 2, adjust=False)
     assert m["drift_max_rel"] < 5e-5, m["drift_max_rel"]
     assert np.isfinite(m["energy_mean"])
+
+
+def test_retune_slabs_mid_run_keeps_drift():
+    """retune_slabs after some sweeps (the CLI's equil->production hook):
+    the rebuilt windows must stay drift-exact, and the coverage counter
+    resets for the new width."""
+    n, box = 640, 32.0
+    system = lj_system(n)
+    params = RunParams(temperature=1.5, r_cut=3.0, cutoff_mode="site",
+                       coulomb="none", p_translate=1.0, dr_max=0.4,
+                       use_lrc=False, slab_mode="force", slab_skin=1.0)
+    mc = MonteCarlo(system, params, dtype=jnp.float32,
+                    pallas="mega_interpret", recompute_chunk=2)
+    state = mc.init_state(jax.random.PRNGKey(13), _stratified_com(n, box),
+                          box=box, n_chains=2)
+    state, m = mc.run_block(state, 1, adjust=False)
+    w_before = mc._slab_cfg["W"]
+    state = mc.retune_slabs(state)
+    assert mc._slab_cfg is not None     # still profitable post-equil
+    assert int(jnp.max(state.nbr_needed)) == 0   # counter reset
+    state, m = mc.run_block(state, 2, adjust=False)
+    assert m["drift_max_rel"] < 5e-5, (w_before, mc._slab_cfg["W"],
+                                       m["drift_max_rel"])
