@@ -6,8 +6,8 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 Variants via BENCH_CONFIG: spce (default) | wolf | lj | triatomic |
-mixture — the other BASELINE.json configurations.  BENCH_CHAINS and
-BENCH_STEPS control scale.
+npt | mixture — the other BASELINE.json configurations.  BENCH_CHAINS
+and BENCH_STEPS control scale.
 """
 
 import json
@@ -61,6 +61,21 @@ def _setup(config, n_chains):
         state = mc.init_state(key, (com + box / 2.0) % box, quat=quat,
                               box=box, n_chains=n_chains)
         label = "256-triatomic Mossa LJ NVT"
+    elif config == "npt":
+        # BASELINE config #4: SPC/E NPT with volume-change moves + full
+        # recompute (the reference's volumeChange.jl path — dead
+        # pseudocode there, implemented for real here), 1 bar
+        from metropolismontecarlo_tpu.models.water import spce_from_nist
+        system, coords, com, box = spce_from_nist(
+            os.path.join(REF, "Ewald", "coord750.txt"))
+        p_bar = 1.0e5 / 1.380649e-23 * 1e-30      # 1 bar in K/A^3
+        params = RunParams(temperature=298.15, r_cut=10.0,
+                           cutoff_mode="site", coulomb="ewald",
+                           p_translate=0.5, dr_max=0.3, dphi_max=0.3,
+                           pressure=p_bar, p_volume=0.05, dv_max=0.01)
+        mc = MonteCarlo(system, params, dtype=jnp.float32, recompute_chunk=4)
+        state = mc.init_from_coords(key, coords, com, box, n_chains=n_chains)
+        label = "SPC/E 750-water Ewald NPT (1 bar)"
     elif config == "mixture":
         from metropolismontecarlo_tpu.io.topology import read_top
         from metropolismontecarlo_tpu.models.from_topology import (

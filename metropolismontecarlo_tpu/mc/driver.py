@@ -361,7 +361,18 @@ class MonteCarlo:
                 state, _ = jax.lax.scan(sweep_body, state,
                                         jnp.arange(m0, m1))
         if self._volume_move is not None:
-            state = self._volume_move(state)
+            # deterministic volume-attempt cycle (see mc/npt.py docstring):
+            # all chains attempt every round(1/p_volume) sweeps; lax.cond
+            # skips the O(A^2) recompute entirely on the other sweeps.
+            # step is a pure molecule-move counter so step // n_mol is the
+            # exact 1-based sweep index at this point in the sweep.
+            period = max(1, int(round(1.0 / self.params.p_volume)))
+            if period == 1:
+                state = self._volume_move(state)
+            else:
+                sweep_idx = state.step // self.system.n_mol
+                state = jax.lax.cond(sweep_idx % period == 0,
+                                     self._volume_move, lambda s: s, state)
         return state
 
     @functools.partial(jax.jit, static_argnums=(0, 2, 3))

@@ -15,6 +15,14 @@ box-dependent kappa, cfac, self and intra terms).  Acceptance:
 
 (the +1 from sampling in ln V).  Chains are independent; the recompute
 is vmapped in chunks to bound the O(A^2) memory.
+
+Scheduling: volume attempts follow a DETERMINISTIC cycle — every chain
+attempts one volume move every round(1/p_volume) sweeps (driver.sweep) —
+rather than a per-chain Bernoulli(p_volume) each sweep.  The attempt rate
+is identical, the move mixture is a valid systematic cycle (like the
+molecule scan itself: detailed balance holds within each kernel), and the
+O(A^2) recompute is skipped entirely on the other sweeps instead of being
+paid by every chain and discarded by 1-p_volume of them.
 """
 
 import jax
@@ -39,11 +47,11 @@ def make_volume_move_fn(system, params, kvecs, kweights, dtype=jnp.float32,
     def attempt_one(com, quat, box, energy, key, dv_max, step):  # noqa: ARG001
         """Propose scaled config for one chain; returns proposal pieces."""
         # all of this move's randomness (including the acceptance uniform)
-        # comes from splits of THIS step's folded key; the volume move owns
-        # its step value (the sweep advances the counter per move), so no
-        # draw can share threefry bits with a molecule move's stream
-        k_lnv, k_do, k_acc = jax.random.split(jax.random.fold_in(key, step), 3)
-        do_move = jax.random.uniform(k_do, dtype=dtype) < params.p_volume
+        # comes from splits of a NEGATIVE-tagged fold of the chain key:
+        # molecule moves fold at non-negative step values only, so no draw
+        # can share threefry bits with their streams, and each scheduled
+        # attempt (distinct step) gets a fresh fold
+        k_lnv, k_acc = jax.random.split(jax.random.fold_in(key, -(step + 1)))
         u = jax.random.uniform(k_lnv, dtype=dtype)
         u_acc = jax.random.uniform(k_acc, dtype=dtype)
         dlnv = (2.0 * u - 1.0) * dv_max
@@ -60,7 +68,7 @@ def make_volume_move_fn(system, params, kvecs, kweights, dtype=jnp.float32,
             pad = system.n_atoms_padded - A
             if pad:
                 coords_new = jnp.pad(coords_new, ((0, 0), (0, pad)))
-        return do_move, box_new, com_new, coords_new, vol_old, vol_new, u_acc
+        return box_new, com_new, coords_new, vol_old, vol_new, u_acc
 
     def recompute(coords_t, com, box):
         out = energy_breakdown(system, params, coords_t[:, :A].T, com, box,
@@ -69,7 +77,7 @@ def make_volume_move_fn(system, params, kvecs, kweights, dtype=jnp.float32,
 
     def volume_move(state):
         C = state.com.shape[0]
-        do_move, box_new, com_new, coords_new, vol_old, vol_new, u_acc = \
+        box_new, com_new, coords_new, vol_old, vol_new, u_acc = \
             jax.vmap(attempt_one, in_axes=(0, 0, 0, 0, 0, 0, None))(
                 state.com, state.quat, state.box, state.energy, state.key,
                 state.dv_max, state.step)
@@ -86,11 +94,11 @@ def make_volume_move_fn(system, params, kvecs, kweights, dtype=jnp.float32,
         # SAMPLED volume).  Rejecting the proposal preserves detailed
         # balance (hard-wall veto).  strict_min_image=False samples the
         # truncated-nearest-image model without the wall.
-        legal = True
+        legal = jnp.ones_like(arg, dtype=bool)
         if params.strict_min_image:
             max_cut = float(max(params.r_cut, params.qq_cut))
             legal = box_new >= 2.0 * max_cut - 1e-9   # counts as attempted
-        accept = do_move & legal & (
+        accept = legal & (
             (arg > 0.0) | (u_acc < jnp.exp(jnp.minimum(arg, 0.0))))
 
         sel = lambda new, old: jnp.where(
@@ -103,8 +111,10 @@ def make_volume_move_fn(system, params, kvecs, kweights, dtype=jnp.float32,
             virial=jnp.where(accept, w_new, state.virial),
             sfac=sel(sfac_new, state.sfac) if params.coulomb == "ewald"
             else state.sfac,
-            step=state.step + 1,
-            att=state.att.at[:, 2].add(do_move.astype(jnp.int32)),
+            # step is NOT advanced: it is a pure molecule-move counter, so
+            # step // n_mol is always the exact sweep index (the driver's
+            # deterministic volume-attempt schedule relies on this)
+            att=state.att.at[:, 2].add(1),
             acc=state.acc.at[:, 2].add(accept.astype(jnp.int32)),
         )
         return state

@@ -207,7 +207,9 @@ class RunParams:
     d2_overlap: float = 0.5           # hard-overlap veto distance^2
     # NPT (pressure in K/Angstrom^3 i.e. P/kB; NVT if pressure is None)
     pressure: Optional[float] = None
-    p_volume: float = 0.0             # probability of a volume move
+    p_volume: float = 0.0             # volume-attempt rate: every chain
+    #   attempts one volume move every round(1/p_volume) sweeps
+    #   (deterministic cycle, see mc/npt.py; 0 = never)
     dv_max: float = 0.05              # max fractional ln-volume step
     # molecule-level Verlet neighbor lists (EXPERIMENTAL, jnp path only):
     # nlist_width = max neighbor molecules kept per molecule (0 = off);

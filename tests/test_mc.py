@@ -219,20 +219,24 @@ def test_npt_nvt_pressure_consistency():
     box0 = lj_box_for_density(n, 0.5)
     st = mc1.init_state(jax.random.PRNGKey(9), cubic_lattice(n, box0),
                         box=box0, n_chains=32)
-    st = mc1.run_steps(st, 300, False)
+    st = mc1.run_steps(st, 600, False)   # volume equilibration is SLOW
     eps_t = jnp.asarray(system.eps_table, jnp.float64)
     sig_t = jnp.asarray(system.sig_table, jnp.float64)
     counts = jnp.asarray(system.type_counts, jnp.float64)
-    ps, boxes = [], []
+    snaps, boxes = [], []
     for _ in range(6):
         st = mc1.run_steps(st, 50, False)
         _, w, _ = mc1.full_energy(st)
         p_imp = impulsive_pressure(counts, eps_t, sig_t, npt.r_cut,
                                    st.box**3)
-        ps.append(float(jnp.mean(pressure(npt, n, st.box**3, w) + p_imp)))
+        snaps.append(np.asarray(pressure(npt, n, st.box**3, w) + p_imp))
         boxes.append(np.asarray(st.box))
-    p_npt = float(np.mean(ps))
-    sem = float(np.std(ps) / np.sqrt(len(ps)))
+    # chains are the independent axis (snapshots 50 sweeps apart are
+    # correlated through the slow volume mode): average each chain's
+    # snapshots, then sem across chains
+    pc = np.mean(np.stack(snaps), axis=0)
+    p_npt = float(np.mean(pc))
+    sem = float(np.std(pc) / np.sqrt(pc.size))
     assert abs(p_npt - p_target) < max(5 * sem, 0.08), (p_npt, sem)
 
     rho = float(np.mean([n / b**3 for b in boxes]))
