@@ -104,6 +104,29 @@ def test_lj_sampling_matches_independent_numpy():
     assert abs(e_fw - e_np) < 5.0 * max(err, 0.3), (e_fw, e_np, err)
 
 
+def test_npt_volume_schedule():
+    """Volume attempts follow the deterministic cycle: every chain
+    attempts exactly once every round(1/p_volume) sweeps (mc/npt.py),
+    and state.step stays a pure molecule-move counter (sweeps * n_mol)."""
+    n, t = 16, 2.0
+    system = lj_system(n, eps=0.0, sigma=1.0)
+    params = RunParams(temperature=t, r_cut=1.0, cutoff_mode="site",
+                       coulomb="none", p_translate=1.0, dr_max=1.0,
+                       use_lrc=False, pressure=0.5, p_volume=0.25,
+                       dv_max=0.3)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=4)
+    box0 = (n * t / 0.5) ** (1.0 / 3.0)
+    state = mc.init_state(jax.random.PRNGKey(7), cubic_lattice(n, box0),
+                          box=box0, n_chains=4)
+    for sweeps, want_att in ((3, 0), (1, 1), (4, 1), (4, 1)):
+        # period 4: attempts land on sweep indices 4, 8, 12 (1-based)
+        att0 = np.asarray(state.att[:, 2])
+        state = mc.run_steps(state, sweeps, False)
+        d_att = np.asarray(state.att[:, 2]) - att0
+        assert (d_att == want_att).all(), (sweeps, d_att)
+    assert int(state.step) == 12 * n
+
+
 def test_npt_ideal_gas_exact():
     """With all interactions off, ln-V NPT sampling gives exactly
     <V> = (M+1) T / P — a closed-form validation of the volume-move
