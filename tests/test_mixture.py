@@ -120,6 +120,28 @@ def test_ragged_virial_matches_fd(reference_dir):
     assert abs(p_v - p_fd) < 1e-5 * max(abs(p_fd), 1.0), (p_v, p_fd)
 
 
+def test_ragged_npt_volume_drift(reference_dir):
+    """NPT volume moves on the RAGGED mixture: the volume move rebuilds
+    atoms through the driver's ragged-aware build_coords and must keep
+    the drift invariant (accumulated deltas + accepted recomputes ==
+    fresh recompute) through accepted volume changes."""
+    params = dataclasses.replace(PARAMS, pressure=0.0024, p_volume=0.5,
+                                 dv_max=0.05, strict_min_image=False)
+    system = _mixture(reference_dir, n_mea=2, n_sol=12)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=2,
+                    pallas=False)
+    state = mc.init_state(jax.random.PRNGKey(3),
+                          cubic_lattice(system.n_mol, 14.0), box=14.0,
+                          n_chains=4)
+    state = mc.quench(state, 3)
+    att0 = int(state.att[0, 2])
+    state, metrics = mc.run_block(state, n_steps=8, adjust=False)
+    assert metrics["drift_max_rel"] < 1e-10, metrics["drift_max_rel"]
+    # period 2: 4 scheduled all-chain attempts in 8 sweeps
+    assert int(state.att[0, 2]) - att0 == 4
+    assert float(jnp.max(jnp.abs(state.box - 14.0))) > 0.0  # moved volume
+
+
 def test_tp_full_energy_ragged(reference_dir):
     """Tensor-parallel recompute on a RAGGED mixture: the row-sharded
     tiled path must match the unsharded full_energy (the row padding to
