@@ -37,7 +37,7 @@ def _setup(config, n_chains):
         params = RunParams(temperature=298.15, r_cut=10.0, cutoff_mode="site",
                            coulomb="ewald" if config == "spce" else "wolf",
                            p_translate=0.5, dr_max=0.3, dphi_max=0.3)
-        mc = MonteCarlo(system, params, dtype=jnp.float32, recompute_chunk=4)
+        mc = MonteCarlo(system, params, dtype=jnp.float32, recompute_chunk="auto")
         state = mc.init_from_coords(key, coords, com, box, n_chains=n_chains)
         label = f"SPC/E 750-water {params.coulomb.capitalize()} NVT"
     elif config == "lj":
@@ -73,7 +73,7 @@ def _setup(config, n_chains):
                            cutoff_mode="site", coulomb="ewald",
                            p_translate=0.5, dr_max=0.3, dphi_max=0.3,
                            pressure=p_bar, p_volume=0.05, dv_max=0.01)
-        mc = MonteCarlo(system, params, dtype=jnp.float32, recompute_chunk=4)
+        mc = MonteCarlo(system, params, dtype=jnp.float32, recompute_chunk="auto")
         state = mc.init_from_coords(key, coords, com, box, n_chains=n_chains)
         label = "SPC/E 750-water Ewald NPT (1 bar)"
     elif config == "mixture":

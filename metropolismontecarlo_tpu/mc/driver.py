@@ -26,6 +26,23 @@ from metropolismontecarlo_tpu.ops.quaternions import random_quaternion, rotate_v
 from metropolismontecarlo_tpu.utils.chunking import chunked_vmap
 
 
+def _auto_recompute_chunk(system, dtype, budget_bytes=2 << 30):
+    """Chains per chunked-recompute step, from a peak-memory model.
+
+    Dense path (<=4096 atoms, models/energy.py) peaks at a few (A, A)
+    temporaries per chain; the row-tiled path at a few (256, A) tiles
+    plus the (K, A) recip contraction.  ~4 live temporaries observed is
+    the safety factor.  Clamped to [1, 64]: 64 already amortizes the
+    scan overhead; larger only grows compile time."""
+    A = system.n_atoms_padded
+    item = jnp.dtype(dtype).itemsize
+    if system.n_atoms > 4096:
+        per_chain = 4 * (256 + 512) * A * item   # row tiles + recip K~512
+    else:
+        per_chain = 4 * A * A * item
+    return int(max(1, min(64, budget_bytes // max(per_chain, 1))))
+
+
 class MonteCarlo:
     """Bundles a System + RunParams into jitted chain-parallel MC kernels.
 
@@ -35,9 +52,16 @@ class MonteCarlo:
         state, metrics = mc.run_block(state, n_steps=100, adjust=True)
     """
 
-    def __init__(self, system, params, dtype=jnp.float32, recompute_chunk=8,
-                 pallas="auto", tp_mesh=None):
-        """pallas: "auto" (on TPU: whole-sweep mega-kernel for species-
+    def __init__(self, system, params, dtype=jnp.float32,
+                 recompute_chunk="auto", pallas="auto", tp_mesh=None):
+        """recompute_chunk: chains per step of the chunked full-energy
+        recompute scan (drift checks, init, volume moves).  "auto"/None
+        sizes it from a peak-memory model of the recompute path (dense
+        O(A^2) below 4096 atoms, row-tiled O(256*A) above) against a
+        fixed budget — small chunks bound memory but cost scan steps
+        (init at 2048 chains with chunk 4 is a 512-step scan).
+
+        pallas: "auto" (on TPU: whole-sweep mega-kernel for species-
         uniform systems — incl. ragged mixtures, one kernel call per
         species block — else the per-move kernel), "mega"/"tpu"
         (force those), "interpret"/"mega_interpret" (Pallas interpreter,
@@ -55,6 +79,8 @@ class MonteCarlo:
         self.system = system
         self.params = params
         self.dtype = dtype
+        if recompute_chunk in ("auto", None):
+            recompute_chunk = _auto_recompute_chunk(system, dtype)
         self.recompute_chunk = recompute_chunk
         self.tp_mesh = tp_mesh
         self._tp_fe = None          # built lazily on first full_energy
@@ -130,7 +156,8 @@ class MonteCarlo:
                 for sl in system.species_slices)
         self._volume_move = (
             make_volume_move_fn(system, params, self.kvecs, self.kweights,
-                                dtype, build_coords=self.build_coords)
+                                dtype, chunk=self.recompute_chunk,
+                                build_coords=self.build_coords)
             if params.pressure is not None and params.p_volume > 0.0
             else None
         )

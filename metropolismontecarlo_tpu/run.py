@@ -76,8 +76,9 @@ def main(argv=None):
     dtype = jnp.float64 if run_cfg.get("dtype") == "float64" else jnp.float32
     if dtype == jnp.float64:
         jax.config.update("jax_enable_x64", True)
+    rc = run_cfg.get("recompute_chunk", "auto")
     mc = MonteCarlo(system, params, dtype=dtype,
-                    recompute_chunk=int(run_cfg.get("recompute_chunk", 8)))
+                    recompute_chunk=rc if rc == "auto" else int(rc))
 
     if args.resume:
         state_np, meta = load_state(args.resume)

@@ -7,13 +7,14 @@ import jax
 
 def chunked_vmap(fn, chunk, *arrays):
     """vmap(fn) over the leading axis of *arrays, executed `chunk` rows at
-    a time via lax.scan.  The leading axis must be divisible by the chunk
-    (falls back to chunk=1 otherwise).  Returns stacked results with the
-    original leading axis."""
+    a time via lax.scan.  When the leading axis is not divisible by the
+    chunk, the largest divisor <= chunk is used instead (never an error,
+    never a silent 1-row degrade worse than necessary).  Returns stacked
+    results with the original leading axis."""
     c = arrays[0].shape[0]
     g = min(chunk, c)
-    if c % g:
-        g = 1
+    while c % g:
+        g -= 1
     rs = lambda x: x.reshape((c // g, g) + x.shape[1:])  # noqa: E731
 
     def body(_, args):
