@@ -131,3 +131,20 @@ def test_uniform_quaternion_statistics():
     assert float(jnp.max(jnp.abs(jnp.mean(q, axis=0)))) < 0.02
     cov = q.T @ q / q.shape[0]
     np.testing.assert_allclose(cov, np.eye(4) * 0.25, atol=0.02)
+
+
+def test_chunked_vmap_divisor_fallback():
+    """chunked_vmap must give identical results for any chunk size, and
+    degrade non-divisible chain counts to the largest divisor (not 1)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from metropolismontecarlo_tpu.utils.chunking import chunked_vmap
+
+    x = jnp.arange(30.0).reshape(6, 5)
+    fn = lambda row: (row * row).sum()  # noqa: E731
+    want = np.asarray(jax.vmap(fn)(x))
+    for chunk in (1, 2, 3, 4, 5, 6, 7, 64):
+        got = np.asarray(chunked_vmap(fn, chunk, x))
+        assert np.array_equal(got, want), chunk
