@@ -103,7 +103,11 @@ def main():
     config = os.environ.get("BENCH_CONFIG", "spce")
     default_chains = {"mixture": 256}.get(config, 2048)
     n_chains = int(os.environ.get("BENCH_CHAINS", str(default_chains)))
-    n_steps = int(os.environ.get("BENCH_STEPS", "2"))
+    # npt: the timed window must cover one full volume-attempt period
+    # (round(1/p_volume) = 20 sweeps) or the O(A^2) volume recompute is
+    # never paid and the number is NVT in disguise
+    default_steps = {"npt": 20}.get(config, 2)
+    n_steps = int(os.environ.get("BENCH_STEPS", str(default_steps)))
 
     mc, state, label = _setup(config, n_chains)
 

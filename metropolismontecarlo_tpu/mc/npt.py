@@ -19,10 +19,13 @@ is vmapped in chunks to bound the O(A^2) memory.
 Scheduling: volume attempts follow a DETERMINISTIC cycle — every chain
 attempts one volume move every round(1/p_volume) sweeps (driver.sweep) —
 rather than a per-chain Bernoulli(p_volume) each sweep.  The attempt rate
-is identical, the move mixture is a valid systematic cycle (like the
-molecule scan itself: detailed balance holds within each kernel), and the
-O(A^2) recompute is skipped entirely on the other sweeps instead of being
-paid by every chain and discarded by 1-p_volume of them.
+is 1/round(1/p_volume): exact when 1/p_volume is an integer, else the
+nearest integer period (p_volume=0.4 gives 1/2, not 2/5 — pick p_volume
+= 1/n for an exact rate).  The move mixture is a valid systematic cycle
+(like the molecule scan itself: detailed balance holds within each
+kernel), and the O(A^2) recompute is skipped entirely on the other
+sweeps instead of being paid by every chain and discarded by 1-p_volume
+of them.
 """
 
 import jax
@@ -47,11 +50,14 @@ def make_volume_move_fn(system, params, kvecs, kweights, dtype=jnp.float32,
     def attempt_one(com, quat, box, energy, key, dv_max, step):  # noqa: ARG001
         """Propose scaled config for one chain; returns proposal pieces."""
         # all of this move's randomness (including the acceptance uniform)
-        # comes from splits of a NEGATIVE-tagged fold of the chain key:
-        # molecule moves fold at non-negative step values only, so no draw
-        # can share threefry bits with their streams, and each scheduled
-        # attempt (distinct step) gets a fresh fold
-        k_lnv, k_acc = jax.random.split(jax.random.fold_in(key, -(step + 1)))
+        # comes from splits of a sentinel-tagged double fold of the chain
+        # key: molecule moves draw from splits of fold_in(key, step), so
+        # the extra fold with a fixed sentinel puts the volume stream on a
+        # disjoint branch regardless of the step value (robust to the
+        # int32 counter wrapping on multi-day runs); each scheduled
+        # attempt (distinct step) still gets a fresh fold
+        k_vol = jax.random.fold_in(jax.random.fold_in(key, step), 0x5DEECE6)
+        k_lnv, k_acc = jax.random.split(k_vol)
         u = jax.random.uniform(k_lnv, dtype=dtype)
         u_acc = jax.random.uniform(k_acc, dtype=dtype)
         dlnv = (2.0 * u - 1.0) * dv_max

@@ -78,7 +78,7 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
     rc = run_cfg.get("recompute_chunk", "auto")
     mc = MonteCarlo(system, params, dtype=dtype,
-                    recompute_chunk=rc if rc == "auto" else int(rc))
+                    recompute_chunk=rc if rc in ("auto", None) else int(rc))
 
     if args.resume:
         state_np, meta = load_state(args.resume)
