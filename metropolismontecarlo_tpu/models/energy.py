@@ -56,10 +56,18 @@ def energy_breakdown(system, params, coords, com, box, kvecs=None, kweights=None
     dtype = coords.dtype
     tid = system.flat(system.type_ids)
     charges = jnp.asarray(system.flat(system.charges), dtype)
+    # (A, A) pair tables are expanded in NUMPY at trace time and embedded
+    # as constants: a traced (A, A) table gather inside the chunked-vmap
+    # scan is NOT hoisted by XLA and costs ~70x the entire rest of the
+    # recompute on TPU (measured: 13.2 s vs 0.19 s per 2048-chain
+    # recompute, 750-water) — TPU gathers are that slow
+    tid_np = np.asarray(tid)
     eps_t = jnp.asarray(system.eps_table, dtype)
     sig_t = jnp.asarray(system.sig_table, dtype)
-    eps_pair = eps_t[tid[:, None], tid[None, :]]
-    sig_pair = sig_t[tid[:, None], tid[None, :]]
+    eps_pair = jnp.asarray(
+        np.asarray(system.eps_table)[tid_np[:, None], tid_np[None, :]], dtype)
+    sig_pair = jnp.asarray(
+        np.asarray(system.sig_table)[tid_np[:, None], tid_np[None, :]], dtype)
 
     mol_id = jnp.asarray(system.mol_of_atom_padded[: system.n_atoms])
     key = com if params.cutoff_mode != "first" \

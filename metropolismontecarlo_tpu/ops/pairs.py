@@ -52,7 +52,14 @@ def full_pair_mask(coords, com, n_mol, box, r_cut, mode, mol_id=None):
     else:
         d2m = min_image_dist2(com[:, None, :], com[None, :, :], box)
         mcut = d2m < r_cut * r_cut
-        incl = inter & mcut[mol_id][:, mol_id]
+        # expand (M, M) -> (A, A) via one-hot matmuls, NOT mcut[mol_id]
+        # [:, mol_id]: a traced (A, A) gather costs ~100x the matmul on
+        # TPU (see models/energy.py pair-table note).  Each output picks
+        # exactly one 0/1 element, so any matmul precision is exact.
+        onehot = (mol_id[:, None] == jnp.arange(mcut.shape[0])[None, :]) \
+            .astype(coords.dtype)
+        incl = inter & ((onehot @ (mcut.astype(coords.dtype) @ onehot.T))
+                        > 0.5)
     return incl
 
 
