@@ -148,3 +148,33 @@ def test_chunked_vmap_divisor_fallback():
     for chunk in (1, 2, 3, 4, 5, 6, 7, 64):
         got = np.asarray(chunked_vmap(fn, chunk, x))
         assert np.array_equal(got, want), chunk
+
+
+def test_dense_recompute_has_no_gathers():
+    """Canary for the round-2 gather cliff: a traced (A, A) table gather
+    inside the recompute cost ~100x the dense math on TPU (13.2 of
+    13.9 s per 2048-chain pass; see docs/perf.md).  Pair tables must be
+    numpy-expanded constants and mask expansions one-hot matmuls, so the
+    compiled dense path contains NO gather ops at all."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+
+    from metropolismontecarlo_tpu.models.energy import energy_breakdown
+    from metropolismontecarlo_tpu.models.system import RunParams
+    from metropolismontecarlo_tpu.models.water import spce_system
+    from metropolismontecarlo_tpu.ops.ewald import make_kvectors
+
+    system = spce_system(64)
+    params = RunParams(temperature=300.0, r_cut=6.0, cutoff_mode="site",
+                       coulomb="ewald", nk=4, ksq_max=16)
+    kv, kw = make_kvectors(4, 16)
+    A = system.n_atoms
+    f = jax.jit(lambda c, m, b:
+                energy_breakdown(system, params, c, m, b, kv, kw)["total"])
+    txt = f.lower(jnp.zeros((A, 3)), jnp.zeros((64, 3)),
+                  jnp.asarray(20.0, jnp.float32)).compile().as_text()
+    gathers = [ln.strip()[:120] for ln in txt.splitlines()
+               if re.search(r"\bgather\(", ln)]
+    assert not gathers, gathers
