@@ -90,7 +90,8 @@ def _setup(config, n_chains):
                            coulomb="ewald", p_translate=0.5, dr_max=0.25,
                            dphi_max=0.25)
         box = (system.n_mol / 0.004) ** (1.0 / 3.0)
-        mc = MonteCarlo(system, params, dtype=jnp.float32, recompute_chunk=1)
+        mc = MonteCarlo(system, params, dtype=jnp.float32,
+                        recompute_chunk="auto")
         state = mc.init_state(key, cubic_lattice(system.n_mol, box),
                               box=box, n_chains=n_chains)
         label = "MEA+TIP3P 2000-molecule Ewald NVT"
