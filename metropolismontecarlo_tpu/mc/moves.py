@@ -832,6 +832,21 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
             # molecules) + window-coverage check into nbr_needed
             state = resort(state)
         C = state.com.shape[0]
+        # Empirical safety envelope: C=4096 chains on the 750-water system
+        # (C*A_plane ~ 9.4e6) hard-faults the TPU ("TPU device error" on
+        # the first sweep) and wedges the device tunnel for minutes, while
+        # every validated config (2048x2304 water, 4096x256 LJ) sits under
+        # ~4.8e6 chain-lanes.  The per-launch VMEM model says both fit, so
+        # until the root cause is known, refuse the unvalidated regime
+        # with a clear error instead of faulting the chip mid-run.
+        if (not interpret and C * A_plane > 2048 * 2432
+                and not os.environ.get("MMC_MEGA_UNSAFE")):
+            raise ValueError(
+                f"mega sweep: C={C} chains x A_plane={A_plane} lanes is "
+                "outside the validated envelope (<= 2048x2432); 4096-chain "
+                "750-water runs fault the TPU (see CLAUDE.md known issues)."
+                "  Use <= 2048 chains (faster anyway), the per-move Pallas "
+                "path, or set MMC_MEGA_UNSAFE=1 to try it regardless.")
         f32 = jnp.float32
         stats = jnp.zeros((C, 8), f32)
         chain_keys = state.key[:, 0].astype(jnp.int32)

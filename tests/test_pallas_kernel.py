@@ -125,3 +125,35 @@ def test_mega_sweep_interpret_linear_shift():
     state, m = mc.run_block(state, 3, adjust=False)
     assert m["drift_max_rel"] < 5e-5, m["drift_max_rel"]
     assert np.isfinite(m["energy_mean"])
+
+
+def test_mega_envelope_guard():
+    """The compiled mega path must refuse chain x lane products outside
+    the validated envelope (4096-chain 750-water runs hard-fault the TPU
+    and wedge the device tunnel; see CLAUDE.md known issues) instead of
+    launching the kernel.  Interpreter mode is exempt."""
+    from metropolismontecarlo_tpu.mc.moves import make_mega_sweep_fn
+
+    system = spce_system(8)
+    params = RunParams(temperature=300.0, r_cut=5.0, cutoff_mode="site",
+                       coulomb="ewald", nk=3, ksq_max=9, p_translate=0.5,
+                       dr_max=0.3, dphi_max=0.4)
+    mc = MonteCarlo(system, params, dtype=jnp.float32,
+                    pallas="mega_interpret")
+    small = mc.init_state(jax.random.PRNGKey(0), cubic_lattice(8, 12.0),
+                          box=12.0, n_chains=8)
+    # fabricate a state far past the envelope by tiling the chains axis
+    # (never executed -- the guard must fire before the pallas_call)
+    reps = (2048 * 2432) // (8 * system.n_atoms_padded) + 1
+    big = jax.tree_util.tree_map(
+        lambda x: jnp.repeat(x, reps, axis=0)
+        if x.ndim > 0 and x.shape[0] == 8 else x, small)
+    sweep = make_mega_sweep_fn(system, params, mc.kvecs, mc.kweights,
+                               interpret=False)
+    with pytest.raises(ValueError, match="validated envelope"):
+        sweep(big)
+    # the interpreter path (what this suite runs) stays unrestricted
+    sweep_i = make_mega_sweep_fn(system, params, mc.kvecs, mc.kweights,
+                                 interpret=True)
+    out = sweep_i(small)
+    assert np.isfinite(np.asarray(out.energy)).all()
