@@ -471,6 +471,35 @@ class MonteCarlo:
         du_dv = (energy_at(sp, state) - energy_at(sm, state)) / (2.0 * eps * vol)
         return self.system.n_mol * state.temp / vol - du_dv
 
+    def widom(self, state, key, n_insertions=64, species=0):
+        """Widom test-particle insertion (beyond-parity observable; see
+        mc/widom.py): samples n_insertions uniform ghost poses of the
+        given species per chain and returns a dict with
+
+          boltzmann_mean (C,): <exp(-beta dU)> over this sample — the
+              quantity to average over a production run (arithmetic mean
+              over samples AND chains at equal temperature), then pass
+              to mu_excess;
+          mu_ex (C,): -kT ln of THIS sample's mean (diagnostic only;
+              the log of a noisy mean is biased — average the factors).
+
+        The evaluator is jit-compiled per species on first use.
+        """
+        fns = getattr(self, "_widom_fns", None)
+        if fns is None:
+            fns = self._widom_fns = {}
+        entry = fns.get(species)
+        if entry is None:
+            from metropolismontecarlo_tpu.mc.widom import make_widom_fn
+            _, sample = make_widom_fn(
+                self.system, self.params, self.kvecs, self.kweights,
+                dtype=self.dtype, species=species,
+                chunk=self.recompute_chunk)
+            entry = fns[species] = jax.jit(sample, static_argnums=2)
+        b = entry(state, key, int(n_insertions))
+        from metropolismontecarlo_tpu.mc.widom import mu_excess
+        return {"boltzmann_mean": b, "mu_ex": mu_excess(b, state.temp)}
+
     def quench(self, state, n_steps=20, temp=1e-6):
         """Orientation/position descent: run sweeps at a near-zero
         temperature so only downhill moves are accepted — the vectorized
