@@ -111,3 +111,137 @@ class BlockAverager:
         if len(vals) < 2:
             return float("nan")
         return float(np.std(vals, ddof=1) / np.sqrt(len(vals)))
+
+
+def dielectric_constant(m2_mean, m_mean, vol_mean, temp):
+    """Static dielectric constant from total-dipole fluctuations under
+    tinfoil (conducting) boundary conditions — the Ewald convention this
+    framework samples by default (the surface term is off):
+
+        eps = 1 + (4 pi / 3) * factor * (<M^2> - |<M>|^2) / (V T)
+
+    with M the total dipole in e*Angstrom (sum of molecular dipoles),
+    V in Angstrom^3, T in Kelvin, and factor = e^2/(4 pi eps0 kB) the
+    framework's Coulomb constant (utils.constants) making the ratio
+    dimensionless.  Neumann, Mol. Phys. 50, 841 (1983).
+
+    m2_mean: scalar <M.M>;  m_mean: (3,) <M> (zero by symmetry in bulk,
+    but subtracting it removes the finite-sample offset).
+    """
+    from metropolismontecarlo_tpu.utils.constants import COULOMB_FACTOR
+
+    m_mean = np.asarray(m_mean, np.float64)
+    dm2 = float(m2_mean) - float(np.dot(m_mean, m_mean))
+    return 1.0 + (4.0 * np.pi / 3.0) * COULOMB_FACTOR * dm2 / (
+        float(vol_mean) * float(temp))
+
+
+class DipoleAccumulator:
+    """Total-dipole moments pooled over chains and samples, for the
+    dielectric constant and the Kirkwood factor.
+
+    M per chain is the sum of MOLECULAR dipoles sum_i q_i (r_i - R_mol)
+    (ops.ewald.surface_dipole): translation-invariant per molecule, so it
+    is continuous when molecules wrap across the periodic boundary —
+    sum q_i r_i is not.  Beyond-parity observable (the reference has no
+    dielectric machinery; its own Wolf-vs-Ewald RDF cross-check is the
+    closest analog).
+
+    Pools all chains: only use on equal-temperature ladders (NVT/NPT
+    ensembles; exclude REMC multi-temperature states).
+    """
+
+    def __init__(self, system, chunk=8):
+        from metropolismontecarlo_tpu.ops.ewald import surface_dipole
+        from metropolismontecarlo_tpu.utils.chunking import chunked_vmap
+
+        A = system.n_atoms
+        charges = jnp.asarray(system.flat(system.charges))
+        mol_id = jnp.asarray(system.mol_of_atom_padded[:A])
+        # per-molecule dipole magnitude (rigid => constant): mu from the
+        # body template, for the Kirkwood factor g_K = <M^2>/(N mu^2)
+        body = np.asarray(system.body, np.float64)
+        qs = np.asarray(system.charges, np.float64)
+        mu_mol = np.linalg.norm((qs[..., None] * body).sum(axis=1), axis=-1)
+        self.n_polar = int(np.sum(mu_mol > 1e-12))
+        self.mu2_sum = float(np.sum(mu_mol**2))
+
+        def one_chain(coords_t, com, box):
+            return surface_dipole(coords_t[:, :A].T, com[mol_id],
+                                  charges.astype(coords_t.dtype), box)
+
+        @jax.jit
+        def moments(coords_c, com_c, box_c):
+            m = chunked_vmap(one_chain, chunk, coords_c, com_c, box_c)
+            return (jnp.sum(m, axis=0, dtype=jnp.float64),
+                    jnp.sum(jnp.sum(m * m, axis=-1), dtype=jnp.float64))
+
+        self._moments = moments
+        self.m_sum = np.zeros(3)
+        self.m2_sum = 0.0
+        self.n_samples = 0
+        self._vol_sum = 0.0
+        self._temp_sum = 0.0
+
+    def update(self, state):
+        ms, m2s = self._moments(state.coords, state.com, state.box)
+        self.m_sum += np.asarray(ms)
+        self.m2_sum += float(m2s)
+        c = state.coords.shape[0]
+        self.n_samples += c
+        self._vol_sum += float(jnp.sum(state.box**3))
+        self._temp_sum += float(jnp.sum(state.temp))
+
+    def result(self):
+        """dict(epsilon, g_kirkwood, m_mean (3,), m2_mean, n_samples)."""
+        if self.n_samples == 0:
+            return dict(epsilon=float("nan"), g_kirkwood=float("nan"),
+                        m_mean=np.zeros(3), m2_mean=float("nan"),
+                        n_samples=0)
+        n = self.n_samples
+        m_mean = self.m_sum / n
+        m2_mean = self.m2_sum / n
+        eps = dielectric_constant(m2_mean, m_mean, self._vol_sum / n,
+                                  self._temp_sum / n)
+        g_k = (m2_mean / self.mu2_sum) if self.mu2_sum > 0 else float("nan")
+        return dict(epsilon=eps, g_kirkwood=g_k, m_mean=m_mean,
+                    m2_mean=m2_mean, n_samples=n)
+
+
+def excess_heat_capacity(e2_mean, e_mean, temp):
+    """Configurational (excess) heat capacity per system from energy
+    fluctuations:  C_v,ex / kB = (<E^2> - <E>^2) / T^2  (energies in K).
+    The reference reports only <E>; the fluctuation route needs the
+    second moment this accumulator keeps."""
+    return (float(e2_mean) - float(e_mean) ** 2) / float(temp) ** 2
+
+
+class EnergyFluctuations:
+    """First/second moments of the running total energy, pooled over
+    equal-temperature chains, for C_v,ex (NVT).  Uses the state's
+    accumulated energy (drift-checked against full recomputes every
+    block), so updates are O(C)."""
+
+    def __init__(self):
+        self.e_sum = 0.0
+        self.e2_sum = 0.0
+        self.n_samples = 0
+        self._temp_sum = 0.0
+
+    def update(self, state):
+        e = np.asarray(state.energy, np.float64)
+        self.e_sum += float(e.sum())
+        self.e2_sum += float((e * e).sum())
+        self.n_samples += e.shape[0]
+        self._temp_sum += float(jnp.sum(state.temp))
+
+    def result(self):
+        if self.n_samples < 2:
+            return dict(cv_excess=float("nan"), e_mean=float("nan"),
+                        e2_mean=float("nan"), n_samples=self.n_samples)
+        n = self.n_samples
+        e_mean = self.e_sum / n
+        e2_mean = self.e2_sum / n
+        cv = excess_heat_capacity(e2_mean, e_mean, self._temp_sum / n)
+        return dict(cv_excess=cv, e_mean=e_mean, e2_mean=e2_mean,
+                    n_samples=n)

@@ -114,6 +114,17 @@ def main(argv=None):
                              int(r.get("type_j", 0)),
                              float(r.get("r_max", params.r_cut)),
                              int(r.get("n_bins", 200)))
+    # fluctuation observables (beyond-parity; production blocks only,
+    # skipped automatically for multi-temperature REMC ladders)
+    dipole = cvacc = None
+    if out_cfg.get("dielectric") and not remc_cfg:
+        from metropolismontecarlo_tpu.observables import DipoleAccumulator
+        dipole = DipoleAccumulator(system, chunk=mc.recompute_chunk)
+    if out_cfg.get("heat_capacity") and not remc_cfg:
+        from metropolismontecarlo_tpu.observables import EnergyFluctuations
+        cvacc = EnergyFluctuations()
+    widom_cfg = out_cfg.get("widom")
+    widom_b = []
 
     logger = JsonlLogger(os.path.join(out_dir, "metrics.jsonl")
                          if out_dir else None)
@@ -168,6 +179,22 @@ def main(argv=None):
                 params.r_cut, vol))
         if rdf is not None and not adjust:
             rdf.update(state)
+        if not adjust:
+            if dipole is not None:
+                dipole.update(state)
+                metrics["epsilon_running"] = dipole.result()["epsilon"]
+            if cvacc is not None:
+                cvacc.update(state)
+            if widom_cfg:
+                wkey = jax.random.fold_in(jax.random.PRNGKey(
+                    int(run_cfg.get("seed", 0)) + 104729), block)
+                w = mc.widom(state, wkey,
+                             n_insertions=int(widom_cfg.get("n_insertions",
+                                                            64)),
+                             species=int(widom_cfg.get("species", 0)))
+                bmean = float(jnp.mean(w["boltzmann_mean"]))
+                widom_b.append(bmean)
+                metrics["widom_boltzmann_mean"] = bmean
         if not args.quiet:
             print(block_line(block, metrics))
         logger.write(dict(metrics, block=block, phase="equil" if adjust else "prod"))
@@ -191,6 +218,23 @@ def main(argv=None):
         r, g = rdf.result()
         np.savetxt(os.path.join(out_dir, "rdf.txt"),
                    np.column_stack([r, g]), header="r g(r)")
+    final_obs = {}
+    if dipole is not None and dipole.n_samples:
+        d = dipole.result()
+        final_obs.update(epsilon=d["epsilon"], g_kirkwood=d["g_kirkwood"])
+    if cvacc is not None and cvacc.n_samples > 1:
+        final_obs["cv_excess"] = cvacc.result()["cv_excess"]
+    if widom_b:
+        from metropolismontecarlo_tpu.mc.widom import mu_excess
+        bmean = float(np.mean(widom_b))
+        final_obs["widom_boltzmann_mean"] = bmean
+        final_obs["mu_excess"] = float(mu_excess(
+            jnp.asarray(bmean), params.temperature))
+    if final_obs:
+        logger.write(dict(final_obs, phase="final"))
+        if not args.quiet:
+            print("observables: " + "  ".join(
+                f"{k} = {v:.6g}" for k, v in final_obs.items()))
     if out_dir:
         save_state(os.path.join(out_dir, "final.npz"), state,
                    metadata={"block": n_blocks})

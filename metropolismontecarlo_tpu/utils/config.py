@@ -20,7 +20,10 @@ Schema (all sections optional except model):
             "output": {"dir": "out", "pdb_every": 0,
                        "checkpoint_every": 0,
                        "rdf": {"type_i": 0, "type_j": 0,
-                               "r_max": 10.0, "n_bins": 200}}}
+                               "r_max": 10.0, "n_bins": 200},
+                       "dielectric": false,      // dipole-fluctuation eps
+                       "heat_capacity": false,   // C_v,ex from <dE^2>
+                       "widom": {"n_insertions": 64, "species": 0}}}
 }
 """
 

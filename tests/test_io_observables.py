@@ -183,3 +183,135 @@ def test_cli_annealing_schedule(tmp_path):
     state = main([str(p), "--quiet"])
     # production temperature restored after annealing
     np.testing.assert_allclose(np.asarray(state.temp), 1.0, rtol=1e-6)
+
+
+def test_dipole_accumulator_spce():
+    """Per-molecule SPC/E dipole is analytic (2 q_H r_OH cos(theta/2) =
+    0.4894 e.A, orientation-invariant); aligned molecules add, and the
+    molecular (surface_dipole) form is invariant under periodic wrap."""
+    from metropolismontecarlo_tpu.models.water import (
+        SPCE_Q_H, SPCE_R_OH, SPCE_THETA)
+    from metropolismontecarlo_tpu.observables import DipoleAccumulator
+    from metropolismontecarlo_tpu.ops.quaternions import (
+        random_quaternion, rotate_vectors)
+
+    mu = 2.0 * SPCE_Q_H * SPCE_R_OH * np.cos(np.deg2rad(SPCE_THETA) / 2.0)
+    box = 12.0
+
+    # one molecule, random orientation: |M| = mu exactly
+    sys1 = spce_system(1)
+    p1 = RunParams(strict_min_image=False, temperature=300.0, r_cut=5.0,
+                   coulomb="none", use_lrc=False)
+    quat = random_quaternion(jax.random.PRNGKey(2), (1,), jnp.float64)
+    com = jnp.asarray([[3.0, 4.0, 5.0]], jnp.float64)
+    body = jnp.asarray(np.asarray(sys1.body), jnp.float64)
+    coords = (com[:, None, :] + rotate_vectors(quat, body)).reshape(-1, 3)
+    mc1 = MonteCarlo(sys1, p1, dtype=jnp.float64, pallas=False,
+                     recompute_chunk=1)
+    st1 = mc1.init_from_coords(jax.random.PRNGKey(0), coords, com, box=box,
+                               n_chains=1)
+    acc = DipoleAccumulator(sys1, chunk=1)
+    acc.update(st1)
+    res = acc.result()
+    np.testing.assert_allclose(np.sqrt(res["m2_mean"]), mu, rtol=1e-10)
+    np.testing.assert_allclose(res["g_kirkwood"], 1.0, rtol=1e-10)
+
+    # two molecules, SAME orientation: M^2 = (2 mu)^2, g_K = 2
+    sys2 = spce_system(2)
+    com2 = jnp.asarray([[3.0, 3.0, 3.0], [9.0, 9.0, 9.0]], jnp.float64)
+    quat2 = jnp.tile(quat, (2, 1))
+    body2 = jnp.asarray(np.asarray(sys2.body), jnp.float64)
+    coords2 = (com2[:, None, :]
+               + rotate_vectors(quat2, body2)).reshape(-1, 3)
+    mc2 = MonteCarlo(sys2, p1, dtype=jnp.float64, pallas=False,
+                     recompute_chunk=1)
+    st2 = mc2.init_from_coords(jax.random.PRNGKey(0), coords2, com2,
+                               box=box, n_chains=1)
+    acc2 = DipoleAccumulator(sys2, chunk=1)
+    acc2.update(st2)
+    res2 = acc2.result()
+    np.testing.assert_allclose(np.sqrt(res2["m2_mean"]), 2.0 * mu,
+                               rtol=1e-10)
+    np.testing.assert_allclose(res2["g_kirkwood"], 2.0, rtol=1e-10)
+
+    # wrap one molecule across the boundary: M unchanged
+    coords2w = np.asarray(coords2).copy()
+    coords2w[3:6] += box  # second molecule's atoms, one image over
+    com2w = np.asarray(com2).copy()
+    com2w[1] += box
+    st2w = mc2.init_from_coords(jax.random.PRNGKey(0),
+                                coords2w % box, com2w % box, box=box,
+                                n_chains=1)
+    acc2w = DipoleAccumulator(sys2, chunk=1)
+    acc2w.update(st2w)
+    np.testing.assert_allclose(acc2w.result()["m2_mean"],
+                               res2["m2_mean"], rtol=1e-10)
+
+
+def test_dielectric_constant_formula():
+    """Hand-checked value: dm2 = 1 e^2 A^2 in V = 1000 A^3 at T = 300 K
+    gives eps = 1 + (4 pi/3) * COULOMB_FACTOR / 3e5."""
+    from metropolismontecarlo_tpu.observables import dielectric_constant
+    from metropolismontecarlo_tpu.utils.constants import COULOMB_FACTOR
+
+    eps = dielectric_constant(1.0, np.zeros(3), 1000.0, 300.0)
+    np.testing.assert_allclose(
+        eps, 1.0 + 4.0 * np.pi / 3.0 * COULOMB_FACTOR / 3.0e5, rtol=1e-12)
+    # mean subtraction: <M> = (1,0,0), <M^2> = 1 -> dm2 = 0 -> eps = 1
+    eps0 = dielectric_constant(1.0, np.array([1.0, 0, 0]), 1000.0, 300.0)
+    np.testing.assert_allclose(eps0, 1.0, atol=1e-12)
+
+
+def test_energy_fluctuations_cv():
+    """C_v,ex from pooled energy samples equals the NumPy population
+    variance over T^2."""
+    from metropolismontecarlo_tpu.observables import EnergyFluctuations
+
+    rng = np.random.default_rng(0)
+    temp = 250.0
+    samples = rng.normal(-5.0e4, 300.0, size=(6, 4))  # 6 updates, 4 chains
+    mc, state = _water_mc()
+    acc = EnergyFluctuations()
+    for s in samples:
+        acc.update(state._replace(
+            energy=jnp.asarray(s, jnp.float64),
+            temp=jnp.full((4,), temp, jnp.float64)))
+    res = acc.result()
+    expect = np.var(samples) / temp**2
+    # <E^2> - <E>^2 at E ~ -5e4 cancels ~9 digits: 1e-8 is f64-tight here
+    np.testing.assert_allclose(res["cv_excess"], expect, rtol=1e-8)
+    np.testing.assert_allclose(res["e_mean"], samples.mean(), rtol=1e-12)
+
+
+def test_cli_fluctuation_observables(tmp_path):
+    """CLI with dielectric/heat-capacity/Widom outputs enabled: a final
+    observables record lands in metrics.jsonl with finite values."""
+    cfg = {
+        "model": {"kind": "spce", "n_mol": 8},
+        "params": {"temperature": 300.0, "r_cut": 5.0, "coulomb": "ewald",
+                   "nk": 3, "ksq_max": 9, "p_translate": 0.5,
+                   "dr_max": 0.3, "dphi_max": 0.4},
+        "run": {"n_chains": 4, "n_blocks": 3, "n_steps": 3,
+                "equil_blocks": 1, "seed": 2, "dtype": "float64",
+                "start": {"kind": "lattice", "box": 12.0},
+                "output": {"dir": str(tmp_path / "out"),
+                           "dielectric": True, "heat_capacity": True,
+                           "widom": {"n_insertions": 8}}},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    from metropolismontecarlo_tpu.run import main
+    main([str(cfg_path), "--quiet"])
+    lines = [json.loads(l) for l in
+             (tmp_path / "out" / "metrics.jsonl").read_text().splitlines()]
+    final = [l for l in lines if l.get("phase") == "final"]
+    assert len(final) == 1
+    f = final[0]
+    for k in ("epsilon", "g_kirkwood", "cv_excess", "widom_boltzmann_mean",
+              "mu_excess"):
+        assert np.isfinite(f[k]), (k, f)
+    assert f["epsilon"] >= 1.0 and f["g_kirkwood"] > 0.0
+    assert f["cv_excess"] >= 0.0 and f["widom_boltzmann_mean"] >= 0.0
+    prod = [l for l in lines if l.get("phase") == "prod"]
+    assert all("widom_boltzmann_mean" in l and "epsilon_running" in l
+               for l in prod)
