@@ -149,3 +149,43 @@ def test_widom_overlap_vetoed():
     quat_t = random_quaternion(jax.random.PRNGKey(9), (), F64)
     du, ovr = widom_du(state, com_t[None, None, :], quat_t[None, None, :])
     assert bool(np.asarray(ovr)[0, 0]) or float(np.asarray(du)[0, 0]) > 1e4
+
+
+def test_widom_low_density_virial_limit():
+    """Physics check of the SAMPLER (not just dU): for a dilute LJ gas,
+    beta mu_ex = 2 B2(T) rho + O(rho^2), with B2 from independent
+    numerical quadrature of the truncated potential actually sampled
+    (B2 = -2 pi int (e^{-beta u(r)} - 1) r^2 dr, u = 0 beyond r_cut)."""
+    from scipy.integrate import quad
+
+    n, t, rc = 16, 2.0, 3.0
+    box = 20.0                      # rho = 0.002: virial regime
+    rho = n / box**3
+    system = lj_system(n)
+    params = RunParams(strict_min_image=False, temperature=t, r_cut=rc,
+                       coulomb="none", p_translate=1.0, dr_max=1.0,
+                       use_lrc=False)
+    mc = MonteCarlo(system, params, dtype=F64, pallas=False,
+                    recompute_chunk=8)
+    com = np.asarray(cubic_lattice(n, box), np.float64)
+    state = mc.init_from_coords(jax.random.PRNGKey(0), com, com, box=box,
+                                n_chains=32)
+    state = mc.run_steps(state, 40, False)  # decorrelate the gas
+
+    bs = []
+    for i in range(6):
+        state = mc.run_steps(state, 10, False)
+        out = mc.widom(state, jax.random.PRNGKey(50 + i), n_insertions=512)
+        bs.append(np.asarray(out["boltzmann_mean"]))
+    b_mean = float(np.mean(bs))
+
+    def integrand(r):
+        u = 4.0 * (r**-12 - r**-6) if r < rc else 0.0
+        return (np.exp(-u / t) - 1.0) * r * r
+
+    b2 = -2.0 * np.pi * quad(integrand, 1e-3, rc, limit=200)[0]
+    beta_mu = -np.log(b_mean)
+    expect = 2.0 * b2 * rho
+    # O(rho^2) corrections and sampling noise: 15% of the (small) signal
+    assert abs(beta_mu - expect) < max(0.15 * abs(expect), 5e-4), (
+        beta_mu, expect)
