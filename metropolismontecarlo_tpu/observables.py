@@ -208,6 +208,65 @@ class DipoleAccumulator:
                     m2_mean=m2_mean, n_samples=n)
 
 
+class NPTFluctuations:
+    """Volume/energy cross-fluctuations pooled over equal-(T, P) chains,
+    for the NPT response functions (beyond-parity observables — the
+    reference's NPT machinery is dead pseudocode,
+    `Ewald/volumeChange.jl:8-150`):
+
+        kappa_T = (<V^2> - <V>^2) / (T <V>)                 [A^3/K units,
+                                                             kB = 1]
+        alpha_P = (<V E> - <V><E> + P (<V^2> - <V>^2))
+                  / (T^2 <V>)                                [1/K]
+        cp_conf = (<dH^2>) / T^2,  H = E_conf + P V          [kB units]
+
+    with E the configurational energy in K and P in K/A^3.  Ideal-gas
+    closed forms (eps = 0): kappa_T = 1/P and alpha_P = 1/T exactly,
+    independent of the Gamma shape the ln-V Jacobian induces — the
+    fluctuation-route analog of `tests/test_mc.py`'s <V> check.
+    Updates are O(C) host-side reads of carried state."""
+
+    def __init__(self, pressure):
+        self.pressure = float(pressure)
+        self.n = 0
+        self.s = dict(v=0.0, v2=0.0, e=0.0, ve=0.0, h2=0.0, h=0.0, t=0.0)
+
+    def update(self, state):
+        v = np.asarray(state.box, np.float64) ** 3
+        e = np.asarray(state.energy, np.float64)
+        h = e + self.pressure * v
+        self.n += v.shape[0]
+        s = self.s
+        s["v"] += float(v.sum())
+        s["v2"] += float((v * v).sum())
+        s["e"] += float(e.sum())
+        s["ve"] += float((v * e).sum())
+        s["h"] += float(h.sum())
+        s["h2"] += float((h * h).sum())
+        s["t"] += float(np.sum(np.asarray(state.temp, np.float64)))
+
+    def result(self):
+        """dict(kappa_T, alpha_P, cp_conf, v_mean, n_samples)."""
+        if self.n < 2:
+            return dict(kappa_T=float("nan"), alpha_P=float("nan"),
+                        cp_conf=float("nan"), v_mean=float("nan"),
+                        n_samples=self.n)
+        n = self.n
+        s = self.s
+        t = s["t"] / n
+        v_mean = s["v"] / n
+        var_v = s["v2"] / n - v_mean**2
+        cov_ve = s["ve"] / n - v_mean * (s["e"] / n)
+        var_h = s["h2"] / n - (s["h"] / n) ** 2
+        return dict(
+            kappa_T=var_v / (t * v_mean),
+            alpha_P=(cov_ve + self.pressure * var_v) / (t * t * v_mean),
+            cp_conf=var_h / (t * t),
+            v_mean=v_mean,
+            n_samples=n,
+        )
+
+
 def excess_heat_capacity(e2_mean, e_mean, temp):
     """Configurational (excess) heat capacity per system from energy
     fluctuations:  C_v,ex / kB = (<E^2> - <E>^2) / T^2  (energies in K).

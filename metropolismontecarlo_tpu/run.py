@@ -123,6 +123,11 @@ def main(argv=None):
     if out_cfg.get("heat_capacity") and not remc_cfg:
         from metropolismontecarlo_tpu.observables import EnergyFluctuations
         cvacc = EnergyFluctuations()
+    nptfl = None
+    if out_cfg.get("npt_fluctuations") and not remc_cfg \
+            and params.p_volume > 0:
+        from metropolismontecarlo_tpu.observables import NPTFluctuations
+        nptfl = NPTFluctuations(pressure=params.pressure)
     widom_cfg = out_cfg.get("widom")
     widom_b = []
 
@@ -185,6 +190,8 @@ def main(argv=None):
                 metrics["epsilon_running"] = dipole.result()["epsilon"]
             if cvacc is not None:
                 cvacc.update(state)
+            if nptfl is not None:
+                nptfl.update(state)
             if widom_cfg:
                 wkey = jax.random.fold_in(jax.random.PRNGKey(
                     int(run_cfg.get("seed", 0)) + 104729), block)
@@ -224,6 +231,10 @@ def main(argv=None):
         final_obs.update(epsilon=d["epsilon"], g_kirkwood=d["g_kirkwood"])
     if cvacc is not None and cvacc.n_samples > 1:
         final_obs["cv_excess"] = cvacc.result()["cv_excess"]
+    if nptfl is not None and nptfl.n > 1:
+        f = nptfl.result()
+        final_obs.update(kappa_T=f["kappa_T"], alpha_P=f["alpha_P"],
+                         cp_conf=f["cp_conf"])
     if widom_b:
         from metropolismontecarlo_tpu.mc.widom import mu_excess
         bmean = float(np.mean(widom_b))

@@ -23,6 +23,8 @@ Schema (all sections optional except model):
                                "r_max": 10.0, "n_bins": 200},
                        "dielectric": false,      // dipole-fluctuation eps
                        "heat_capacity": false,   // C_v,ex from <dE^2>
+                       "npt_fluctuations": false, // kappa_T, alpha_P,
+                                                  // cp_conf (NPT runs)
                        "widom": {"n_insertions": 64, "species": 0}}}
 }
 """

@@ -151,6 +151,39 @@ def test_npt_ideal_gas_exact():
     assert abs(v_mean - v_exact) / v_exact < 0.05, (v_mean, v_exact)
 
 
+def test_npt_fluctuations_ideal_gas_exact():
+    """Fluctuation-route response functions on the ideal gas: the ln-V
+    Jacobian makes V Gamma-distributed with scale T/P, so kappa_T = 1/P
+    and alpha_P = 1/T exactly, INDEPENDENT of the Gamma shape — a
+    closed-form check of NPTFluctuations that does not depend on which
+    V-power convention the volume move samples."""
+    from metropolismontecarlo_tpu.observables import NPTFluctuations
+
+    n, t, p = 16, 2.0, 0.5
+    system = lj_system(n, eps=0.0, sigma=1.0)
+    params = RunParams(temperature=t, r_cut=1.0, cutoff_mode="site",
+                       coulomb="none", p_translate=1.0, dr_max=1.0,
+                       use_lrc=False, pressure=p, p_volume=1.0, dv_max=0.3)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=8)
+    box0 = (n * t / p) ** (1.0 / 3.0)
+    state = mc.init_state(jax.random.PRNGKey(11), cubic_lattice(n, box0),
+                          box=box0, n_chains=64)
+    state = mc.run_steps(state, 200, False)
+    flc = NPTFluctuations(pressure=p)
+    for _ in range(12):
+        state = mc.run_steps(state, 40, False)
+        flc.update(state)
+    r = flc.result()
+    # variance estimates converge slower than means: ~10% tolerance at
+    # 64 chains x 12 (correlated) samples
+    assert abs(r["kappa_T"] - 1.0 / p) / (1.0 / p) < 0.15, r
+    assert abs(r["alpha_P"] - 1.0 / t) / (1.0 / t) < 0.15, r
+    # cp_conf = Gamma shape k = <V> P / T (self-consistency of the
+    # second moments with the measured first moment)
+    k_measured = r["v_mean"] * p / t
+    assert abs(r["cp_conf"] - k_measured) / k_measured < 0.15, r
+
+
 def test_adjust_steers_acceptance():
     n, rho, t = 27, 0.6, 1.5
     box = lj_box_for_density(n, rho)
