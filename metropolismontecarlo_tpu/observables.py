@@ -170,11 +170,16 @@ class DipoleAccumulator:
             return surface_dipole(coords_t[:, :A].T, com[mol_id],
                                   charges.astype(coords_t.dtype), box)
 
+        # accumulate in f64 when available; on f32-only backends the
+        # per-update sums stay f32 (fine: ~2k chains x O(100) magnitudes)
+        # and the running totals are f64 on the host
+        acc_dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
         @jax.jit
         def moments(coords_c, com_c, box_c):
             m = chunked_vmap(one_chain, chunk, coords_c, com_c, box_c)
-            return (jnp.sum(m, axis=0, dtype=jnp.float64),
-                    jnp.sum(jnp.sum(m * m, axis=-1), dtype=jnp.float64))
+            return (jnp.sum(m, axis=0, dtype=acc_dt),
+                    jnp.sum(jnp.sum(m * m, axis=-1), dtype=acc_dt))
 
         self._moments = moments
         self.m_sum = np.zeros(3)
@@ -206,6 +211,84 @@ class DipoleAccumulator:
         g_k = (m2_mean / self.mu2_sum) if self.mu2_sum > 0 else float("nan")
         return dict(epsilon=eps, g_kirkwood=g_k, m_mean=m_mean,
                     m2_mean=m2_mean, n_samples=n)
+
+
+class StructureFactorAccumulator:
+    """Static structure factor S(k) of one atom-type selection, pooled
+    over chains, on the box-commensurate k-grid:
+
+        S(k) = <|sum_j exp(i k.r_j)|^2> / N_sel,   k = (2 pi / L) n
+
+    radially averaged over integer shells |n|^2.  Uses the same
+    MXU-shaped phase matmuls as the Ewald module (ops.ewald.
+    structure_factor with unit weights, precision=HIGHEST — bf16 phases
+    are O(0.1 rad) wrong).  Beyond-parity observable (the reference has
+    no S(k) machinery); complements the RDF: exact closed forms exist
+    for ideal gas (S = 1) and perfect lattices (Bragg peaks S = N),
+    which the tests pin.
+
+    NVT-intended: k tracks the (mean) box; on NPT states the shells
+    stay integer-exact but the reported k uses the running mean L.
+    """
+
+    def __init__(self, system, type_sel=None, n_max=6, chunk=8):
+        from metropolismontecarlo_tpu.ops.ewald import (
+            make_kvectors,
+            structure_factor,
+        )
+        from metropolismontecarlo_tpu.utils.chunking import chunked_vmap
+
+        tid = np.asarray(system.flat(system.type_ids))
+        sel = (np.arange(system.n_atoms) if type_sel is None
+               else np.nonzero(tid == type_sel)[0])
+        if len(sel) == 0:
+            raise ValueError(f"no atoms of type {type_sel}")
+        self.n_sel = len(sel)
+        # full shells: every |n|^2 <= n_max^2 (non-strict), kx-half-space
+        kvecs, kw = make_kvectors(n_max, n_max * n_max, strict=False)
+        keep = np.max(np.abs(kvecs), axis=1) <= n_max
+        kvecs, kw = kvecs[keep], kw[keep]
+        self.ksq = np.sum(kvecs.astype(np.int64) ** 2, axis=1)
+        self.shells = np.unique(self.ksq)
+        self._kw = kw
+        idx = jnp.asarray(sel)
+        kv = jnp.asarray(kvecs)
+
+        def one_chain(coords_t, box):
+            r = coords_t[:, idx].T                       # (N_sel, 3)
+            s = structure_factor(r, jnp.ones((), coords_t.dtype), kv, box)
+            return jnp.sum(s * s, axis=-1)               # |rho_k|^2, (K,)
+
+        @jax.jit
+        def update(coords_c, box_c):
+            acc_dt = (jnp.float64 if jax.config.jax_enable_x64
+                      else jnp.float32)
+            m = chunked_vmap(one_chain, chunk, coords_c, box_c)
+            return jnp.sum(m, axis=0, dtype=acc_dt)
+
+        self._update = update
+        self.rho2_sum = np.zeros(len(kvecs))
+        self.n_samples = 0
+        self._box_sum = 0.0
+
+    def update(self, state):
+        self.rho2_sum += np.asarray(self._update(state.coords, state.box),
+                                    np.float64)
+        self.n_samples += state.coords.shape[0]
+        self._box_sum += float(jnp.sum(state.box))
+
+    def result(self):
+        """Returns (k (S,), S(k) (S,)) shell-averaged NumPy arrays."""
+        l_mean = (self._box_sum / self.n_samples) if self.n_samples else 1.0
+        k_out = 2.0 * np.pi / l_mean * np.sqrt(self.shells.astype(np.float64))
+        if self.n_samples == 0:
+            return k_out, np.zeros(len(self.shells))
+        s_k = self.rho2_sum / (self.n_samples * self.n_sel)
+        out = np.zeros(len(self.shells))
+        for i, sh in enumerate(self.shells):
+            m = self.ksq == sh
+            out[i] = np.average(s_k[m], weights=self._kw[m])
+        return k_out, out
 
 
 class NPTFluctuations:

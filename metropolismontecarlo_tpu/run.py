@@ -114,6 +114,15 @@ def main(argv=None):
                              int(r.get("type_j", 0)),
                              float(r.get("r_max", params.r_cut)),
                              int(r.get("n_bins", 200)))
+    sk = None
+    if "sk" in out_cfg:
+        from metropolismontecarlo_tpu.observables import (
+            StructureFactorAccumulator,
+        )
+        s = out_cfg["sk"]
+        sk = StructureFactorAccumulator(
+            system, type_sel=s.get("type"), n_max=int(s.get("n_max", 6)),
+            chunk=mc.recompute_chunk)
     # fluctuation observables (beyond-parity; production blocks only,
     # skipped automatically for multi-temperature REMC ladders)
     dipole = cvacc = None
@@ -184,6 +193,8 @@ def main(argv=None):
                 params.r_cut, vol))
         if rdf is not None and not adjust:
             rdf.update(state)
+        if sk is not None and not adjust:
+            sk.update(state)
         if not adjust:
             if dipole is not None:
                 dipole.update(state)
@@ -225,6 +236,10 @@ def main(argv=None):
         r, g = rdf.result()
         np.savetxt(os.path.join(out_dir, "rdf.txt"),
                    np.column_stack([r, g]), header="r g(r)")
+    if sk is not None and out_dir and sk.n_samples:
+        k, s = sk.result()
+        np.savetxt(os.path.join(out_dir, "sk.txt"),
+                   np.column_stack([k, s]), header="k S(k)")
     final_obs = {}
     if dipole is not None and dipole.n_samples:
         d = dipole.result()

@@ -21,6 +21,8 @@ Schema (all sections optional except model):
                        "checkpoint_every": 0,
                        "rdf": {"type_i": 0, "type_j": 0,
                                "r_max": 10.0, "n_bins": 200},
+                       "sk": {"type": null, "n_max": 6}, // S(k) shells
+
                        "dielectric": false,      // dipole-fluctuation eps
                        "heat_capacity": false,   // C_v,ex from <dE^2>
                        "npt_fluctuations": false, // kappa_T, alpha_P,

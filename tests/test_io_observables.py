@@ -315,3 +315,51 @@ def test_cli_fluctuation_observables(tmp_path):
     prod = [l for l in lines if l.get("phase") == "prod"]
     assert all("widom_boltzmann_mean" in l and "epsilon_running" in l
                for l in prod)
+
+
+def test_structure_factor_lattice_bragg_exact():
+    """Perfect 4x4x4 cubic lattice: shell |n|^2 = 16 is ONLY (4,0,0)-type
+    vectors (16 has a unique three-square decomposition), all of which
+    are reciprocal-lattice vectors -> S = N exactly; shell |n|^2 = 1 has
+    no reciprocal-lattice member -> S = 0 exactly.  Deterministic
+    closed-form check of the phase matmuls and shell bookkeeping."""
+    from metropolismontecarlo_tpu.observables import StructureFactorAccumulator
+
+    n, box = 64, 8.0
+    system = lj_system(n)
+    params = RunParams(strict_min_image=False, temperature=1.0, r_cut=2.0,
+                       cutoff_mode="site", coulomb="none", p_translate=1.0,
+                       dr_max=0.1, use_lrc=False)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=2)
+    state = mc.init_state(jax.random.PRNGKey(0), cubic_lattice(n, box),
+                          box=box, n_chains=2)
+    acc = StructureFactorAccumulator(system, n_max=4, chunk=2)
+    acc.update(state)
+    k, s = acc.result()
+    shells = list(acc.shells)
+    i16, i1 = shells.index(16), shells.index(1)
+    assert s[i16] == pytest.approx(float(n), rel=1e-8), s[i16]
+    assert abs(s[i1]) < 1e-8, s[i1]
+    assert k[i1] == pytest.approx(2.0 * np.pi / box, rel=1e-12)
+
+
+def test_structure_factor_ideal_gas_unity():
+    """Uniform iid positions: <|rho_k|^2> = N for every commensurate
+    k != 0, so S(k) = 1 in every shell (the S(k) analog of the flat-RDF
+    test)."""
+    from metropolismontecarlo_tpu.observables import StructureFactorAccumulator
+
+    n, box, chains = 64, 10.0, 256
+    system = lj_system(n)
+    params = RunParams(strict_min_image=False, temperature=1.0, r_cut=2.0,
+                       cutoff_mode="site", coulomb="none", p_translate=1.0,
+                       dr_max=0.1, use_lrc=False)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=32)
+    rng = np.random.default_rng(5)
+    com = rng.uniform(0.0, box, size=(chains, n, 3))
+    state = mc.init_state(jax.random.PRNGKey(1), com, box=box)
+    acc = StructureFactorAccumulator(system, n_max=4, chunk=32)
+    acc.update(state)
+    _, s = acc.result()
+    # per-shell SEM ~ 1/sqrt(multiplicity * chains) ~ 2-3%
+    assert np.all(np.abs(s - 1.0) < 0.15), s
