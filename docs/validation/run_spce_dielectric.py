@@ -42,7 +42,10 @@ N_CHAINS = 2048
 T = 298.15
 RHO_G_CC = 0.998     # experimental ambient density
 M_WATER = 18.015268
-EQUIL_BLOCKS, PROD_BLOCKS, SWEEPS_PER_BLOCK = 30, 120, 50
+# the collective dipole relaxes over ~thousands of sweeps: a first run
+# with 30 equil blocks showed eps still climbing through production
+# (57.9 -> 62.1); 150 blocks (7500 sweeps) lets <M^2> plateau first
+EQUIL_BLOCKS, PROD_BLOCKS, SWEEPS_PER_BLOCK = 150, 150, 50
 
 
 def main():

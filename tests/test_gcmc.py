@@ -1,0 +1,92 @@
+"""Grand-canonical MC: exact Poisson statistics, Widom cross-validation,
+and the carried-energy drift invariant."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metropolismontecarlo_tpu.mc.gcmc import GCMC
+from metropolismontecarlo_tpu.models.monatomic import lj_system
+from metropolismontecarlo_tpu.models.system import RunParams
+
+
+def test_gcmc_ideal_gas_poisson():
+    """eps = 0: the muVT number distribution is Poisson(z V) — mean and
+    variance both equal z V (closed form; capacity 64 truncates a
+    Poisson(20) tail at ~1e-15)."""
+    z, box = 0.02, 10.0
+    params = RunParams(strict_min_image=False, temperature=1.5, r_cut=2.5,
+                       cutoff_mode="site", coulomb="none", p_translate=0.3,
+                       dr_max=1.0, use_lrc=False)
+    g = GCMC(lj_system(1, eps=0.0), params, activity=z, capacity=64)
+    st = g.init(jax.random.PRNGKey(0), box=box, n_init=20, n_chains=256)
+    st, _ = g.run_block(st, 3000)            # equilibrate N
+    means, varis = [], []
+    for _ in range(8):
+        st, stats = g.run_block(st, 800, drift_tol=1e-10)
+        means.append(stats["n_mean"])
+        varis.append(stats["n_var"])
+        assert stats["full_frac"] == 0.0
+    zv = z * box**3
+    assert np.mean(means) == pytest.approx(zv, rel=0.03), means
+    assert np.mean(varis) == pytest.approx(zv, rel=0.12), varis
+
+
+def test_gcmc_widom_chemical_potential_consistency():
+    """Interacting LJ at supercritical T: the activity relation
+    beta mu_ex = ln(z / <rho>) from GCMC must agree with the Widom
+    machinery (an independent implementation, mc/widom.py) evaluated on
+    an NVT run at the sampled density."""
+    z, box, t = 0.25, 6.0, 2.0
+    params = RunParams(strict_min_image=False, temperature=t, r_cut=2.5,
+                       cutoff_mode="site", coulomb="none", p_translate=0.5,
+                       dr_max=0.4, use_lrc=False)
+    g = GCMC(lj_system(1), params, activity=z, capacity=128)
+    st = g.init(jax.random.PRNGKey(1), box=box, n_init=48, n_chains=128)
+    st, _ = g.run_block(st, 6000)
+    n_means = []
+    for _ in range(6):
+        st, stats = g.run_block(st, 1500, drift_tol=1e-10)
+        n_means.append(stats["n_mean"])
+        assert stats["full_frac"] == 0.0
+    n_mean = float(np.mean(n_means))
+    rho = n_mean / box**3
+    bmu_gcmc = np.log(z / rho)
+
+    # independent NVT + Widom at the same density (rounded N)
+    from metropolismontecarlo_tpu.io.configs import cubic_lattice
+    from metropolismontecarlo_tpu.mc.driver import MonteCarlo
+
+    n = int(round(n_mean))
+    nvt = RunParams(strict_min_image=False, temperature=t, r_cut=2.5,
+                    cutoff_mode="site", coulomb="none", p_translate=1.0,
+                    dr_max=0.4, use_lrc=False)
+    mc = MonteCarlo(lj_system(n), nvt, dtype=jnp.float64,
+                    recompute_chunk=16)
+    state = mc.init_state(jax.random.PRNGKey(2), cubic_lattice(n, box),
+                          box=box, n_chains=64)
+    state = mc.run_steps(state, 300, False)
+    bsum, cnt = 0.0, 0
+    for i in range(6):
+        state = mc.run_steps(state, 60, False)
+        w = mc.widom(state, jax.random.PRNGKey(100 + i), n_insertions=256)
+        bsum += float(jnp.mean(w["boltzmann_mean"]))
+        cnt += 1
+    bmu_widom = -np.log(bsum / cnt)
+    # rounding <N> to integer shifts rho by <1%, worth ~0.02 in beta mu
+    assert bmu_gcmc == pytest.approx(bmu_widom, abs=0.12), \
+        (bmu_gcmc, bmu_widom, n_mean)
+
+
+def test_gcmc_capacity_guard_and_validation():
+    params = RunParams(strict_min_image=False, temperature=1.0, r_cut=2.5,
+                       cutoff_mode="site", coulomb="none", use_lrc=False)
+    with pytest.raises(ValueError, match="use_lrc"):
+        GCMC(lj_system(1),
+             RunParams(strict_min_image=False, temperature=1.0, r_cut=2.5,
+                       cutoff_mode="site", coulomb="none", use_lrc=True),
+             activity=0.1, capacity=8)
+    g = GCMC(lj_system(1), params, activity=0.1, capacity=8)
+    with pytest.raises(ValueError, match="capacity"):
+        g.init(jax.random.PRNGKey(0), box=5.0, n_init=9, n_chains=2)
