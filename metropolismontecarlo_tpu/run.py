@@ -53,6 +53,54 @@ def _initial_state(mc, run_cfg, system, base_dir):
     raise ValueError(f"unknown start kind {kind!r}")
 
 
+def _run_gcmc(cfg, system, params, dtype, args):
+    """muVT loop: `"ensemble": {"kind": "gcmc", "activity": z,
+    "capacity": cap, "box": L, "n_init": n}` in the run section."""
+    from metropolismontecarlo_tpu.mc.gcmc import GCMC
+
+    run_cfg = cfg.get("run", {})
+    ens = run_cfg["ensemble"]
+    g = GCMC(system, params, activity=float(ens["activity"]),
+             capacity=int(ens["capacity"]), dtype=dtype)
+    state = g.init(jax.random.PRNGKey(int(run_cfg.get("seed", 0))),
+                   box=float(ens["box"]), n_init=int(ens["n_init"]),
+                   n_chains=int(run_cfg.get("n_chains", 8)))
+    out_cfg = run_cfg.get("output", {})
+    out_dir = out_cfg.get("dir")
+    logger = JsonlLogger(os.path.join(out_dir, "metrics.jsonl")
+                         if out_dir else None)
+    averages = BlockAverager()
+    n_blocks = int(run_cfg.get("n_blocks", 10))
+    n_steps = int(run_cfg.get("n_steps", 1000))
+    equil = int(run_cfg.get("equil_blocks", 0))
+    for block in range(n_blocks):
+        state, stats = g.run_block(state, n_steps)
+        vol = float(ens["box"]) ** 3
+        stats["density_mean"] = stats["n_mean"] / vol
+        if not args.quiet:
+            print(f"blk {block:4d}  <N> {stats['n_mean']:9.3f}  "
+                  f"rho {stats['density_mean']:.5f}  "
+                  f"accI {stats['acc_insert']:.3f}  "
+                  f"accD {stats['acc_delete']:.3f}  "
+                  f"full {stats['full_frac']:.3f}  "
+                  f"drift {stats['drift_max_rel']:.2e}")
+        logger.write(dict(stats, block=block,
+                          phase="equil" if block < equil else "prod"))
+        if block >= equil:
+            averages.add(**stats)
+    logger.close()
+    if not args.quiet and averages.blocks:
+        import math
+        z = float(ens["activity"])
+        rho = averages.mean("density_mean")
+        print(f"production averages over {len(averages.blocks)} blocks: "
+              f"<N> = {averages.mean('n_mean'):.3f} "
+              f"+- {averages.sem('n_mean'):.3f}   "
+              f"beta*mu_ex = ln(z/rho) = {math.log(z / rho):.4f}")
+        print("done.")
+    return state
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="metropolismontecarlo_tpu")
     ap.add_argument("config", help="JSON run configuration")
@@ -79,6 +127,10 @@ def main(argv=None):
     rc = run_cfg.get("recompute_chunk", "auto")
     mc = MonteCarlo(system, params, dtype=dtype,
                     recompute_chunk=rc if rc in ("auto", None) else int(rc))
+
+    ens = run_cfg.get("ensemble")
+    if ens and ens.get("kind") == "gcmc":
+        return _run_gcmc(cfg, system, params, dtype, args)
 
     if args.resume:
         state_np, meta = load_state(args.resume)

@@ -15,6 +15,9 @@ Schema (all sections optional except model):
   "params": { ... RunParams fields ... },
   "run":   {"n_chains": 64, "n_blocks": 10, "n_steps": 100,
             "equil_blocks": 2, "seed": 0, "dtype": "float32",
+            "ensemble": {"kind": "gcmc", "activity": 0.05,  // muVT mode
+                         "capacity": 96, "box": 8.0, "n_init": 30},
+                        // (omit section entirely for NVT/NPT)
             "start": {"kind": "lattice"|"nist"|"cnf", "path": "...",
                       "box": 20.0, "density": null},
             "output": {"dir": "out", "pdb_every": 0,
