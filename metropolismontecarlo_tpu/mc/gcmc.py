@@ -76,21 +76,17 @@ def _lj_coeffs(system, params, dtype):
             jnp.asarray(lam1, dtype), jnp.asarray(lam2, dtype))
 
 
-def make_gcmc(system, params, activity, capacity, dtype=jnp.float64):
-    """Build the muVT step/energy functions.
+def make_slot_lj(system, params, capacity, dtype):
+    """Masked-slot LJ energy closures shared by the muVT and Gibbs apps.
 
-    Returns (init, run_steps, full_energy):
-      init(key, box, n_init, n_chains) -> GCMCState (uniform random
-          initial placement of n_init actives per chain);
-      run_steps(state, n_steps) -> GCMCState (jitted scan; one
-          displacement-or-exchange attempt per step);
-      full_energy(state) -> (C,) dense masked recompute (drift anchor).
+    Returns (site_energy, full_energy_one, nth_active):
+      site_energy(com (cap,3), active (cap,), box, pos (3,), exclude)
+          -> energy of one site with every active slot != exclude;
+      full_energy_one(com, active, box) -> total active-pair energy;
+      nth_active(mask, n_idx) -> slot index of the (n_idx+1)-th True.
     """
     eps, sig2, lam1, lam2 = _lj_coeffs(system, params, dtype)
     rc2 = jnp.asarray(params.r_cut**2, dtype)
-    beta = jnp.asarray(1.0 / params.temperature, dtype)
-    z = jnp.asarray(activity, dtype)
-    p_t = float(params.p_translate)
     cap = int(capacity)
     floor = jnp.asarray(1e-4, dtype)
     shifted = params.lj_shift == "linear"
@@ -104,24 +100,42 @@ def make_gcmc(system, params, activity, capacity, dtype=jnp.float64):
             pot = pot + eps * (lam1 + lam2 * jnp.sqrt(d2s))
         return jnp.where(mask, pot, 0.0)
 
-    def _site_energy(com, active, box, pos, exclude):
-        """Energy of a site at pos with every active slot != exclude."""
+    def site_energy(com, active, box, pos, exclude):
         dr = min_image(pos[None, :] - com, box)
         d2 = jnp.sum(dr * dr, axis=-1)
         mask = active & (d2 < rc2) & (jnp.arange(cap) != exclude)
         return jnp.sum(_pair_pot(d2, mask))
 
-    def _full_energy_one(com, active, box):
+    def full_energy_one(com, active, box):
         dr = min_image(com[:, None, :] - com[None, :, :], box)
         d2 = jnp.sum(dr * dr, axis=-1)
         pair = active[:, None] & active[None, :] & (d2 < rc2)
         iu = jnp.triu(jnp.ones((cap, cap), bool), k=1)
         return jnp.sum(_pair_pot(d2, pair & iu))
 
-    def _nth_active(mask, n_idx):
-        """Slot index of the (n_idx+1)-th True in mask (cumsum scan)."""
+    def nth_active(mask, n_idx):
         c = jnp.cumsum(mask.astype(jnp.int32))
         return jnp.argmax(c >= n_idx + 1)
+
+    return site_energy, full_energy_one, nth_active
+
+
+def make_gcmc(system, params, activity, capacity, dtype=jnp.float64):
+    """Build the muVT step/energy functions.
+
+    Returns (init, run_steps, full_energy):
+      init(key, box, n_init, n_chains) -> GCMCState (lattice initial
+          placement of n_init actives per chain);
+      run_steps(state, n_steps) -> GCMCState (jitted scan; one
+          displacement-or-exchange attempt per step);
+      full_energy(state) -> (C,) dense masked recompute (drift anchor).
+    """
+    beta = jnp.asarray(1.0 / params.temperature, dtype)
+    z = jnp.asarray(activity, dtype)
+    p_t = float(params.p_translate)
+    cap = int(capacity)
+    _site_energy, _full_energy_one, _nth_active = make_slot_lj(
+        system, params, cap, dtype)
 
     def _one_step(carry, _):
         com, active, box, e, key, acc, att = carry

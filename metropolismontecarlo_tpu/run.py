@@ -101,6 +101,54 @@ def _run_gcmc(cfg, system, params, dtype, args):
     return state
 
 
+def _run_gibbs(cfg, system, params, dtype, args):
+    """Gibbs-ensemble loop: `"ensemble": {"kind": "gibbs",
+    "boxes": [L1, L2], "n_init": [n1, n2], "capacity": 256,
+    "dv_max": 0.03}` in the run section."""
+    from metropolismontecarlo_tpu.mc.gibbs import GibbsEnsemble
+
+    run_cfg = cfg.get("run", {})
+    ens = run_cfg["ensemble"]
+    g = GibbsEnsemble(system, params, capacity=int(ens["capacity"]),
+                      dv_max=float(ens.get("dv_max", 0.03)), dtype=dtype)
+    state = g.init(jax.random.PRNGKey(int(run_cfg.get("seed", 0))),
+                   boxes=tuple(float(b) for b in ens["boxes"]),
+                   n_init=tuple(int(n) for n in ens["n_init"]),
+                   n_chains=int(run_cfg.get("n_chains", 8)))
+    out_cfg = run_cfg.get("output", {})
+    out_dir = out_cfg.get("dir")
+    logger = JsonlLogger(os.path.join(out_dir, "metrics.jsonl")
+                         if out_dir else None)
+    averages = BlockAverager()
+    n_blocks = int(run_cfg.get("n_blocks", 10))
+    n_steps = int(run_cfg.get("n_steps", 10000))
+    equil = int(run_cfg.get("equil_blocks", 0))
+    for block in range(n_blocks):
+        state, stats = g.run_block(state, n_steps)
+        if not args.quiet:
+            print(f"blk {block:4d}  rho_l {stats['rho_liq']:.4f}  "
+                  f"rho_v {stats['rho_vap']:.4f}  "
+                  f"accX {stats['acc_transfer']:.3f}  "
+                  f"accV {stats['acc_vol']:.3f}  "
+                  f"full {stats['full_frac']:.3f}  "
+                  f"drift {stats['drift_max_rel']:.2e}")
+        logger.write(dict({k: v for k, v in stats.items()
+                           if not isinstance(v, list)}, block=block,
+                          phase="equil" if block < equil else "prod"))
+        if block >= equil:
+            averages.add(**{k: v for k, v in stats.items()
+                            if isinstance(v, float)})
+    logger.close()
+    if not args.quiet and averages.blocks:
+        print(f"production averages over {len(averages.blocks)} blocks: "
+              f"rho_liq = {averages.mean('rho_liq'):.4f} "
+              f"+- {averages.sem('rho_liq'):.4f}   "
+              f"rho_vap = {averages.mean('rho_vap'):.4f} "
+              f"+- {averages.sem('rho_vap'):.4f}")
+        print("done.")
+    return state
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="metropolismontecarlo_tpu")
     ap.add_argument("config", help="JSON run configuration")
@@ -131,6 +179,8 @@ def main(argv=None):
     ens = run_cfg.get("ensemble")
     if ens and ens.get("kind") == "gcmc":
         return _run_gcmc(cfg, system, params, dtype, args)
+    if ens and ens.get("kind") == "gibbs":
+        return _run_gibbs(cfg, system, params, dtype, args)
 
     if args.resume:
         state_np, meta = load_state(args.resume)

@@ -17,6 +17,9 @@ Schema (all sections optional except model):
             "equil_blocks": 2, "seed": 0, "dtype": "float32",
             "ensemble": {"kind": "gcmc", "activity": 0.05,  // muVT mode
                          "capacity": 96, "box": 8.0, "n_init": 30},
+                        // or {"kind": "gibbs", "boxes": [L1, L2],
+                        //     "n_init": [n1, n2], "capacity": 256,
+                        //     "dv_max": 0.03}  (two-box coexistence)
                         // (omit section entirely for NVT/NPT)
             "start": {"kind": "lattice"|"nist"|"cnf", "path": "...",
                       "box": 20.0, "density": null},
