@@ -1,0 +1,406 @@
+"""Grand-canonical (muVT) MC for rigid molecular species.
+
+Extends the monatomic muVT app (`mc/gcmc.py`) to rigid polyatomics —
+orientational insertions and full electrostatics — which neither the
+reference (NVT-only, `/root/reference/Ewald/main.jl`) nor most teaching
+codes attempt.  Moves: displacement, rotation, insertion at a uniform
+position AND uniform orientation, deletion.  Acceptance (Frenkel & Smit
+ch. 5; the uniform-orientation measure cancels, so the rotational
+partition function is absorbed into the activity):
+
+    insert:  min[1, z V / (N + 1) exp(-beta dU)]
+    delete:  min[1, N / (z V)     exp(-beta dU)]
+
+with z = exp(beta mu_total) including all internal/kinetic factors.
+
+TPU-native design mirrors gcmc.py: FIXED capacity of molecule slots
+(static shapes), a per-chain activity mask, one attempt per `lax.scan`
+step batched over chains by vmap, accept/reject by where-selects, and
+slot selection by cumsum/argmax over the mask.  The energy model is
+EXACTLY the sampled model of the main driver: all pose energies come
+from `widom.make_pose_eval` (the Widom ghost machinery with an activity
+mask and self-molecule exclusion), so GCMC insertion energies and Widom
+insertion energies are one implementation.
+
+Electrostatics: per-chain Ewald structure factors are carried state,
+updated O(P K) per accepted move exactly as the NVT move path does
+(`/root/reference/Ewald/ewalds.jl:718-826`); insertion adds the pose's
+structure-factor row, deletion subtracts it, and the per-molecule
+self + intramolecular constant enters only exchange moves (it cancels
+in displacements/rotations).  Molecules must be charge-neutral under
+"ewald" (a net-charged species would change the implicit background
+with N).  Wolf (both conventions) and bare Coulomb are also supported;
+the reference-Wolf global constant c*Q_tot^2 is tracked through N.
+
+Exactness anchors (tests/test_gcmc_mol.py):
+  * all-slots-active full energy == models/energy.energy_breakdown
+    (exact, per coulomb style) — the pose-sum recompute and the
+    production energy model agree to roundoff;
+  * ideal rigid rotor (eps = q = 0): N ~ Poisson(z V), mean and
+    variance (exercises the quaternion bookkeeping);
+  * interacting LJ triatomic: beta mu_ex = ln(z / <rho>) vs the Widom
+    machinery on an independent NVT run at the sampled density;
+  * SPC/E water + Ewald: carried energy AND carried structure factors
+    vs dense recompute after thousands of mixed moves (drift check).
+
+Capacity truncation and `use_lrc=False` as in gcmc.py (an N-dependent
+tail would have to enter the exchange rules).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metropolismontecarlo_tpu.mc.widom import make_pose_eval
+from metropolismontecarlo_tpu.ops import ewald as ewald_ops
+from metropolismontecarlo_tpu.ops.quaternions import (
+    random_quaternion,
+    random_rotate_quaternion,
+)
+from metropolismontecarlo_tpu.utils.chunking import chunked_vmap
+
+
+class MolGCMCState(NamedTuple):
+    com: jnp.ndarray      # (C, cap, 3) slot COMs (junk where inactive)
+    quat: jnp.ndarray     # (C, cap, 4) slot orientations
+    coords: jnp.ndarray   # (C, 3, A_pad) transposed atom planes, kept in
+    #   sync with (com, quat) for ACTIVE slots only
+    active: jnp.ndarray   # (C, cap) bool
+    box: jnp.ndarray      # (C,)
+    sfac: jnp.ndarray     # (C, K, 2) carried structure factors ((C,1,2) dummy)
+    energy: jnp.ndarray   # (C,) carried total potential energy
+    key: jnp.ndarray      # (C, 2) per-chain PRNG keys
+    acc: jnp.ndarray      # (C, 4) accepted [trans, rot, insert, delete]
+    att: jnp.ndarray      # (C, 4) attempted
+
+
+def make_mol_slots(system, params, dtype=jnp.float64):
+    """Shared rigid-molecule slot machinery for the muVT and Gibbs apps.
+
+    Validates the system/params combination, then returns a namespace:
+      ev — the `widom.make_pose_eval` pose evaluator;
+      atom_ok_of(active (cap,)) -> (A_pad,) per-atom activity mask;
+      write_pose(coords (3, A_pad), slot, ra (P, 3), keep) — conditional
+          dynamic write of one molecule's atom columns;
+      exchange_const(box, n_old, dn) — position-independent energy delta
+          of changing N by dn (self + intra, reference-Wolf c*Q^2);
+      full_one(com, quat, coords, active, box) -> (e, sfac (K, 2)) —
+          dense masked recompute of one chain (the drift anchor);
+      pose_lattice_init(key, box, n_chains) -> (com, quat, coords) —
+          lattice slots with random orientations;
+      plus fields P, cap, A, A_pad, K, kv, kw, use_ewald, q_t2.
+    """
+    from types import SimpleNamespace
+
+    if not system.is_uniform:
+        raise ValueError("molecular GCMC requires a uniform single-"
+                         "species system (n_mol == slot capacity)")
+    if params.use_lrc:
+        raise ValueError("GCMC requires use_lrc=False (the N-dependent "
+                         "tail would have to enter the exchange rules)")
+    if params.ewald_surface:
+        raise ValueError("ewald_surface is not supported in GCMC (the "
+                         "whole-system dipole term would need deltas on "
+                         "every move type)")
+    if params.nlist_width != 0:
+        raise ValueError("neighbor lists are not supported in GCMC")
+    use_ewald = params.coulomb == "ewald"
+    if use_ewald:
+        kvecs, kweights = ewald_ops.make_kvectors(params.nk, params.ksq_max)
+    else:
+        kvecs = kweights = None
+
+    ev = make_pose_eval(system, params, kvecs, kweights, dtype)
+    if use_ewald and abs(ev.q_t_tot) > 1e-9:
+        raise ValueError("ewald GCMC requires charge-neutral molecules "
+                         f"(molecule net charge {ev.q_t_tot})")
+    P = ev.P
+    cap = system.n_mol
+    A, A_pad = system.n_atoms, system.n_atoms_padded
+    assert A == cap * P
+    K = len(kvecs) if use_ewald else 1
+    kv = None if kvecs is None else jnp.asarray(kvecs)
+    kw = None if kweights is None else jnp.asarray(kweights, dtype)
+    mol_of_atom = jnp.asarray(system.mol_of_atom_padded)   # (A_pad,), -1 pads
+    real = mol_of_atom >= 0
+    q_t2 = ev.q_t_tot**2
+
+    def atom_ok_of(active):
+        """(cap,) bool -> (A_pad,) bool: activity per atom column."""
+        return real & active[jnp.clip(mol_of_atom, 0, cap - 1)]
+
+    def write_pose(coords, slot, ra, keep):
+        """Write pose atoms (P, 3) into molecule `slot`'s columns iff
+        keep; coords (3, A_pad) transposed."""
+        cur = jax.lax.dynamic_slice(coords, (0, slot * P), (3, P))
+        new = jnp.where(keep, ra.T, cur)
+        return jax.lax.dynamic_update_slice(coords, new, (0, slot * P))
+
+    def exchange_const(box, n_old, dn):
+        """Position-independent energy delta of changing N by dn:
+        per-molecule self+intra, plus the reference-Wolf c*Q^2 term.
+        Box-dependent (kappa = kappa_L / box), so transfers between
+        different-sized boxes do NOT cancel it."""
+        c = ev.self_intra(box) * dn
+        if q_t2 != 0.0:
+            nf = n_old.astype(dtype)
+            c = c + ev.wolf_const_coeff(box) * q_t2 \
+                * ((nf + dn) ** 2 - nf**2)
+        return c
+
+    def full_one(com, quat, coords, active, box):
+        """Dense masked recompute of ONE chain: half the pose pair sums
+        over active slots + reciprocal from active charges + N * const."""
+        a_ok = atom_ok_of(active)
+
+        def pose_e(m):
+            ra = ev.pose_atoms(com[m], quat[m])
+            e_m, _ = ev.pair_energy(com[m], ra, coords, com, box, a_ok, m)
+            return jnp.where(active[m], e_m, 0.0)
+
+        e = 0.5 * jnp.sum(jax.vmap(pose_e)(jnp.arange(cap)))
+        nf = jnp.sum(active.astype(dtype))
+        e = e + nf * ev.self_intra(box)
+        if q_t2 != 0.0:
+            e = e + ev.wolf_const_coeff(box) * q_t2 * nf * nf
+        if use_ewald:
+            kappa = jnp.asarray(params.kappa_L, dtype) / box
+            cf = ewald_ops.cfac_coeffs(kv, kw, kappa, box, dtype)
+            q_eff = jnp.where(a_ok, ev.charges_flat, 0.0)
+            sf = ewald_ops.structure_factor(coords.T, q_eff, kv, box)
+            e = e + ewald_ops.recip_energy(sf, cf)
+        else:
+            sf = jnp.zeros((K, 2), dtype)
+        return e, sf
+
+    def pose_lattice_init(key, box, n_chains):
+        """Lattice slot COMs + random orientations + synced coords
+        (random placement seeds overlapped pairs that break the f64
+        drift invariant — see mc/gcmc.py)."""
+        from metropolismontecarlo_tpu.io.configs import cubic_lattice
+        lat = jnp.asarray(cubic_lattice(cap, float(box)), dtype)
+        com = jnp.broadcast_to(lat[None], (n_chains, cap, 3))
+        if P > 1:
+            quat = random_quaternion(key, (n_chains, cap), dtype)
+        else:
+            quat = jnp.zeros((n_chains, cap, 4), dtype).at[..., 0].set(1.0)
+        ra = jax.vmap(jax.vmap(ev.pose_atoms))(com, quat)  # (C, cap, P, 3)
+        coords = jnp.swapaxes(ra.reshape(n_chains, A, 3), 1, 2)
+        coords = jnp.pad(coords, ((0, 0), (0, 0), (0, A_pad - A)))
+        return com, quat, coords
+
+    return SimpleNamespace(
+        ev=ev, P=P, cap=cap, A=A, A_pad=A_pad, K=K, kv=kv, kw=kw,
+        use_ewald=use_ewald, q_t2=q_t2, atom_ok_of=atom_ok_of,
+        write_pose=write_pose, exchange_const=exchange_const,
+        full_one=full_one, pose_lattice_init=pose_lattice_init)
+
+
+def make_gcmc_mol(system, params, activity, p_exchange=0.3,
+                  dtype=jnp.float64, chunk=8):
+    """Build the molecular-muVT step/energy functions.
+
+    system: a uniform single-species System whose n_mol IS the slot
+    capacity (e.g. models/water.spce_system(64)).  Returns
+    (init, run_steps, full_energy) with the same shapes as mc/gcmc.py;
+    full_energy(state) -> (energy (C,), sfac (C, K, 2)).
+    """
+    ms = make_mol_slots(system, params, dtype)
+    ev, P, cap = ms.ev, ms.P, ms.cap
+    A, A_pad, K = ms.A, ms.A_pad, ms.K
+    kv, kw, use_ewald = ms.kv, ms.kw, ms.use_ewald
+    atom_ok_of, write_pose = ms.atom_ok_of, ms.write_pose
+    exchange_const = ms.exchange_const
+
+    beta = jnp.asarray(1.0 / params.temperature, dtype)
+    z = jnp.asarray(activity, dtype)
+    px = float(p_exchange)
+    # within non-exchange attempts, split params.p_translate : rest
+    p_disp = (1.0 - px) * float(params.p_translate)
+    p_rot = (1.0 - px) * (1.0 - float(params.p_translate))
+
+    def _one_step(carry, _):
+        com, quat, coords, active, box, sfac, e, key, acc, att = carry
+        key, k = jax.random.split(key)
+        k_move, k_sel, k_pos, k_rot, k_insq, k_acc = jax.random.split(k, 6)
+        n = jnp.sum(active.astype(jnp.int32))
+        nf = n.astype(dtype)
+        u_move = jax.random.uniform(k_move, dtype=dtype)
+        # move type: 0 displace, 1 rotate, 2 insert, 3 delete
+        mt = jnp.where(u_move < p_disp, 0,
+                       jnp.where(u_move < p_disp + p_rot, 1,
+                                 jnp.where(u_move < p_disp + p_rot
+                                           + 0.5 * px, 2, 3)))
+        a_ok = atom_ok_of(active)
+
+        # --- shared slot pick among the N active (displace/rotate/delete)
+        u_sel = jax.random.uniform(k_sel, dtype=dtype)
+        csum = jnp.cumsum(active.astype(jnp.int32))
+        idx = jnp.argmax(csum >= jnp.floor(u_sel * nf).astype(jnp.int32) + 1)
+        com_i, quat_i = com[idx], quat[idx]
+        ra_old = ev.pose_atoms(com_i, quat_i)
+        e_old, _ = ev.pair_energy(com_i, ra_old, coords, com, box, a_ok, idx)
+
+        # --- displaced / rotated pose
+        disp = (jax.random.uniform(k_pos, (3,), dtype) - 0.5) \
+            * params.dr_max
+        com_new = jnp.where(mt == 0, (com_i + disp) % box, com_i)
+        quat_new = jnp.where(mt == 1,
+                             random_rotate_quaternion(k_rot, quat_i,
+                                                      params.dphi_max),
+                             quat_i)
+        ra_new = ev.pose_atoms(com_new, quat_new)
+        e_new, ovr_new = ev.pair_energy(com_new, ra_new, coords, com, box,
+                                        a_ok, idx)
+
+        # --- insertion pose (uniform position + uniform orientation)
+        com_ins = jax.random.uniform(k_pos, (3,), dtype) * box
+        quat_ins = random_quaternion(k_insq, (), dtype) if P > 1 else \
+            jnp.zeros((4,), dtype).at[0].set(1.0)
+        ra_ins = ev.pose_atoms(com_ins, quat_ins)
+        e_ins, ovr_ins = ev.pair_energy(com_ins, ra_ins, coords, com, box,
+                                        a_ok, -1)
+        slot = jnp.argmax(~active)
+        full = n >= cap
+
+        # --- reciprocal-space deltas (carried structure factors)
+        if use_ewald:
+            kappa = jnp.asarray(params.kappa_L, dtype) / box
+            cf = ewald_ops.cfac_coeffs(kv, kw, kappa, box, dtype)
+            s_old = ev.pose_sfac(ra_old, box)
+            s_new = ev.pose_sfac(ra_new, box)
+            s_ins = ev.pose_sfac(ra_ins, box)
+            d_move = ewald_ops.recip_energy_delta(sfac, s_new - s_old, cf)
+            d_ins = ewald_ops.recip_energy_delta(sfac, s_ins, cf)
+            d_del = ewald_ops.recip_energy_delta(sfac, -s_old, cf)
+        else:
+            s_old = s_new = s_ins = jnp.zeros((K, 2), dtype)
+            d_move = d_ins = d_del = jnp.zeros((), dtype)
+
+        du_move = e_new - e_old + d_move
+        du_ins = e_ins + d_ins + exchange_const(box, n, +1.0)
+        du_del = -e_old + d_del + exchange_const(box, n, -1.0)
+
+        vol = box**3
+        u = jax.random.uniform(k_acc, dtype=dtype)
+        ok_m = (mt <= 1) & (n > 0) & ~ovr_new \
+            & (u < jnp.exp(-beta * du_move))
+        ok_i = (mt == 2) & ~full & ~ovr_ins \
+            & (u < z * vol / (nf + 1.0) * jnp.exp(-beta * du_ins))
+        ok_d = (mt == 3) & (n > 0) \
+            & (u < nf / (z * vol) * jnp.exp(-beta * du_del))
+
+        # --- state updates (where-selects only)
+        com = com.at[idx].set(jnp.where(ok_m, com_new, com[idx]))
+        quat = quat.at[idx].set(jnp.where(ok_m, quat_new, quat[idx]))
+        coords = write_pose(coords, idx, ra_new, ok_m)
+        com = com.at[slot].set(jnp.where(ok_i, com_ins, com[slot]))
+        quat = quat.at[slot].set(jnp.where(ok_i, quat_ins, quat[slot]))
+        coords = write_pose(coords, slot, ra_ins, ok_i)
+        active = active.at[slot].set(ok_i | active[slot])
+        active = active.at[idx].set(active[idx] & ~ok_d)
+        sfac = sfac + jnp.where(ok_m, 1.0, 0.0) * (s_new - s_old) \
+            + jnp.where(ok_i, 1.0, 0.0) * s_ins \
+            - jnp.where(ok_d, 1.0, 0.0) * s_old
+        e = e + jnp.where(ok_m, du_move, 0.0) \
+            + jnp.where(ok_i, du_ins, 0.0) \
+            + jnp.where(ok_d, du_del, 0.0)
+        a_row = jnp.stack([ok_m & (mt == 0), ok_m & (mt == 1),
+                           ok_i, ok_d]).astype(jnp.int32)
+        t_row = (jnp.arange(4) == mt).astype(jnp.int32)
+        carry = (com, quat, coords, active, box, sfac, e, key,
+                 acc + a_row, att + t_row)
+        return carry, None
+
+    def _run_chain(com, quat, coords, active, box, sfac, e, key, acc, att,
+                   n_steps):
+        carry = (com, quat, coords, active, box, sfac, e, key, acc, att)
+        carry, _ = jax.lax.scan(_one_step, carry, None, length=n_steps)
+        return carry
+
+    @jax.jit
+    def full_energy(state):
+        return chunked_vmap(ms.full_one, chunk, state.com, state.quat,
+                            state.coords, state.active, state.box)
+
+    @partial(jax.jit, static_argnums=1)
+    def run_steps(state, n_steps):
+        out = jax.vmap(_run_chain, in_axes=(0,) * 10 + (None,))(
+            state.com, state.quat, state.coords, state.active, state.box,
+            state.sfac, state.energy, state.key, state.acc, state.att,
+            n_steps)
+        return MolGCMCState(*out)
+
+    def init(key, box, n_init, n_chains):
+        if n_init > cap:
+            raise ValueError("n_init exceeds capacity")
+        if params.strict_min_image and box < 2.0 * max(params.r_cut,
+                                                       params.qq_cut):
+            raise ValueError(f"box {box} < 2*cutoff violates minimum-"
+                             "image (set strict_min_image=False to "
+                             "sample the truncated model)")
+        k_chain, k_quat = jax.random.split(jnp.asarray(key))
+        keys = jax.random.split(k_chain, n_chains)
+        com, quat, coords = ms.pose_lattice_init(k_quat, box, n_chains)
+        active = jnp.broadcast_to(jnp.arange(cap) < n_init,
+                                  (n_chains, cap))
+        state = MolGCMCState(
+            com=com, quat=quat, coords=coords, active=active,
+            box=jnp.full((n_chains,), box, dtype),
+            sfac=jnp.zeros((n_chains, K, 2), dtype),
+            energy=jnp.zeros((n_chains,), dtype), key=keys,
+            acc=jnp.zeros((n_chains, 4), jnp.int32),
+            att=jnp.zeros((n_chains, 4), jnp.int32))
+        e, sf = full_energy(state)
+        return state._replace(energy=e, sfac=sf)
+
+    return init, run_steps, full_energy
+
+
+class MolGCMC:
+    """Driver wrapper: blocks with the drift invariant and N statistics.
+
+    >>> g = MolGCMC(spce_system(64), params, activity=3e-5)
+    >>> st = g.init(key, box=20.0, n_init=24, n_chains=128)
+    >>> st, stats = g.run_block(st, 2000, drift_tol=1e-9)
+    """
+
+    def __init__(self, system, params, activity, p_exchange=0.3,
+                 dtype=jnp.float64, chunk=8):
+        self.params = params
+        self.capacity = system.n_mol
+        self._init, self.run_steps, self.full_energy = make_gcmc_mol(
+            system, params, activity, p_exchange, dtype, chunk)
+
+    def init(self, key, box, n_init, n_chains):
+        return self._init(key, box, n_init, n_chains)
+
+    def run_block(self, state, n_steps, drift_tol=None):
+        att0, acc0 = state.att, state.acc
+        state = self.run_steps(state, n_steps)
+        e, sf = self.full_energy(state)
+        scale = jnp.maximum(jnp.abs(e), 1.0)
+        drift = jnp.max(jnp.abs(e - state.energy) / scale)
+        sfac_err = jnp.max(jnp.abs(sf - state.sfac))
+        n = jnp.sum(state.active, axis=1)
+        ratio = (state.acc - acc0) / jnp.maximum(state.att - att0, 1)
+        stats = {
+            "n_mean": float(jnp.mean(n.astype(jnp.float64))),
+            "n_var": float(jnp.var(n.astype(jnp.float64))),
+            "full_frac": float(jnp.mean((n >= self.capacity)
+                                        .astype(jnp.float64))),
+            "energy_mean": float(jnp.mean(e)),
+            "acc_trans": float(jnp.mean(ratio[:, 0])),
+            "acc_rot": float(jnp.mean(ratio[:, 1])),
+            "acc_insert": float(jnp.mean(ratio[:, 2])),
+            "acc_delete": float(jnp.mean(ratio[:, 3])),
+            "drift_max_rel": float(drift),
+            "sfac_err_max": float(sfac_err),
+        }
+        if drift_tol is not None:
+            assert stats["drift_max_rel"] < drift_tol, stats
+            assert not np.isnan(stats["energy_mean"]), stats
+        return state._replace(energy=e, sfac=sf), stats

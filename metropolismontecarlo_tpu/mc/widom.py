@@ -28,7 +28,15 @@ The sampled model's hard-overlap veto (opposite-sign charges closer
 than sqrt(d2_overlap), `Ewald/ewalds.jl:359-361`) acts as a hard core:
 vetoed insertions contribute exp(-beta dU) = 0, consistent with the
 configuration space the MC chain actually samples.
+
+`make_pose_eval` exposes the single-pose machinery (pair terms with an
+activity mask and a molecule exclusion, pose structure factors, and the
+per-molecule self/intra constants) for reuse by the grand-canonical
+molecular app (`mc/gcmc_mol.py`), whose insertion/deletion energies are
+by construction the same model as Widom's ghosts.
 """
+
+from types import SimpleNamespace
 
 import jax
 import jax.numpy as jnp
@@ -51,20 +59,31 @@ def mu_excess(boltzmann_mean, temperature):
     return -temperature * jnp.log(boltzmann_mean)
 
 
-def make_widom_fn(system, params, kvecs, kweights, dtype=jnp.float32,
-                  species=0, chunk=8):
-    """Build the insertion evaluators for one species.
+def make_pose_eval(system, params, kvecs, kweights, dtype=jnp.float32,
+                   species=0):
+    """Single-pose energy machinery for one species' rigid molecule.
 
-    Returns (widom_du, widom_sample):
-      widom_du(state, com_t (C, n, 3), quat_t (C, n, 4))
-          -> (du (C, n), overlap (C, n)): exact insertion energies at
-          given ghost poses (deterministic; used by tests and scans).
-      widom_sample(state, key, n_insertions)
-          -> (C,) mean Boltzmann factor <exp(-beta dU)> over n uniform
-          random insertions per chain (overlap-vetoed ghosts count 0).
+    Returns a namespace of closures shared by the Widom sampler and the
+    grand-canonical molecular app:
 
-    chunk: chains per scan step (memory bound: each chunk row holds an
-    (n, P, A_pad) pair grid).
+      pose_atoms(com_t (3,), quat_t (4,)) -> (P, 3) lab-frame atoms;
+      pair_energy(ra (P, 3), coords_t (3, A_pad), com (M, 3), box,
+                  atom_ok (A_pad,) bool, excl int)
+          -> (e_pair, overlap): LJ + style pair terms of the pose
+          against every atom with atom_ok set whose molecule != excl
+          (excl = -1 for "no exclusion", e.g. a ghost);
+      pose_sfac(ra, box) -> (K, 2) structure-factor contribution of the
+          pose's charges (ewald style; None otherwise);
+      self_intra(box) -> per-molecule position-independent constant
+          (ewald: self + intramolecular; wolf: self/background; else 0);
+      wolf_const_coeff(box) -> the reference-Wolf global-constant
+          coefficient c with E_const = c * Q_tot^2 (0 unless style is
+          wolf/"ref");
+      lrc_delta(box) -> U_lrc(N+1) - U_lrc(N) (0 when LRC is off);
+      plus fields P, q_t, q_t_tot, q_sys_tot, body_t.
+
+    All terms match models/energy.py exactly per coulomb style and
+    cutoff mode (the Widom docstring's consistency contract).
     """
     _, m0, m1, P, a0 = system.species_slices[species]
     A, A_pad, M = system.n_atoms, system.n_atoms_padded, system.n_mol
@@ -119,28 +138,31 @@ def make_widom_fn(system, params, kvecs, kweights, dtype=jnp.float32,
     kv = None if kvecs is None else jnp.asarray(kvecs)
     kw = None if kweights is None else jnp.asarray(kweights, dtype)
 
-    def du_one(com_t, quat_t, coords_t, com, box, sfac):
-        """Insertion energy of ONE ghost pose in ONE chain.
-        com_t (3,), quat_t (4,), coords_t (3, A_pad), com (M, 3)."""
+    def pose_atoms(com_t, quat_t):
         if P > 1:
-            ra = com_t[None, :] + rotate_vectors(quat_t, body_t)  # (P, 3)
-        else:
-            ra = com_t[None, :]
+            return com_t[None, :] + rotate_vectors(quat_t, body_t)  # (P, 3)
+        return com_t[None, :]
+
+    def pair_energy(com_t, ra, coords_t, com, box, atom_ok, excl):
+        """Pose pair terms (LJ + style pair sums) vs masked atoms.
+        com_t (3,) is the pose origin (the molecule COM — the cutoff key
+        in com/first modes), ra (P, 3) its lab-frame atoms."""
         dr = min_image(ra.T[:, :, None] - coords_t[:, None, :], box)
         d2 = jnp.maximum(jnp.sum(dr * dr, axis=0),
                          jnp.asarray(1e-4, dtype))                # (P, A_pad)
+        base = atom_ok & (mol_of_atom != excl)
         if site:
-            mask_lj = real[None, :] & (d2 < rc2)
-            mask_qq = real[None, :] & (d2 < qrc2)
+            mask_lj = base[None, :] & (d2 < rc2)
+            mask_qq = base[None, :] & (d2 < qrc2)
         else:
             keys = com if params.cutoff_mode == "com" \
                 else coords_t[:, mol_a0].T                        # (M, 3)
             d2m = jnp.sum(min_image(com_t[None, :] - keys, box) ** 2,
                           axis=-1)                                # (M,)
             safe = jnp.clip(mol_of_atom, 0, M - 1)
-            mask_lj = real & (d2m < rc2)[safe]
+            mask_lj = base & (d2m < rc2)[safe]
             mask_qq = mask_lj if params.qq_r_cut is None \
-                else real & (d2m < qrc2)[safe]
+                else base & (d2m < qrc2)[safe]
             mask_lj, mask_qq = mask_lj[None, :], mask_qq[None, :]
 
         d2s = jnp.where(mask_lj | mask_qq, d2, jnp.ones((), dtype))
@@ -149,56 +171,124 @@ def make_widom_fn(system, params, kvecs, kweights, dtype=jnp.float32,
         pot = 4.0 * eps_pa * (s6 * s6 - s6)
         if params.lj_shift == "linear":
             pot = pot + eps_pa * (lam1_pa + lam2_pa * jnp.sqrt(d2s))
-        du = jnp.sum(jnp.where(mask_lj, pot, 0.0))
-        if use_lrc:
-            vol = box**3
-            du = du + (
-                tail_ops.lrc_energy(counts_plus, eps_tab, sig_tab,
-                                    params.r_cut, vol)
-                - tail_ops.lrc_energy(counts, eps_tab, sig_tab,
-                                      params.r_cut, vol))
+        e = jnp.sum(jnp.where(mask_lj, pot, 0.0))
 
         overlap = jnp.zeros((), bool)
         if use_coul:
             kappa = jnp.asarray(params.kappa_L, dtype) / box
             qq = q_t[:, None] * charges_flat[None, :]
-            r = jnp.sqrt(d2s)
             overlap = jnp.any((d2 < params.d2_overlap) & (qq < 0.0) & mask_qq)
             if params.coulomb == "ewald":
-                du = du + ewald_ops.real_space_sum(d2, qq, mask_qq, kappa)
+                e = e + ewald_ops.real_space_sum(d2, qq, mask_qq, kappa)
+            elif params.coulomb == "wolf":
+                shifted = params.wolf_style == "pairwise"
+                e = e + wolf_ops.wolf_pair_sum(
+                    d2, qq, mask_qq, kappa, params.qq_cut, shifted=shifted)
+            elif params.coulomb == "bare":
+                r = jnp.sqrt(d2s)
+                e = e + factor * jnp.sum(jnp.where(mask_qq, qq / r, 0.0))
+            else:
+                raise ValueError(params.coulomb)
+        return e, overlap
+
+    def pose_sfac(ra, box):
+        return ewald_ops.structure_factor(ra, q_t, kv, box)
+
+    def self_intra(box):
+        """Position-independent energy constant of ONE molecule of this
+        species (enters insertion/deletion deltas; cancels in moves)."""
+        if not use_coul or params.coulomb == "bare":
+            return jnp.zeros((), dtype)
+        kappa = jnp.asarray(params.kappa_L, dtype) / box
+        if params.coulomb == "ewald":
+            e = ewald_ops.ewald_self(q_t, kappa)
+            if P > 1:
+                # rigid-body intra term: orientation-independent, so
+                # evaluate on the body frame itself
+                e = e + ewald_ops.ewald_intra(body_t[None], q_t[None],
+                                              kappa, box)
+            return e
+        # wolf (both styles share the self/background term)
+        return wolf_ops.wolf_self(q_t, kappa, params.qq_cut)
+
+    def wolf_const_coeff(box):
+        """E_const = coeff * Q_tot^2 for the reference-Wolf convention
+        (`/root/reference/Ewald/energy.jl:924-931`); 0 otherwise."""
+        if params.coulomb != "wolf" or params.wolf_style == "pairwise":
+            return jnp.zeros((), dtype)
+        kappa = jnp.asarray(params.kappa_L, dtype) / box
+        return -factor * jax.scipy.special.erfc(
+            kappa * params.qq_cut) / params.qq_cut
+
+    def lrc_delta(box):
+        if not use_lrc:
+            return jnp.zeros((), dtype)
+        vol = box**3
+        return (tail_ops.lrc_energy(counts_plus, eps_tab, sig_tab,
+                                    params.r_cut, vol)
+                - tail_ops.lrc_energy(counts, eps_tab, sig_tab,
+                                      params.r_cut, vol))
+
+    return SimpleNamespace(
+        P=P, q_t=q_t, q_t_tot=q_t_tot, q_sys_tot=q_sys_tot, body_t=body_t,
+        pose_atoms=pose_atoms, pair_energy=pair_energy, pose_sfac=pose_sfac,
+        self_intra=self_intra, wolf_const_coeff=wolf_const_coeff,
+        lrc_delta=lrc_delta, mol_of_atom=mol_of_atom, real=real,
+        charges_flat=charges_flat)
+
+
+def make_widom_fn(system, params, kvecs, kweights, dtype=jnp.float32,
+                  species=0, chunk=8):
+    """Build the insertion evaluators for one species.
+
+    Returns (widom_du, widom_sample):
+      widom_du(state, com_t (C, n, 3), quat_t (C, n, 4))
+          -> (du (C, n), overlap (C, n)): exact insertion energies at
+          given ghost poses (deterministic; used by tests and scans).
+      widom_sample(state, key, n_insertions)
+          -> (C,) mean Boltzmann factor <exp(-beta dU)> over n uniform
+          random insertions per chain (overlap-vetoed ghosts count 0).
+
+    chunk: chains per scan step (memory bound: each chunk row holds an
+    (n, P, A_pad) pair grid).
+    """
+    ev = make_pose_eval(system, params, kvecs, kweights, dtype, species)
+    P, M = ev.P, system.n_mol
+    factor = jnp.asarray(COULOMB_FACTOR, dtype)
+    use_coul = params.coulomb != "none"
+    kv = None if kvecs is None else jnp.asarray(kvecs)
+    kw = None if kweights is None else jnp.asarray(kweights, dtype)
+
+    def du_one(com_t, quat_t, coords_t, com, box, sfac):
+        """Insertion energy of ONE ghost pose in ONE chain.
+        com_t (3,), quat_t (4,), coords_t (3, A_pad), com (M, 3)."""
+        ra = ev.pose_atoms(com_t, quat_t)
+        du, overlap = ev.pair_energy(com_t, ra, coords_t, com, box,
+                                     ev.real, -1)
+        du = du + ev.lrc_delta(box)
+        if use_coul:
+            kappa = jnp.asarray(params.kappa_L, dtype) / box
+            if params.coulomb == "ewald":
                 cf = ewald_ops.cfac_coeffs(kv, kw, kappa, box, dtype)
-                s_t = ewald_ops.structure_factor(ra, q_t, kv, box)
+                s_t = ev.pose_sfac(ra, box)
                 du = du + ewald_ops.recip_energy_delta(sfac, s_t, cf)
-                du = du + ewald_ops.ewald_self(q_t, kappa)
-                if P > 1:
-                    du = du + ewald_ops.ewald_intra(ra[None], q_t[None],
-                                                    kappa, box)
+                du = du + ev.self_intra(box)
                 if params.ewald_surface:
-                    com_all = com[jnp.clip(mol_of_atom, 0, M - 1)]
+                    com_all = com[jnp.clip(ev.mol_of_atom, 0, M - 1)]
                     m_tot = ewald_ops.surface_dipole(
-                        coords_t.T, com_all, charges_flat, box)
+                        coords_t.T, com_all, ev.charges_flat, box)
                     mu_t = ewald_ops.surface_dipole(
-                        ra, com_t[None, :], q_t, box)
+                        ra, com_t[None, :], ev.q_t, box)
                     c_surf = factor * 2.0 * jnp.pi / (3.0 * box**3)
                     m_new = m_tot + mu_t
                     du = du + c_surf * (jnp.sum(m_new * m_new)
                                         - jnp.sum(m_tot * m_tot))
             elif params.coulomb == "wolf":
-                shifted = params.wolf_style == "pairwise"
-                du = du + wolf_ops.wolf_pair_sum(
-                    d2, qq, mask_qq, kappa, params.qq_cut, shifted=shifted)
-                du = du + wolf_ops.wolf_self(q_t, kappa, params.qq_cut)
-                if not shifted:
-                    # reference-convention constant: -f erfc(k rc)/rc Q^2
-                    # increments by (Q + q_t)^2 - Q^2
-                    dq2 = (q_sys_tot + q_t_tot) ** 2 - q_sys_tot**2
-                    du = du - factor * jax.scipy.special.erfc(
-                        kappa * params.qq_cut) / params.qq_cut * dq2
-            elif params.coulomb == "bare":
-                du = du + factor * jnp.sum(
-                    jnp.where(mask_qq, qq / r, 0.0))
-            else:
-                raise ValueError(params.coulomb)
+                du = du + ev.self_intra(box)
+                # reference-convention constant: coeff * Q^2 increments
+                # by (Q + q_t)^2 - Q^2
+                dq2 = (ev.q_sys_tot + ev.q_t_tot) ** 2 - ev.q_sys_tot**2
+                du = du + ev.wolf_const_coeff(box) * dq2
         return du, overlap
 
     def widom_du(state, com_t, quat_t):

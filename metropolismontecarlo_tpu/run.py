@@ -55,13 +55,29 @@ def _initial_state(mc, run_cfg, system, base_dir):
 
 def _run_gcmc(cfg, system, params, dtype, args):
     """muVT loop: `"ensemble": {"kind": "gcmc", "activity": z,
-    "capacity": cap, "box": L, "n_init": n}` in the run section."""
-    from metropolismontecarlo_tpu.mc.gcmc import GCMC
+    "capacity": cap, "box": L, "n_init": n}` in the run section.
 
+    Monatomic systems use the slot LJ app (mc/gcmc.py); rigid molecular
+    systems (P > 1, e.g. spce) the full molecular app (mc/gcmc_mol.py,
+    orientational insertions + electrostatics) — there the model's
+    n_mol IS the slot capacity, so it must equal ensemble.capacity.
+    Optional `"p_exchange"` sets the exchange-attempt probability."""
     run_cfg = cfg.get("run", {})
     ens = run_cfg["ensemble"]
-    g = GCMC(system, params, activity=float(ens["activity"]),
-             capacity=int(ens["capacity"]), dtype=dtype)
+    if system.atoms_per_mol > 1:
+        from metropolismontecarlo_tpu.mc.gcmc_mol import MolGCMC
+        if int(ens["capacity"]) != system.n_mol:
+            raise ValueError(
+                f"molecular GCMC: model n_mol ({system.n_mol}) must equal "
+                f"ensemble capacity ({ens['capacity']}) — the molecule "
+                "slots ARE the system's molecules")
+        g = MolGCMC(system, params, activity=float(ens["activity"]),
+                    p_exchange=float(ens.get("p_exchange", 0.3)),
+                    dtype=dtype)
+    else:
+        from metropolismontecarlo_tpu.mc.gcmc import GCMC
+        g = GCMC(system, params, activity=float(ens["activity"]),
+                 capacity=int(ens["capacity"]), dtype=dtype)
     state = g.init(jax.random.PRNGKey(int(run_cfg.get("seed", 0))),
                    box=float(ens["box"]), n_init=int(ens["n_init"]),
                    n_chains=int(run_cfg.get("n_chains", 8)))
@@ -104,13 +120,31 @@ def _run_gcmc(cfg, system, params, dtype, args):
 def _run_gibbs(cfg, system, params, dtype, args):
     """Gibbs-ensemble loop: `"ensemble": {"kind": "gibbs",
     "boxes": [L1, L2], "n_init": [n1, n2], "capacity": 256,
-    "dv_max": 0.03}` in the run section."""
-    from metropolismontecarlo_tpu.mc.gibbs import GibbsEnsemble
+    "dv_max": 0.03}` in the run section.
 
+    Monatomic systems use the slot LJ app (mc/gibbs.py); rigid molecular
+    systems the full molecular app (mc/gibbs_mol.py, orientational
+    transfers + electrostatics) — there the model's n_mol IS the
+    per-box capacity, so it must equal ensemble.capacity.  Optional
+    `"p_transfer"` sets the transfer-attempt probability."""
     run_cfg = cfg.get("run", {})
     ens = run_cfg["ensemble"]
-    g = GibbsEnsemble(system, params, capacity=int(ens["capacity"]),
-                      dv_max=float(ens.get("dv_max", 0.03)), dtype=dtype)
+    if system.atoms_per_mol > 1:
+        from metropolismontecarlo_tpu.mc.gibbs_mol import MolGibbsEnsemble
+        if int(ens["capacity"]) != system.n_mol:
+            raise ValueError(
+                f"molecular Gibbs: model n_mol ({system.n_mol}) must "
+                f"equal ensemble capacity ({ens['capacity']}) — the "
+                "molecule slots ARE the system's molecules")
+        g = MolGibbsEnsemble(system, params,
+                             dv_max=float(ens.get("dv_max", 0.03)),
+                             p_transfer=float(ens.get("p_transfer", 0.3)),
+                             dtype=dtype)
+    else:
+        from metropolismontecarlo_tpu.mc.gibbs import GibbsEnsemble
+        g = GibbsEnsemble(system, params, capacity=int(ens["capacity"]),
+                          dv_max=float(ens.get("dv_max", 0.03)),
+                          dtype=dtype)
     state = g.init(jax.random.PRNGKey(int(run_cfg.get("seed", 0))),
                    boxes=tuple(float(b) for b in ens["boxes"]),
                    n_init=tuple(int(n) for n in ens["n_init"]),

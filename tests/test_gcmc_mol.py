@@ -1,0 +1,150 @@
+"""Molecular grand-canonical MC: exact model consistency, Poisson
+statistics for the ideal rigid rotor, Widom cross-validation for an
+interacting triatomic, and the Ewald drift invariant through
+insertions/deletions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metropolismontecarlo_tpu.mc.gcmc_mol import MolGCMC
+from metropolismontecarlo_tpu.models.polyatomic import triatomic_system
+from metropolismontecarlo_tpu.models.system import RunParams
+from metropolismontecarlo_tpu.models.water import spce_system
+
+
+def _water_params(**kw):
+    d = dict(temperature=500.0, r_cut=10.0, cutoff_mode="site",
+             coulomb="ewald", use_lrc=False, p_translate=0.5,
+             dr_max=1.0, dphi_max=0.6)
+    d.update(kw)
+    return RunParams(**d)
+
+
+def test_gcmc_mol_full_energy_matches_model():
+    """All slots active: the app's masked pose-sum recompute equals the
+    production energy model (models/energy.energy_breakdown) exactly —
+    LJ + Ewald real + reciprocal + self + intra, and again after a block
+    of pure NVT moves (p_exchange = 0 keeps every slot active)."""
+    from metropolismontecarlo_tpu.models.energy import energy_breakdown
+    from metropolismontecarlo_tpu.ops.ewald import make_kvectors
+
+    sys8 = spce_system(8)
+    params = _water_params(temperature=300.0, r_cut=5.0)
+    g = MolGCMC(sys8, params, activity=1e-4, p_exchange=0.0)
+    st = g.init(jax.random.PRNGKey(0), box=12.0, n_init=8, n_chains=3)
+    kv, kw = make_kvectors(params.nk, params.ksq_max)
+
+    def model_total(c):
+        A = sys8.n_atoms
+        out = energy_breakdown(sys8, params, st.coords[c, :, :A].T,
+                               st.com[c], st.box[c], kv, kw)
+        return float(out["total"])
+
+    for c in range(3):
+        assert float(st.energy[c]) == pytest.approx(model_total(c),
+                                                    rel=1e-9)
+
+    st, stats = g.run_block(st, 400, drift_tol=1e-9)
+    assert stats["acc_trans"] > 0.0 and stats["acc_rot"] > 0.0
+    for c in range(3):
+        assert float(st.energy[c]) == pytest.approx(model_total(c),
+                                                    rel=1e-9)
+
+
+def test_gcmc_mol_ideal_rigid_rotor_poisson():
+    """eps = q = 0: the molecular muVT number distribution is
+    Poisson(z V) — mean and variance — which exercises the quaternion
+    and slot bookkeeping with zero interactions."""
+    z, box = 0.02, 10.0
+    params = RunParams(strict_min_image=False, temperature=1.5, r_cut=2.5,
+                       cutoff_mode="site", coulomb="none", p_translate=0.5,
+                       dr_max=1.0, dphi_max=1.0, use_lrc=False)
+    g = MolGCMC(triatomic_system(64, eps=0.0), params, activity=z,
+                p_exchange=0.6)
+    st = g.init(jax.random.PRNGKey(0), box=box, n_init=20, n_chains=256)
+    st, _ = g.run_block(st, 2500)
+    means, varis = [], []
+    for _ in range(8):
+        st, stats = g.run_block(st, 700, drift_tol=1e-10)
+        means.append(stats["n_mean"])
+        varis.append(stats["n_var"])
+        assert stats["full_frac"] == 0.0
+    zv = z * box**3
+    assert np.mean(means) == pytest.approx(zv, rel=0.03), means
+    assert np.mean(varis) == pytest.approx(zv, rel=0.12), varis
+
+
+def test_gcmc_mol_widom_chemical_potential_consistency():
+    """Interacting LJ triatomic at supercritical T: beta mu_ex =
+    ln(z / <rho>) from molecular GCMC must agree with the Widom
+    machinery on an NVT run of the main driver at the sampled density
+    (two independent samplers, one energy model)."""
+    z, box, t = 0.05, 6.0, 3.0
+    params = RunParams(strict_min_image=False, temperature=t, r_cut=2.5,
+                       cutoff_mode="site", coulomb="none", p_translate=0.5,
+                       dr_max=0.5, dphi_max=1.0, use_lrc=False)
+    g = MolGCMC(triatomic_system(48), params, activity=z, p_exchange=0.4)
+    st = g.init(jax.random.PRNGKey(1), box=box, n_init=10, n_chains=128)
+    st, _ = g.run_block(st, 4000)
+    n_means = []
+    for _ in range(5):
+        st, stats = g.run_block(st, 1000, drift_tol=1e-10)
+        n_means.append(stats["n_mean"])
+        assert stats["full_frac"] == 0.0
+    n_mean = float(np.mean(n_means))
+    rho = n_mean / box**3
+    bmu_gcmc = np.log(z / rho)
+
+    from metropolismontecarlo_tpu.io.configs import cubic_lattice
+    from metropolismontecarlo_tpu.mc.driver import MonteCarlo
+
+    n = int(round(n_mean))
+    nvt = RunParams(strict_min_image=False, temperature=t, r_cut=2.5,
+                    cutoff_mode="site", coulomb="none", p_translate=0.5,
+                    dr_max=0.5, dphi_max=1.0, use_lrc=False)
+    mc = MonteCarlo(triatomic_system(n), nvt, dtype=jnp.float64,
+                    recompute_chunk=16)
+    state = mc.init_state(jax.random.PRNGKey(2), cubic_lattice(n, box),
+                          box=box, n_chains=64)
+    state = mc.run_steps(state, 250, False)
+    bsum, cnt = 0.0, 0
+    for i in range(5):
+        state = mc.run_steps(state, 50, False)
+        w = mc.widom(state, jax.random.PRNGKey(100 + i), n_insertions=256)
+        bsum += float(jnp.mean(w["boltzmann_mean"]))
+        cnt += 1
+    bmu_widom = -np.log(bsum / cnt)
+    # rounding <N> to an integer shifts rho by ~2%, worth ~0.03 in b*mu
+    assert bmu_gcmc == pytest.approx(bmu_widom, abs=0.15), \
+        (bmu_gcmc, bmu_widom, n_mean)
+
+
+def test_gcmc_mol_spce_ewald_drift_through_exchanges():
+    """SPC/E water with full Ewald: the carried energy AND the carried
+    structure factors must match a dense recompute after thousands of
+    mixed displacement/rotation/insertion/deletion steps — the framework
+    drift invariant extended to exchange moves."""
+    z = 2.5e-3
+    params = _water_params()
+    g = MolGCMC(spce_system(27), params, activity=z, p_exchange=0.5)
+    st = g.init(jax.random.PRNGKey(3), box=20.0, n_init=14, n_chains=16)
+    ins = dels = 0.0
+    for _ in range(2):
+        st, stats = g.run_block(st, 600, drift_tol=1e-9)
+        assert stats["sfac_err_max"] < 1e-8, stats
+        ins += stats["acc_insert"]
+        dels += stats["acc_delete"]
+    # the invariant only bites if exchanges actually happen
+    assert ins > 0.0 and dels > 0.0, (ins, dels)
+    assert 2.0 < stats["n_mean"] < 27.0, stats
+
+
+def test_gcmc_mol_validation_guards():
+    params = _water_params(use_lrc=True)
+    with pytest.raises(ValueError, match="use_lrc"):
+        MolGCMC(spce_system(8), params, activity=1e-4)
+    with pytest.raises(ValueError, match="minimum-image"):
+        g = MolGCMC(spce_system(8), _water_params(), activity=1e-4)
+        g.init(jax.random.PRNGKey(0), box=12.0, n_init=4, n_chains=2)

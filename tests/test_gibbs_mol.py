@@ -1,0 +1,92 @@
+"""Molecular Gibbs ensemble: binomial partitioning, density equality,
+chemical-potential equality for an interacting triatomic, and the Ewald
+drift invariant through transfers and volume exchanges."""
+
+import jax
+import numpy as np
+import pytest
+
+from metropolismontecarlo_tpu.mc.gibbs_mol import MolGibbsEnsemble
+from metropolismontecarlo_tpu.models.polyatomic import triatomic_system
+from metropolismontecarlo_tpu.models.system import RunParams
+from metropolismontecarlo_tpu.models.water import spce_system
+
+
+def test_gibbs_mol_ideal_binomial():
+    """Ideal rigid rotor, volume moves off, V1 = V2: each molecule is in
+    box 1 with probability 1/2, so N1 ~ Binomial(N, 1/2) — mean and
+    variance closed forms; total N strictly conserved."""
+    n_tot = 40
+    params = RunParams(strict_min_image=False, temperature=1.0, r_cut=2.0,
+                       cutoff_mode="site", coulomb="none", p_translate=0.5,
+                       p_volume=0.0, dr_max=1.0, dphi_max=1.0,
+                       use_lrc=False)
+    g = MolGibbsEnsemble(triatomic_system(64, eps=0.0), params,
+                         p_transfer=0.6)
+    st = g.init(jax.random.PRNGKey(0), boxes=(8.0, 8.0),
+                n_init=(20, 20), n_chains=192)
+    st, _ = g.run_block(st, 1500)
+    n1 = []
+    for _ in range(6):
+        st, stats = g.run_block(st, 400, drift_tol=1e-10)
+        n1.append(np.asarray(st.active[:, 0].sum(axis=1), np.float64))
+    n1 = np.concatenate(n1)
+    assert n1.mean() == pytest.approx(n_tot / 2, rel=0.03), n1.mean()
+    assert n1.var() == pytest.approx(n_tot / 4, rel=0.15), n1.var()
+    n_all = np.asarray(st.active.sum(axis=(1, 2)))
+    assert (n_all == n_tot).all()
+
+
+def test_gibbs_mol_triatomic_density_and_mu_equality():
+    """Interacting LJ triatomic at supercritical T with volume AND
+    transfer moves, started from deliberately unequal densities: the
+    boxes must equilibrate to equal densities and equal full chemical
+    potentials beta mu = ln rho - ln<exp(-beta dU_test)> (per-box
+    molecular Widom insertions with orientations)."""
+    params = RunParams(strict_min_image=False, temperature=3.0, r_cut=2.5,
+                       cutoff_mode="site", coulomb="none", p_translate=0.5,
+                       p_volume=0.05, dr_max=0.5, dphi_max=1.0,
+                       use_lrc=False)
+    g = MolGibbsEnsemble(triatomic_system(48), params, dv_max=0.05,
+                         p_transfer=0.4)
+    st = g.init(jax.random.PRNGKey(1), boxes=(6.5, 5.0),
+                n_init=(30, 14), n_chains=48)
+    st, _ = g.run_block(st, 4000)
+    r = np.zeros(2)
+    b = np.zeros(2)
+    blocks = 4
+    for i in range(blocks):
+        st, stats = g.run_block(st, 800, drift_tol=1e-10)
+        n = np.asarray(st.active.sum(axis=2), np.float64)
+        v = np.asarray(st.box, np.float64) ** 3
+        r += (n / v).mean(axis=0) / blocks
+        bw = np.asarray(g.widom_boltzmann(st, jax.random.PRNGKey(70 + i),
+                                          512), np.float64)
+        b += bw.mean(axis=0) / blocks
+    assert r[0] == pytest.approx(r[1], rel=0.12), r
+    bmu = np.log(r) - np.log(b)
+    assert bmu[0] == pytest.approx(bmu[1], abs=0.15), (bmu, r, b)
+
+
+def test_gibbs_mol_spce_ewald_drift():
+    """SPC/E water with full Ewald: carried per-box energies and
+    structure factors must survive transfers (with the box-dependent
+    self+intra constants) and volume exchanges (full recompute under
+    per-box kappa) — checked against dense recomputes."""
+    params = RunParams(temperature=600.0, r_cut=8.0, cutoff_mode="site",
+                       coulomb="ewald", use_lrc=False, p_translate=0.5,
+                       p_volume=0.02, dr_max=1.5, dphi_max=0.8)
+    g = MolGibbsEnsemble(spce_system(27), params, dv_max=0.02,
+                         p_transfer=0.5)
+    st = g.init(jax.random.PRNGKey(2), boxes=(20.0, 23.0),
+                n_init=(16, 8), n_chains=8)
+    xfers = vols = 0.0
+    for _ in range(2):
+        st, stats = g.run_block(st, 400, drift_tol=1e-9)
+        assert stats["sfac_err_max"] < 1e-8, stats
+        xfers += stats["acc_transfer"]
+        vols += stats["acc_vol"]
+    assert xfers > 0.0, stats
+    assert vols > 0.0, stats
+    n_all = np.asarray(st.active.sum(axis=(1, 2)))
+    assert (n_all == 24).all()
