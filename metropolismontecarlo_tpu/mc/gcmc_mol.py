@@ -192,21 +192,67 @@ def make_mol_slots(system, params, dtype=jnp.float64):
         coords = jnp.pad(coords, ((0, 0), (0, 0), (0, A_pad - A)))
         return com, quat, coords
 
+    def trial_quats(k_q, count):
+        """count uniform orientations (identity rows for point species)."""
+        if P > 1:
+            return random_quaternion(k_q, (count,), dtype)
+        return jnp.zeros((count, 4), dtype).at[:, 0].set(1.0)
+
+    def pose_batch(com_t, quats, coords, com, box, a_ok, excl, sfac_base,
+                   cf):
+        """Energies of a batch of orientations at one COM: (u_j, ovr_j,
+        s_j) with u_j = pair + reciprocal delta vs sfac_base — the
+        Rosenbluth trial evaluator (one batched (k, P, A_pad) pair grid
+        + (k, K) structure factors)."""
+        def one(q):
+            ra = ev.pose_atoms(com_t, q)
+            e_p, ovr = ev.pair_energy(com_t, ra, coords, com, box, a_ok,
+                                      excl)
+            if use_ewald:
+                s = ev.pose_sfac(ra, box)
+                e_p = e_p + ewald_ops.recip_energy_delta(sfac_base, s, cf)
+            else:
+                s = jnp.zeros((K, 2), dtype)
+            return e_p, ovr, s
+
+        return jax.vmap(one)(quats)
+
+    def rosenbluth(neg_beta_u):
+        """(count,) -beta*u (-inf for vetoed trials) -> (m, w) with
+        sum_j exp(-beta u_j) = exp(m) * sum(w), stably."""
+        m = jnp.max(neg_beta_u)
+        m_safe = jnp.where(jnp.isfinite(m), m, jnp.zeros((), dtype))
+        w = jnp.exp(neg_beta_u - m_safe)          # exp(-inf) = 0 exactly
+        return m_safe, w
+
     return SimpleNamespace(
         ev=ev, P=P, cap=cap, A=A, A_pad=A_pad, K=K, kv=kv, kw=kw,
         use_ewald=use_ewald, q_t2=q_t2, atom_ok_of=atom_ok_of,
         write_pose=write_pose, exchange_const=exchange_const,
-        full_one=full_one, pose_lattice_init=pose_lattice_init)
+        full_one=full_one, pose_lattice_init=pose_lattice_init,
+        trial_quats=trial_quats, pose_batch=pose_batch,
+        rosenbluth=rosenbluth)
 
 
 def make_gcmc_mol(system, params, activity, p_exchange=0.3,
-                  dtype=jnp.float64, chunk=8):
+                  dtype=jnp.float64, chunk=8, n_orient=1):
     """Build the molecular-muVT step/energy functions.
 
     system: a uniform single-species System whose n_mol IS the slot
     capacity (e.g. models/water.spce_system(64)).  Returns
     (init, run_steps, full_energy) with the same shapes as mc/gcmc.py;
     full_energy(state) -> (energy (C,), sfac (C, K, 2)).
+
+    n_orient > 1 enables ORIENTATIONAL-BIAS exchanges (Rosenbluth
+    k-trial sampling, Frenkel & Smit ch. 13.2): insertions draw k
+    uniform orientations at the trial position, select one with
+    probability exp(-beta u_j)/W, and accept with the W/k-corrected
+    rule; deletions complete the reverse ensemble with k-1 fresh
+    orientations at the molecule's COM.  Exact — n_orient only changes
+    acceptance rates (large gains for strongly anisotropic molecules in
+    dense phases), never the sampled distribution; n_orient = 1 is the
+    unbiased algorithm.  TPU-native: the k trials are ONE batched
+    (k, P, A_pad) pair-grid + (k, K) structure-factor evaluation.
     """
     ms = make_mol_slots(system, params, dtype)
     ev, P, cap = ms.ev, ms.P, ms.cap
@@ -218,14 +264,21 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
     beta = jnp.asarray(1.0 / params.temperature, dtype)
     z = jnp.asarray(activity, dtype)
     px = float(p_exchange)
+    n_or = int(n_orient)
+    if n_or < 1:
+        raise ValueError("n_orient must be >= 1")
     # within non-exchange attempts, split params.p_translate : rest
     p_disp = (1.0 - px) * float(params.p_translate)
     p_rot = (1.0 - px) * (1.0 - float(params.p_translate))
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+    trial_quats, pose_batch = ms.trial_quats, ms.pose_batch
+    rosenbluth = ms.rosenbluth
 
     def _one_step(carry, _):
         com, quat, coords, active, box, sfac, e, key, acc, att = carry
         key, k = jax.random.split(key)
-        k_move, k_sel, k_pos, k_rot, k_insq, k_acc = jax.random.split(k, 6)
+        (k_move, k_sel, k_pos, k_rot, k_insq, k_delq, k_pick,
+         k_acc) = jax.random.split(k, 8)
         n = jnp.sum(active.astype(jnp.int32))
         nf = n.astype(dtype)
         u_move = jax.random.uniform(k_move, dtype=dtype)
@@ -256,42 +309,74 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
         e_new, ovr_new = ev.pair_energy(com_new, ra_new, coords, com, box,
                                         a_ok, idx)
 
-        # --- insertion pose (uniform position + uniform orientation)
-        com_ins = jax.random.uniform(k_pos, (3,), dtype) * box
-        quat_ins = random_quaternion(k_insq, (), dtype) if P > 1 else \
-            jnp.zeros((4,), dtype).at[0].set(1.0)
-        ra_ins = ev.pose_atoms(com_ins, quat_ins)
-        e_ins, ovr_ins = ev.pair_energy(com_ins, ra_ins, coords, com, box,
-                                        a_ok, -1)
-        slot = jnp.argmax(~active)
-        full = n >= cap
-
-        # --- reciprocal-space deltas (carried structure factors)
+        # --- reciprocal prep for the move part -------------------------
         if use_ewald:
             kappa = jnp.asarray(params.kappa_L, dtype) / box
             cf = ewald_ops.cfac_coeffs(kv, kw, kappa, box, dtype)
             s_old = ev.pose_sfac(ra_old, box)
             s_new = ev.pose_sfac(ra_new, box)
-            s_ins = ev.pose_sfac(ra_ins, box)
             d_move = ewald_ops.recip_energy_delta(sfac, s_new - s_old, cf)
-            d_ins = ewald_ops.recip_energy_delta(sfac, s_ins, cf)
-            d_del = ewald_ops.recip_energy_delta(sfac, -s_old, cf)
         else:
-            s_old = s_new = s_ins = jnp.zeros((K, 2), dtype)
-            d_move = d_ins = d_del = jnp.zeros((), dtype)
-
+            cf = None
+            s_old = s_new = jnp.zeros((K, 2), dtype)
+            d_move = jnp.zeros((), dtype)
         du_move = e_new - e_old + d_move
-        du_ins = e_ins + d_ins + exchange_const(box, n, +1.0)
-        du_del = -e_old + d_del + exchange_const(box, n, -1.0)
 
+        # --- insertion: k trial orientations at one uniform position ---
+        # (Rosenbluth orientational bias; n_or = 1 is the unbiased rule)
+        com_ins = jax.random.uniform(k_pos, (3,), dtype) * box
+        quats_i = trial_quats(k_insq, n_or)
+        u_i, ovr_i, s_i = pose_batch(com_ins, quats_i, coords, com, box,
+                                     a_ok, -1, sfac, cf)
+        slot = jnp.argmax(~active)
+        full = n >= cap
+        m_i, w_i = rosenbluth(jnp.where(ovr_i, neg_inf, -beta * u_i))
+        w_sum_i = jnp.sum(w_i)
+        u_pick = jax.random.uniform(k_pick, dtype=dtype)
+        j_sel = jnp.argmax(jnp.cumsum(w_i) > u_pick * w_sum_i)
+        quat_ins = quats_i[j_sel]
+        ra_ins = ev.pose_atoms(com_ins, quat_ins)
+        s_ins = s_i[j_sel]
+        ec_ins = exchange_const(box, n, +1.0)
+        du_ins = u_i[j_sel] + ec_ins
+
+        # --- deletion: existing orientation + k-1 fresh trials ----------
+        # trial energies are insertion energies into the system WITHOUT
+        # molecule idx (pair: excl=idx; recip: vs sfac - s_old)
+        sfac_wo = sfac - s_old if use_ewald else sfac
+        if use_ewald:
+            u_exist = e_old + ewald_ops.recip_energy_delta(sfac_wo, s_old,
+                                                           cf)
+        else:
+            u_exist = e_old
+        if n_or > 1:
+            quats_d = trial_quats(k_delq, n_or - 1)
+            u_d, ovr_d, _ = pose_batch(com_i, quats_d, coords, com, box,
+                                       a_ok, idx, sfac_wo, cf)
+            neg_d = jnp.concatenate([(-beta * u_exist)[None],
+                                     jnp.where(ovr_d, neg_inf,
+                                               -beta * u_d)])
+        else:
+            neg_d = (-beta * u_exist)[None]
+        m_d, w_d = rosenbluth(neg_d)
+        w_sum_d = jnp.sum(w_d)
+        ec_del = exchange_const(box, n, -1.0)
+        du_del = -u_exist + ec_del
+
+        # --- acceptance (log space; exact for n_or = 1) -----------------
         vol = box**3
         u = jax.random.uniform(k_acc, dtype=dtype)
+        ln_u = jnp.log(jnp.maximum(u, jnp.asarray(1e-300, dtype)))
         ok_m = (mt <= 1) & (n > 0) & ~ovr_new \
             & (u < jnp.exp(-beta * du_move))
-        ok_i = (mt == 2) & ~full & ~ovr_ins \
-            & (u < z * vol / (nf + 1.0) * jnp.exp(-beta * du_ins))
-        ok_d = (mt == 3) & (n > 0) \
-            & (u < nf / (z * vol) * jnp.exp(-beta * du_del))
+        ln_acc_i = jnp.log(z * vol / (nf + 1.0)) + m_i \
+            + jnp.log(jnp.maximum(w_sum_i, 1e-300)) - np.log(n_or) \
+            - beta * ec_ins
+        ok_i = (mt == 2) & ~full & (w_sum_i > 0.0) & (ln_u < ln_acc_i)
+        ln_acc_d = jnp.log(jnp.maximum(nf, 1.0) / (z * vol)) \
+            + np.log(n_or) - m_d \
+            - jnp.log(jnp.maximum(w_sum_d, 1e-300)) - beta * ec_del
+        ok_d = (mt == 3) & (n > 0) & (ln_u < ln_acc_d)
 
         # --- state updates (where-selects only)
         com = com.at[idx].set(jnp.where(ok_m, com_new, com[idx]))
@@ -369,11 +454,11 @@ class MolGCMC:
     """
 
     def __init__(self, system, params, activity, p_exchange=0.3,
-                 dtype=jnp.float64, chunk=8):
+                 dtype=jnp.float64, chunk=8, n_orient=1):
         self.params = params
         self.capacity = system.n_mol
         self._init, self.run_steps, self.full_energy = make_gcmc_mol(
-            system, params, activity, p_exchange, dtype, chunk)
+            system, params, activity, p_exchange, dtype, chunk, n_orient)
 
     def init(self, key, box, n_init, n_chains):
         return self._init(key, box, n_init, n_chains)

@@ -59,12 +59,17 @@ class MolGibbsState(NamedTuple):
 
 
 def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
-                   dtype=jnp.float64):
+                   dtype=jnp.float64, n_orient=1):
     """Build the molecular Gibbs-ensemble step/energy functions.
 
     system: uniform single-species System; its n_mol is the PER-BOX slot
     capacity.  dv_max: volume-transfer half-width as a fraction of the
     total volume.  Returns (init, run_steps, full_energy, widom_boltzmann).
+
+    n_orient > 1 enables orientational-bias transfers (Rosenbluth
+    k-trial insertion in the destination box, existing orientation +
+    k-1 trials at the molecule's COM in the source box; see
+    mc/gcmc_mol.py).  Exact for every k; k = 1 is the unbiased rule.
     """
     ms = make_mol_slots(system, params, dtype)
     ev, P, cap, K = ms.ev, ms.P, ms.cap, ms.K
@@ -73,6 +78,10 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
     beta = jnp.asarray(1.0 / params.temperature, dtype)
     p_v = float(params.p_volume)
     px = float(p_transfer)
+    n_or = int(n_orient)
+    if n_or < 1:
+        raise ValueError("n_orient must be >= 1")
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
     # conditional split of the cheap-step budget (volume rides its own
     # deterministic cycle): transfer px, rest disp/rot by p_translate
     p_disp = (1.0 - px) * float(params.p_translate)
@@ -95,8 +104,8 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
     def _cheap_step(carry, _):
         com, quat, coords, active, box, sfac, e, key, acc, att = carry
         key, k = jax.random.split(key)
-        (k_move, k_box, k_sel, k_pos, k_rot, k_insq,
-         k_acc) = jax.random.split(k, 7)
+        (k_move, k_box, k_sel, k_pos, k_rot, k_insq, k_delq, k_pick,
+         k_acc) = jax.random.split(k, 9)
         n = jnp.sum(active.astype(jnp.int32), axis=1)          # (2,)
         nf = n.astype(dtype)
         v = box**3
@@ -137,24 +146,65 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
             & (u < jnp.exp(-beta * du_move))
 
         # --- transfer s -> d (s = b, same random bit) -------------------
+        # Rosenbluth orientational bias: n_or trials in the destination,
+        # existing orientation + n_or-1 trials in the source (n_or = 1
+        # reduces to the unbiased rule); see mc/gcmc_mol.py for the
+        # acceptance algebra (the ln k terms cancel between the boxes)
         s_box, d_box = b, 1 - b
+        if use_ewald:
+            kap = jnp.asarray(params.kappa_L, dtype) / box
+            cf_s = ewald_ops.cfac_coeffs(ms.kv, ms.kw, kap[s_box],
+                                         box[s_box], dtype)
+            cf_d = ewald_ops.cfac_coeffs(ms.kv, ms.kw, kap[d_box],
+                                         box[d_box], dtype)
+        else:
+            cf_s = cf_d = None
         pos_d = jax.random.uniform(k_pos, (3,), dtype) * box[d_box]
-        quat_d = random_quaternion(k_insq, (), dtype) if P > 1 else \
-            jnp.zeros((4,), dtype).at[0].set(1.0)
+        quats_in = ms.trial_quats(k_insq, n_or)
+        u_in_j, ovr_in_j, s_in_j = ms.pose_batch(
+            pos_d, quats_in, coords[d_box], com[d_box], box[d_box],
+            ms.atom_ok_of(active[d_box]), -1, sfac[d_box], cf_d)
+        m_n, w_n = ms.rosenbluth(jnp.where(ovr_in_j, neg_inf,
+                                           -beta * u_in_j))
+        w_sum_n = jnp.sum(w_n)
+        u_pick = jax.random.uniform(k_pick, dtype=dtype)
+        j_sel = jnp.argmax(jnp.cumsum(w_n) > u_pick * w_sum_n)
+        quat_d = quats_in[j_sel]
         ra_in = ev.pose_atoms(pos_d, quat_d)
-        e_in, ovr_in = ev.pair_energy(pos_d, ra_in, coords[d_box],
-                                      com[d_box], box[d_box],
-                                      ms.atom_ok_of(active[d_box]), -1)
-        s_in = pose_sfac_or_zero(ra_in, box[d_box])
+        s_in = s_in_j[j_sel]
         slot_d = jnp.argmax(~active[d_box])
-        du_s = -e_old + recip_delta(sfac[s_box], -s_old, box[s_box]) \
-            + ms.exchange_const(box[s_box], n[s_box], -1.0)
-        du_d = e_in + recip_delta(sfac[d_box], s_in, box[d_box]) \
-            + ms.exchange_const(box[d_box], n[d_box], +1.0)
-        a_x = nf[s_box] * v[d_box] / ((nf[d_box] + 1.0) * v[s_box]) \
-            * jnp.exp(-beta * (du_s + du_d))
+
+        sfac_wo = sfac[s_box] - s_old if use_ewald else sfac[s_box]
+        if use_ewald:
+            u_exist = e_old + ewald_ops.recip_energy_delta(sfac_wo, s_old,
+                                                           cf_s)
+        else:
+            u_exist = e_old
+        if n_or > 1:
+            quats_del = ms.trial_quats(k_delq, n_or - 1)
+            u_o_j, ovr_o_j, _ = ms.pose_batch(
+                com_i, quats_del, coords[s_box], com[s_box], box[s_box],
+                a_ok_b, idx, sfac_wo, cf_s)
+            neg_o = jnp.concatenate([(-beta * u_exist)[None],
+                                     jnp.where(ovr_o_j, neg_inf,
+                                               -beta * u_o_j)])
+        else:
+            neg_o = (-beta * u_exist)[None]
+        m_o, w_o = ms.rosenbluth(neg_o)
+        w_sum_o = jnp.sum(w_o)
+
+        ec_d = ms.exchange_const(box[d_box], n[d_box], +1.0)
+        ec_s = ms.exchange_const(box[s_box], n[s_box], -1.0)
+        du_d = u_in_j[j_sel] + ec_d
+        du_s = -u_exist + ec_s
+        ln_u = jnp.log(jnp.maximum(u, jnp.asarray(1e-300, dtype)))
+        ln_acc_x = jnp.log(jnp.maximum(nf[s_box], 1.0) * v[d_box]
+                           / ((nf[d_box] + 1.0) * v[s_box])) \
+            + m_n + jnp.log(jnp.maximum(w_sum_n, 1e-300)) \
+            - m_o - jnp.log(jnp.maximum(w_sum_o, 1e-300)) \
+            - beta * (ec_d + ec_s)
         ok_x = (mt == 3) & (n[s_box] > 0) & (n[d_box] < cap) \
-            & ~ovr_in & (u < a_x)
+            & (w_sum_n > 0.0) & (ln_u < ln_acc_x)
 
         # --- apply (mutually exclusive branches) ------------------------
         com = com.at[b, idx].set(jnp.where(ok_m, com_new, com[b, idx]))
@@ -336,12 +386,13 @@ class MolGibbsEnsemble:
     """
 
     def __init__(self, system, params, dv_max=0.05, p_transfer=0.3,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, n_orient=1):
         self.params = params
         self.capacity = system.n_mol
         (self._init, self.run_steps, self.full_energy,
          self.widom_boltzmann) = make_gibbs_mol(system, params, dv_max,
-                                                p_transfer, dtype)
+                                                p_transfer, dtype,
+                                                n_orient)
 
     def init(self, key, boxes, n_init, n_chains):
         return self._init(key, boxes, n_init, n_chains)

@@ -73,7 +73,7 @@ def _run_gcmc(cfg, system, params, dtype, args):
                 "slots ARE the system's molecules")
         g = MolGCMC(system, params, activity=float(ens["activity"]),
                     p_exchange=float(ens.get("p_exchange", 0.3)),
-                    dtype=dtype)
+                    dtype=dtype, n_orient=int(ens.get("n_orient", 1)))
     else:
         from metropolismontecarlo_tpu.mc.gcmc import GCMC
         g = GCMC(system, params, activity=float(ens["activity"]),
@@ -139,7 +139,8 @@ def _run_gibbs(cfg, system, params, dtype, args):
         g = MolGibbsEnsemble(system, params,
                              dv_max=float(ens.get("dv_max", 0.03)),
                              p_transfer=float(ens.get("p_transfer", 0.3)),
-                             dtype=dtype)
+                             dtype=dtype,
+                             n_orient=int(ens.get("n_orient", 1)))
     else:
         from metropolismontecarlo_tpu.mc.gibbs import GibbsEnsemble
         g = GibbsEnsemble(system, params, capacity=int(ens["capacity"]),

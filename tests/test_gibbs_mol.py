@@ -52,17 +52,20 @@ def test_gibbs_mol_triatomic_density_and_mu_equality():
     st = g.init(jax.random.PRNGKey(1), boxes=(6.5, 5.0),
                 n_init=(30, 14), n_chains=48)
     st, _ = g.run_block(st, 4000)
-    r = np.zeros(2)
+    nsum = np.zeros(2)
+    vsum = np.zeros(2)
     b = np.zeros(2)
     blocks = 4
     for i in range(blocks):
         st, stats = g.run_block(st, 800, drift_tol=1e-10)
-        n = np.asarray(st.active.sum(axis=2), np.float64)
-        v = np.asarray(st.box, np.float64) ** 3
-        r += (n / v).mean(axis=0) / blocks
+        nsum += np.asarray(st.active.sum(axis=2), np.float64).mean(axis=0)
+        vsum += (np.asarray(st.box, np.float64) ** 3).mean(axis=0)
         bw = np.asarray(g.widom_boltzmann(st, jax.random.PRNGKey(70 + i),
                                           512), np.float64)
         b += bw.mean(axis=0) / blocks
+    # ratio-of-means <N>/<V>: the mean-of-ratios <N/V> estimator carries
+    # a Jensen bias from the small box's large volume fluctuations
+    r = nsum / vsum
     assert r[0] == pytest.approx(r[1], rel=0.12), r
     bmu = np.log(r) - np.log(b)
     assert bmu[0] == pytest.approx(bmu[1], abs=0.15), (bmu, r, b)
@@ -90,3 +93,52 @@ def test_gibbs_mol_spce_ewald_drift():
     assert vols > 0.0, stats
     n_all = np.asarray(st.active.sum(axis=(1, 2)))
     assert (n_all == 24).all()
+
+
+def test_gibbs_mol_orientational_bias_same_ensemble():
+    """Orientational-bias transfers (n_orient = 4) must reach the same
+    density fixed point as the unbiased sampler, and keep the chemical-
+    potential equality — exactness of the Rosenbluth transfer rule."""
+    params = RunParams(strict_min_image=False, temperature=3.0, r_cut=2.5,
+                       cutoff_mode="site", coulomb="none", p_translate=0.5,
+                       p_volume=0.05, dr_max=0.5, dphi_max=1.0,
+                       use_lrc=False)
+    g = MolGibbsEnsemble(triatomic_system(48), params, dv_max=0.05,
+                         p_transfer=0.4, n_orient=4)
+    st = g.init(jax.random.PRNGKey(5), boxes=(6.5, 5.0),
+                n_init=(30, 14), n_chains=48)
+    st, _ = g.run_block(st, 4000)
+    nsum = np.zeros(2)
+    vsum = np.zeros(2)
+    b = np.zeros(2)
+    blocks = 3
+    for i in range(blocks):
+        st, stats = g.run_block(st, 800, drift_tol=1e-10)
+        nsum += np.asarray(st.active.sum(axis=2), np.float64).mean(axis=0)
+        vsum += (np.asarray(st.box, np.float64) ** 3).mean(axis=0)
+        bw = np.asarray(g.widom_boltzmann(st, jax.random.PRNGKey(90 + i),
+                                          512), np.float64)
+        b += bw.mean(axis=0) / blocks
+    r = nsum / vsum           # ratio-of-means (see the unbiased test)
+    assert r[0] == pytest.approx(r[1], rel=0.12), r
+    bmu = np.log(r) - np.log(b)
+    assert bmu[0] == pytest.approx(bmu[1], abs=0.15), (bmu, r, b)
+    assert stats["acc_transfer"] > 0.0, stats
+
+
+def test_gibbs_mol_orientational_bias_ewald_drift():
+    """Biased transfers keep the carried per-box energies and structure
+    factors exact."""
+    params = RunParams(temperature=600.0, r_cut=8.0, cutoff_mode="site",
+                       coulomb="ewald", use_lrc=False, p_translate=0.5,
+                       p_volume=0.02, dr_max=1.5, dphi_max=0.8)
+    g = MolGibbsEnsemble(spce_system(27), params, dv_max=0.02,
+                         p_transfer=0.5, n_orient=4)
+    st = g.init(jax.random.PRNGKey(6), boxes=(20.0, 23.0),
+                n_init=(16, 8), n_chains=8)
+    xfers = 0.0
+    for _ in range(2):
+        st, stats = g.run_block(st, 400, drift_tol=1e-9)
+        assert stats["sfac_err_max"] < 1e-8, stats
+        xfers += stats["acc_transfer"]
+    assert xfers > 0.0, stats
