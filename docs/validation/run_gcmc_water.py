@@ -1,4 +1,4 @@
-"""Molecular-GCMC validation on real TPU: SPC/E water vapor at 500 K.
+"""Molecular-GCMC validation on real TPU: supercritical SPC/E water.
 
 Two INDEPENDENT routes to the excess chemical potential must meet:
 
@@ -37,10 +37,16 @@ from metropolismontecarlo_tpu.mc.gcmc_mol import MolGCMC
 from metropolismontecarlo_tpu.models.system import RunParams
 from metropolismontecarlo_tpu.models.water import spce_system
 
-T = 500.0
+# WELL-supercritical state point (SPC/E T_c ~ 640 K).  Measured on
+# TPU: at 500 K any z above the tiny saturation activity ~2e-4 A^-3
+# condenses and fills every slot, and even 700 K sits on a near-
+# critical flat isotherm (z = 2e-3 ran away from N = 24 to 88+).  At
+# 1000 K the isotherm is steep and near-ideal, so the activity pins a
+# moderate density far from the capacity.
+T = 1000.0
 BOX = 20.0
 Z = 2.5e-3          # activity, A^-3
-CAP = 64
+CAP = 96
 N_CHAINS = 256
 N_ORIENT = 4
 EQUIL_BLOCKS, PROD_BLOCKS, STEPS = 8, 8, 1500
@@ -48,7 +54,7 @@ EQUIL_BLOCKS, PROD_BLOCKS, STEPS = 8, 8, 1500
 
 def main():
     dev = jax.devices()[0]
-    out = [f"molecular GCMC vs NVT+Widom, SPC/E vapor, {dev.device_kind}",
+    out = [f"molecular GCMC vs NVT+Widom, supercritical SPC/E, {dev.device_kind}",
            f"T = {T} K, box = {BOX} A, z = {Z} A^-3, capacity {CAP}, "
            f"{N_CHAINS} chains, n_orient = {N_ORIENT}"]
     params = RunParams(temperature=T, r_cut=10.0, cutoff_mode="site",
@@ -68,6 +74,7 @@ def main():
     for b in range(PROD_BLOCKS):
         st, stats = g.run_block(st, STEPS)
         assert stats["drift_max_rel"] < 1e-4, stats
+        assert stats["full_frac"] < 0.02, ("capacity saturated — not a vapor/fluid state point", stats)
         n_mean += stats["n_mean"] / PROD_BLOCKS
         print(f"prod {b}: <N> {stats['n_mean']:.2f} "
               f"full {stats['full_frac']:.3f} "

@@ -230,6 +230,41 @@ def make_gcmc(system, params, activity, capacity, dtype=jnp.float64):
     return init, run_steps, full_energy
 
 
+def n_counts(state, capacity):
+    """Pooled N-histogram over chains: (capacity+1,) counts of the
+    current per-chain molecule numbers.  Accumulate across blocks to
+    build P(N) for `reweight_activity`.  Works for both the monatomic
+    (GCMCState) and molecular (MolGCMCState) apps."""
+    n = np.asarray(jnp.sum(state.active, axis=-1), np.int64).ravel()
+    return np.bincount(n, minlength=int(capacity) + 1)
+
+
+def reweight_activity(hist, z0, z_new):
+    """Exact muVT histogram reweighting in the activity.
+
+    P_z(N) ~ z^N Q(N, V, T), so a histogram sampled at z0 predicts any
+    nearby activity without new simulation:
+
+        P_z'(N) ~ P_z0(N) (z'/z0)^N
+
+    (exact for activity changes at fixed T, V — temperature reweighting
+    would need the joint (N, U) histogram).  Returns a dict with
+    n_mean, n_var, and ess — the effective-sample fraction
+    (sum w)^2 / (sum w^2 * total); small ess means z_new is outside the
+    sampled N range and the estimate is extrapolation, not data.
+    """
+    hist = np.asarray(hist, np.float64)
+    n = np.arange(len(hist))
+    logw = n * np.log(z_new / z0)
+    logw -= logw[hist > 0].max()
+    w = hist * np.exp(logw)
+    tot = w.sum()
+    n_mean = float((n * w).sum() / tot)
+    n_var = float((n * n * w).sum() / tot - n_mean**2)
+    ess = float(tot**2 / ((hist * np.exp(logw) ** 2).sum() * hist.sum()))
+    return {"n_mean": n_mean, "n_var": n_var, "ess": ess}
+
+
 class GCMC:
     """Driver wrapper: blocks with the drift invariant and N statistics.
 

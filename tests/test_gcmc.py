@@ -90,3 +90,52 @@ def test_gcmc_capacity_guard_and_validation():
     g = GCMC(lj_system(1), params, activity=0.1, capacity=8)
     with pytest.raises(ValueError, match="capacity"):
         g.init(jax.random.PRNGKey(0), box=5.0, n_init=9, n_chains=2)
+
+
+def test_gcmc_reweight_poisson_exact():
+    """Activity reweighting is EXACT on the ideal gas: a Poisson(z0 V)
+    histogram reweighted to z1 must be Poisson(z1 V) in closed form
+    (P(N) ~ z^N / N!), independent of any sampling."""
+    from metropolismontecarlo_tpu.mc.gcmc import reweight_activity
+
+    z0, z1, vol, cap = 0.02, 0.035, 1000.0, 128
+    lam0 = z0 * vol
+    n = np.arange(cap + 1)
+    logpmf = n * np.log(lam0) - lam0 - np.cumsum(
+        np.concatenate([[0.0], np.log(np.maximum(n[1:], 1))]))
+    hist = np.exp(logpmf) * 1e12
+    out = reweight_activity(hist, z0, z1)
+    assert out["n_mean"] == pytest.approx(z1 * vol, rel=1e-6), out
+    assert out["n_var"] == pytest.approx(z1 * vol, rel=1e-6), out
+    assert out["ess"] > 0.0
+
+
+def test_gcmc_reweight_matches_direct_run():
+    """P(N) sampled at z0 and reweighted to z1 must predict the <N> of a
+    direct muVT run at z1 (interacting LJ, supercritical)."""
+    from metropolismontecarlo_tpu.mc.gcmc import n_counts, reweight_activity
+
+    box, t = 6.0, 2.0
+    z0, z1 = 0.25, 0.32
+    params = RunParams(strict_min_image=False, temperature=t, r_cut=2.5,
+                       cutoff_mode="site", coulomb="none", p_translate=0.5,
+                       dr_max=0.4, use_lrc=False)
+    g = GCMC(lj_system(1), params, activity=z0, capacity=128)
+    st = g.init(jax.random.PRNGKey(3), box=box, n_init=48, n_chains=128)
+    st, _ = g.run_block(st, 6000)
+    hist = np.zeros(129, np.int64)
+    for _ in range(6):
+        st, stats = g.run_block(st, 1200, drift_tol=1e-10)
+        hist += n_counts(st, 128)
+    out = reweight_activity(hist, z0, z1)
+    assert out["ess"] > 0.05, out
+
+    gd = GCMC(lj_system(1), params, activity=z1, capacity=128)
+    sd = gd.init(jax.random.PRNGKey(4), box=box, n_init=48, n_chains=128)
+    sd, _ = gd.run_block(sd, 6000)
+    direct = []
+    for _ in range(4):
+        sd, stats = gd.run_block(sd, 1200, drift_tol=1e-10)
+        direct.append(stats["n_mean"])
+    assert out["n_mean"] == pytest.approx(np.mean(direct), rel=0.04), \
+        (out, np.mean(direct))
