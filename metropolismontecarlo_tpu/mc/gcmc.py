@@ -254,6 +254,9 @@ def reweight_activity(hist, z0, z_new):
     sampled N range and the estimate is extrapolation, not data.
     """
     hist = np.asarray(hist, np.float64)
+    if hist.sum() <= 0.0:
+        raise ValueError("empty N-histogram — accumulate n_counts over "
+                         "at least one block before reweighting")
     n = np.arange(len(hist))
     logw = n * np.log(z_new / z0)
     logw -= logw[hist > 0].max()

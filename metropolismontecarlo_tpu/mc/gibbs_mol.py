@@ -39,10 +39,8 @@ import numpy as np
 
 from metropolismontecarlo_tpu.mc.gcmc_mol import make_mol_slots
 from metropolismontecarlo_tpu.ops import ewald as ewald_ops
-from metropolismontecarlo_tpu.ops.quaternions import (
-    random_quaternion,
-    random_rotate_quaternion,
-)
+from metropolismontecarlo_tpu.ops.quaternions import random_rotate_quaternion
+from metropolismontecarlo_tpu.utils.chunking import chunked_vmap
 
 
 class MolGibbsState(NamedTuple):
@@ -59,7 +57,7 @@ class MolGibbsState(NamedTuple):
 
 
 def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
-                   dtype=jnp.float64, n_orient=1):
+                   dtype=jnp.float64, n_orient=1, chunk=8):
     """Build the molecular Gibbs-ensemble step/energy functions.
 
     system: uniform single-species System; its n_mol is the PER-BOX slot
@@ -304,8 +302,10 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
         def both(com, quat, coords, active, box):
             return jax.vmap(ms.full_one)(com, quat, coords, active, box)
 
-        return jax.vmap(both)(state.com, state.quat, state.coords,
-                              state.active, state.box)
+        # chunked over chains like the muVT app: each chain holds TWO
+        # (cap, P, A_pad) pair grids during the dense recompute
+        return chunked_vmap(both, chunk, state.com, state.quat,
+                            state.coords, state.active, state.box)
 
     @partial(jax.jit, static_argnums=1)
     def run_steps(state, n_steps):
@@ -320,6 +320,12 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
         n_init = np.asarray(n_init, np.int64)
         if np.any(n_init > cap):
             raise ValueError("n_init exceeds capacity")
+        if params.strict_min_image and min(boxes) < wall:
+            raise ValueError(
+                f"box {min(boxes)} < 2*cutoff ({wall}) violates minimum-"
+                "image (set strict_min_image=False to sample the "
+                "truncated model); the volume move only walls PROPOSED "
+                "boxes, so an illegal start would go uncaught")
         k_chain, k1, k2 = jax.random.split(jnp.asarray(key), 3)
         keys = jax.random.split(k_chain, n_chains)
         per_box = [ms.pose_lattice_init(kk, float(b), n_chains)
@@ -351,9 +357,7 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
         def one(com, quat, coords, active, box, sfac, k):
             kp, kq = jax.random.split(k)
             pos = jax.random.uniform(kp, (n_insertions, 3), dtype) * box
-            quats = random_quaternion(kq, (n_insertions,), dtype) \
-                if P > 1 else jnp.zeros((n_insertions, 4), dtype) \
-                .at[..., 0].set(1.0)
+            quats = ms.trial_quats(kq, n_insertions)
             n = jnp.sum(active.astype(jnp.int32))
             a_ok = ms.atom_ok_of(active)
 
@@ -386,13 +390,13 @@ class MolGibbsEnsemble:
     """
 
     def __init__(self, system, params, dv_max=0.05, p_transfer=0.3,
-                 dtype=jnp.float64, n_orient=1):
+                 dtype=jnp.float64, n_orient=1, chunk=8):
         self.params = params
         self.capacity = system.n_mol
         (self._init, self.run_steps, self.full_energy,
          self.widom_boltzmann) = make_gibbs_mol(system, params, dv_max,
                                                 p_transfer, dtype,
-                                                n_orient)
+                                                n_orient, chunk)
 
     def init(self, key, boxes, n_init, n_chains):
         return self._init(key, boxes, n_init, n_chains)

@@ -76,6 +76,12 @@ def _run_gcmc(cfg, system, params, dtype, args):
                     dtype=dtype, n_orient=int(ens.get("n_orient", 1)))
     else:
         from metropolismontecarlo_tpu.mc.gcmc import GCMC
+        unsupported = {"p_exchange", "n_orient"} & set(ens)
+        if unsupported:
+            raise ValueError(
+                f"ensemble keys {sorted(unsupported)} apply only to "
+                "molecular (P > 1) GCMC; the monatomic app splits "
+                "moves by params.p_translate and needs no orientations")
         g = GCMC(system, params, activity=float(ens["activity"]),
                  capacity=int(ens["capacity"]), dtype=dtype)
     state = g.init(jax.random.PRNGKey(int(run_cfg.get("seed", 0))),
@@ -143,6 +149,12 @@ def _run_gibbs(cfg, system, params, dtype, args):
                              n_orient=int(ens.get("n_orient", 1)))
     else:
         from metropolismontecarlo_tpu.mc.gibbs import GibbsEnsemble
+        unsupported = {"p_transfer", "n_orient"} & set(ens)
+        if unsupported:
+            raise ValueError(
+                f"ensemble keys {sorted(unsupported)} apply only to "
+                "molecular (P > 1) Gibbs; the monatomic app splits "
+                "moves by params.p_translate and needs no orientations")
         g = GibbsEnsemble(system, params, capacity=int(ens["capacity"]),
                           dv_max=float(ens.get("dv_max", 0.03)),
                           dtype=dtype)

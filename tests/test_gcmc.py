@@ -139,3 +139,10 @@ def test_gcmc_reweight_matches_direct_run():
         direct.append(stats["n_mean"])
     assert out["n_mean"] == pytest.approx(np.mean(direct), rel=0.04), \
         (out, np.mean(direct))
+
+
+def test_gcmc_reweight_empty_histogram_raises():
+    from metropolismontecarlo_tpu.mc.gcmc import reweight_activity
+
+    with pytest.raises(ValueError, match="empty"):
+        reweight_activity(np.zeros(64), 0.1, 0.2)

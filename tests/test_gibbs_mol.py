@@ -142,3 +142,14 @@ def test_gibbs_mol_orientational_bias_ewald_drift():
         assert stats["sfac_err_max"] < 1e-8, stats
         xfers += stats["acc_transfer"]
     assert xfers > 0.0, stats
+
+
+def test_gibbs_mol_min_image_guard():
+    """An initial box below 2*cutoff must be rejected at init (the
+    volume move only walls PROPOSED boxes)."""
+    params = RunParams(temperature=600.0, r_cut=8.0, cutoff_mode="site",
+                       coulomb="ewald", use_lrc=False)
+    g = MolGibbsEnsemble(spce_system(8), params)
+    with pytest.raises(ValueError, match="minimum-image"):
+        g.init(jax.random.PRNGKey(0), boxes=(15.0, 23.0),
+               n_init=(4, 4), n_chains=2)
