@@ -78,6 +78,58 @@ def tip3p_system(n_mol):
                          TIP3P_Q_H, TIP3P_R_OH, TIP3P_THETA, "tip3p")
 
 
+# TIP4P/2005 (Abascal & Vega, J. Chem. Phys. 123, 234505 (2005)):
+# 4-site rigid water with the negative charge on a massless M site
+# displaced from O along the HOH bisector.  Beyond the reference (its
+# models are all 3-site), but trivially inside this engine: the data
+# model already carries arbitrary rigid bodies (11-site MEA), and a
+# zero-mass site simply carries zero weight in every COM/Kabsch
+# computation while its charge participates fully in the
+# electrostatics (pads are marked by mol_id, never by mass).
+TIP4P2005_SIGMA_OO = 3.1589
+TIP4P2005_EPS_OO = 93.2         # K (epsilon / kB)
+TIP4P2005_Q_H = 0.5564
+TIP4P2005_Q_M = -2.0 * TIP4P2005_Q_H
+TIP4P2005_R_OH = 0.9572
+TIP4P2005_THETA = 104.52
+TIP4P2005_R_OM = 0.1546
+
+
+def tip4p_body_frame(r_oh, theta_deg, r_om):
+    """Rigid 4-site template (O, H, H, M) with the MASS center at the
+    origin; M sits on the HOH bisector (+z side, toward the hydrogens)."""
+    th = np.deg2rad(theta_deg) / 2.0
+    o = np.array([0.0, 0.0, 0.0])
+    h1 = np.array([r_oh * np.sin(th), 0.0, r_oh * np.cos(th)])
+    h2 = np.array([-r_oh * np.sin(th), 0.0, r_oh * np.cos(th)])
+    mm = np.array([0.0, 0.0, r_om])
+    pts = np.stack([o, h1, h2, mm])
+    m = np.array([MASS_O, MASS_H, MASS_H, 0.0])
+    com = (pts * m[:, None]).sum(0) / m.sum()
+    return pts - com
+
+
+@functools.lru_cache(maxsize=None)
+def tip4p2005_system(n_mol):
+    body = np.broadcast_to(
+        tip4p_body_frame(TIP4P2005_R_OH, TIP4P2005_THETA, TIP4P2005_R_OM),
+        (n_mol, 4, 3)).copy()
+    masses = np.broadcast_to(np.array([MASS_O, MASS_H, MASS_H, 0.0]),
+                             (n_mol, 4)).copy()
+    charges = np.broadcast_to(
+        np.array([0.0, TIP4P2005_Q_H, TIP4P2005_Q_H, TIP4P2005_Q_M]),
+        (n_mol, 4)).copy()
+    type_ids = np.broadcast_to(np.array([0, 1, 1, 1], np.int32),
+                               (n_mol, 4)).copy()
+    eps_t = np.array([[TIP4P2005_EPS_OO, 0.0], [0.0, 0.0]])
+    sig_t = np.array([[TIP4P2005_SIGMA_OO, 1.0], [1.0, 1.0]])
+    return System(
+        n_mol=n_mol, atoms_per_mol=4, body=body, masses=masses,
+        charges=charges, type_ids=type_ids, eps_table=eps_t,
+        sig_table=sig_t, name="tip4p2005",
+    )
+
+
 def spce_from_nist(path):
     """Load a NIST SPC/E sample configuration as (system, coords, com, box).
 

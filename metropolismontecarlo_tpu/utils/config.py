@@ -68,6 +68,9 @@ def build_system(cfg, base_dir="."):
     if kind == "tip3p":
         from metropolismontecarlo_tpu.models.water import tip3p_system
         return tip3p_system(int(model["n_mol"]))
+    if kind == "tip4p2005":
+        from metropolismontecarlo_tpu.models.water import tip4p2005_system
+        return tip4p2005_system(int(model["n_mol"]))
     if kind == "lj":
         from metropolismontecarlo_tpu.models.monatomic import lj_system
         return lj_system(int(model["n_mol"]),
