@@ -114,7 +114,7 @@ def make_mol_slots(system, params, dtype=jnp.float64):
         kvecs = kweights = None
 
     ev = make_pose_eval(system, params, kvecs, kweights, dtype)
-    if use_ewald and abs(ev.q_t_tot) > 1e-9:
+    if use_ewald and abs(ev.q_t_tot) > 1e-5:
         raise ValueError("ewald GCMC requires charge-neutral molecules "
                          f"(molecule net charge {ev.q_t_tot})")
     P = ev.P

@@ -64,7 +64,12 @@ def _run_gcmc(cfg, system, params, dtype, args):
     Optional `"p_exchange"` sets the exchange-attempt probability."""
     run_cfg = cfg.get("run", {})
     ens = run_cfg["ensemble"]
-    if system.atoms_per_mol > 1:
+    if ens.get("kind") == "osmotic":
+        from metropolismontecarlo_tpu.mc.gcmc_osmotic import OsmoticGCMC
+        g = OsmoticGCMC(system, params, activity=float(ens["activity"]),
+                        p_exchange=float(ens.get("p_exchange", 0.3)),
+                        dtype=dtype, n_orient=int(ens.get("n_orient", 1)))
+    elif system.atoms_per_mol > 1:
         from metropolismontecarlo_tpu.mc.gcmc_mol import MolGCMC
         if int(ens["capacity"]) != system.n_mol:
             raise ValueError(
@@ -224,7 +229,7 @@ def main(argv=None):
                     recompute_chunk=rc if rc in ("auto", None) else int(rc))
 
     ens = run_cfg.get("ensemble")
-    if ens and ens.get("kind") == "gcmc":
+    if ens and ens.get("kind") in ("gcmc", "osmotic"):
         return _run_gcmc(cfg, system, params, dtype, args)
     if ens and ens.get("kind") == "gibbs":
         return _run_gibbs(cfg, system, params, dtype, args)
