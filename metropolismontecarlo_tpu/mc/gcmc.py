@@ -257,9 +257,15 @@ def reweight_activity(hist, z0, z_new):
     if hist.sum() <= 0.0:
         raise ValueError("empty N-histogram — accumulate n_counts over "
                          "at least one block before reweighting")
+    if z0 <= 0.0 or z_new <= 0.0:
+        raise ValueError("activities must be positive")
     n = np.arange(len(hist))
     logw = n * np.log(z_new / z0)
     logw -= logw[hist > 0].max()
+    # mask empty bins BEFORE exponentiating: for a far-extrapolated
+    # z_new their un-normalized logw can overflow exp and turn
+    # 0 * inf into NaN
+    logw = np.where(hist > 0, logw, -np.inf)
     w = hist * np.exp(logw)
     tot = w.sum()
     n_mean = float((n * w).sum() / tot)

@@ -77,6 +77,27 @@ class MolGCMCState(NamedTuple):
     att: jnp.ndarray      # (C, 4) attempted
 
 
+def rosenbluth(neg_beta_u):
+    """(count,) -beta*u (-inf for vetoed trials) -> (m, w) with
+    sum_j exp(-beta u_j) = exp(m) * sum(w), stably."""
+    m = jnp.max(neg_beta_u)
+    m_safe = jnp.where(jnp.isfinite(m), m,
+                       jnp.zeros((), neg_beta_u.dtype))
+    w = jnp.exp(neg_beta_u - m_safe)              # exp(-inf) = 0 exactly
+    return m_safe, w
+
+
+def make_trial_quats(P, dtype):
+    """Uniform-orientation trial sampler for a P-site rigid species
+    (identity rows for point species)."""
+    def trial_quats(k_q, count):
+        if P > 1:
+            return random_quaternion(k_q, (count,), dtype)
+        return jnp.zeros((count, 4), dtype).at[:, 0].set(1.0)
+
+    return trial_quats
+
+
 def make_mol_slots(system, params, dtype=jnp.float64):
     """Shared rigid-molecule slot machinery for the muVT and Gibbs apps.
 
@@ -192,11 +213,7 @@ def make_mol_slots(system, params, dtype=jnp.float64):
         coords = jnp.pad(coords, ((0, 0), (0, 0), (0, A_pad - A)))
         return com, quat, coords
 
-    def trial_quats(k_q, count):
-        """count uniform orientations (identity rows for point species)."""
-        if P > 1:
-            return random_quaternion(k_q, (count,), dtype)
-        return jnp.zeros((count, 4), dtype).at[:, 0].set(1.0)
+    trial_quats = make_trial_quats(P, dtype)
 
     def pose_batch(com_t, quats, coords, com, box, a_ok, excl, sfac_base,
                    cf):
@@ -216,14 +233,6 @@ def make_mol_slots(system, params, dtype=jnp.float64):
             return e_p, ovr, s
 
         return jax.vmap(one)(quats)
-
-    def rosenbluth(neg_beta_u):
-        """(count,) -beta*u (-inf for vetoed trials) -> (m, w) with
-        sum_j exp(-beta u_j) = exp(m) * sum(w), stably."""
-        m = jnp.max(neg_beta_u)
-        m_safe = jnp.where(jnp.isfinite(m), m, jnp.zeros((), dtype))
-        w = jnp.exp(neg_beta_u - m_safe)          # exp(-inf) = 0 exactly
-        return m_safe, w
 
     return SimpleNamespace(
         ev=ev, P=P, cap=cap, A=A, A_pad=A_pad, K=K, kv=kv, kw=kw,

@@ -37,6 +37,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from metropolismontecarlo_tpu.mc.gcmc_mol import (
+    make_trial_quats,
+    rosenbluth,
+)
 from metropolismontecarlo_tpu.mc.widom import make_pose_eval
 from metropolismontecarlo_tpu.ops import ewald as ewald_ops
 from metropolismontecarlo_tpu.ops.quaternions import (
@@ -98,6 +102,11 @@ def make_gcmc_osmotic(system, params, activity, p_exchange=0.3,
     _, m0_u, m1_u, P1, a0_u = slices[1]
     ns = m1_s - m0_s                      # solvent molecules (fixed)
     cap = m1_u - m0_u                     # solute slots
+    if ns < 1 or cap < 1:
+        raise ValueError(f"need >= 1 solvent molecule and >= 1 solute "
+                         f"slot (got {ns}, {cap}); with zero active "
+                         "molecules the move pick would land on an "
+                         "inactive slot and corrupt the carried state")
     M = system.n_mol
     A, A_pad = system.n_atoms, system.n_atoms_padded
     K = len(kvecs) if use_ewald else 1
@@ -133,23 +142,16 @@ def make_gcmc_osmotic(system, params, activity, p_exchange=0.3,
 
     def exchange_const(box, n_old, dn):
         c = ev1.self_intra(box) * dn
-        if q_t2 != 0.0 or ev1.q_t_tot * ev0.q_t_tot != 0.0:
+        if q_t2 != 0.0:
             # reference-Wolf global constant tracks the TOTAL charge
-            # (solvent + active solutes)
+            # (solvent + active solutes); a neutral solute (q_t2 == 0)
+            # leaves Q_tot unchanged regardless of the solvent's charge
             q_tot = ns * ev0.q_t_tot + n_old.astype(dtype) * ev1.q_t_tot
             c = c + ev1.wolf_const_coeff(box) \
                 * ((q_tot + dn * ev1.q_t_tot) ** 2 - q_tot**2)
         return c
 
-    def trial_quats(k_q, count):
-        if P1 > 1:
-            return random_quaternion(k_q, (count,), dtype)
-        return jnp.zeros((count, 4), dtype).at[:, 0].set(1.0)
-
-    def rosenbluth(neg_beta_u):
-        m = jnp.max(neg_beta_u)
-        m_safe = jnp.where(jnp.isfinite(m), m, jnp.zeros((), dtype))
-        return m_safe, jnp.exp(neg_beta_u - m_safe)
+    trial_quats = make_trial_quats(P1, dtype)
 
     def pose_batch1(com_t, quats, coords, com, box, a_ok, excl, sfac_base,
                     cf):

@@ -120,10 +120,11 @@ def _run_gcmc(cfg, system, params, dtype, args):
         import math
         z = float(ens["activity"])
         rho = averages.mean("density_mean")
+        mu = f"beta*mu_ex = ln(z/rho) = {math.log(z / rho):.4f}" \
+            if rho > 0.0 else "beta*mu_ex undefined (<N> = 0)"
         print(f"production averages over {len(averages.blocks)} blocks: "
               f"<N> = {averages.mean('n_mean'):.3f} "
-              f"+- {averages.sem('n_mean'):.3f}   "
-              f"beta*mu_ex = ln(z/rho) = {math.log(z / rho):.4f}")
+              f"+- {averages.sem('n_mean'):.3f}   " + mu)
         print("done.")
     return state
 
