@@ -113,6 +113,13 @@ def _run_gcmc(cfg, system, params, dtype, args):
                   f"drift {stats['drift_max_rel']:.2e}")
         logger.write(dict(stats, block=block,
                           phase="equil" if block < equil else "prod"))
+        ck_every = int(out_cfg.get("checkpoint_every", 0))
+        if out_dir and ck_every and (block + 1) % ck_every == 0:
+            from metropolismontecarlo_tpu.io.checkpoint import (
+                save_ensemble_state,
+            )
+            save_ensemble_state(os.path.join(out_dir, "checkpoint.npz"),
+                                state, {"block": block})
         if block >= equil:
             averages.add(**stats)
     logger.close()
@@ -188,6 +195,13 @@ def _run_gibbs(cfg, system, params, dtype, args):
         logger.write(dict({k: v for k, v in stats.items()
                            if not isinstance(v, list)}, block=block,
                           phase="equil" if block < equil else "prod"))
+        ck_every = int(out_cfg.get("checkpoint_every", 0))
+        if out_dir and ck_every and (block + 1) % ck_every == 0:
+            from metropolismontecarlo_tpu.io.checkpoint import (
+                save_ensemble_state,
+            )
+            save_ensemble_state(os.path.join(out_dir, "checkpoint.npz"),
+                                state, {"block": block})
         if block >= equil:
             averages.add(**{k: v for k, v in stats.items()
                             if isinstance(v, float)})

@@ -193,3 +193,33 @@ def test_gcmc_mol_orientational_bias_ewald_drift():
         ins += stats["acc_insert"]
         dels += stats["acc_delete"]
     assert ins > 0.0 and dels > 0.0, (ins, dels)
+
+
+def test_gcmc_mol_checkpoint_resume(tmp_path):
+    """Exact-trajectory resume: 200 steps + checkpoint + 200 steps is
+    BITWISE identical to 400 straight steps (keys, counters, structure
+    factors all round-trip)."""
+    from metropolismontecarlo_tpu.io.checkpoint import (
+        load_ensemble_state,
+        save_ensemble_state,
+    )
+    from metropolismontecarlo_tpu.mc.gcmc_mol import MolGCMCState
+
+    params = _water_params()
+    g = MolGCMC(spce_system(16), params, activity=2e-3, p_exchange=0.5)
+    st = g.init(jax.random.PRNGKey(11), box=20.0, n_init=8, n_chains=4)
+    straight = g.run_steps(st, 400)
+    half = g.run_steps(st, 200)
+    path = str(tmp_path / "ck.npz")
+    save_ensemble_state(path, half, {"block": 3})
+    loaded, meta = load_ensemble_state(path, MolGCMCState)
+    assert int(meta["block"]) == 3
+    resumed = g.run_steps(
+        MolGCMCState(*[jnp.asarray(x) for x in loaded]), 200)
+    for f in MolGCMCState._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(straight, f)),
+                                      np.asarray(getattr(resumed, f)), f)
+
+    from metropolismontecarlo_tpu.mc.gibbs_mol import MolGibbsState
+    with pytest.raises(ValueError, match="MolGibbsState"):
+        load_ensemble_state(path, MolGibbsState)
