@@ -466,11 +466,20 @@ class MolGCMC:
                  dtype=jnp.float64, chunk=8, n_orient=1):
         self.params = params
         self.capacity = system.n_mol
+        self._system = system
         self._init, self.run_steps, self.full_energy = make_gcmc_mol(
             system, params, activity, p_exchange, dtype, chunk, n_orient)
 
     def init(self, key, box, n_init, n_chains):
         return self._init(key, box, n_init, n_chains)
+
+    def atom_mask(self, state):
+        """(C, A_pad) per-atom activity mask (for the masked RDF/S(k)
+        accumulators: observables.MaskedRDFAccumulator)."""
+        moa = np.asarray(self._system.mol_of_atom_padded)
+        real = jnp.asarray(moa >= 0)
+        safe = jnp.asarray(np.clip(moa, 0, self.capacity - 1))
+        return real[None, :] & state.active[:, safe]
 
     def run_block(self, state, n_steps, drift_tol=None):
         att0, acc0 = state.att, state.acc

@@ -439,9 +439,21 @@ class OsmoticGCMC:
             - system.species_slices[1][1]
         self.n_solvent = system.species_slices[0][2] \
             - system.species_slices[0][1]
+        self._system = system
 
     def init(self, key, box, n_init, n_chains):
         return self._init(key, box, n_init, n_chains)
+
+    def atom_mask(self, state):
+        """(C, A_pad) per-atom activity mask: solvent columns always on,
+        solute columns by slot activity (for the masked RDF)."""
+        moa = np.asarray(self._system.mol_of_atom_padded)
+        m0_u = self._system.species_slices[1][1]
+        real = moa >= 0
+        solute = (moa >= m0_u) & real
+        slot = jnp.asarray(np.clip(moa - m0_u, 0, self.capacity - 1))
+        return jnp.asarray(real)[None, :] \
+            & (jnp.asarray(~solute)[None, :] | state.active[:, slot])
 
     def run_block(self, state, n_steps, drift_tol=None):
         att0, acc0 = state.att, state.acc

@@ -92,6 +92,78 @@ class RDFAccumulator:
         return r, np.asarray(self.hist) / np.maximum(norm, 1e-300)
 
 
+class MaskedRDFAccumulator:
+    """RDF between two atom-type selections under a PER-CHAIN activity
+    mask — structure in the grand-canonical/osmotic/Gibbs apps, where
+    molecule counts fluctuate (e.g. the solute-solvent g(r) of an
+    osmotic run).
+
+    Normalization handles fluctuating N by accumulating the pair
+    normalizer sum_c n_i(c) n_j(c) / V(c) alongside the histogram:
+
+        g(r) = sum_c hist_c(r) / (4 pi r^2 dr * sum_c n_i n_j / V)
+
+    which reduces exactly to RDFAccumulator's fixed-N normalization
+    when the mask is constant (gated by an equality test).
+    """
+
+    def __init__(self, system, type_i, type_j, r_max, n_bins=200, chunk=8):
+        tid = system.flat(system.type_ids)
+        idx_i = np.nonzero(tid == type_i)[0]
+        idx_j = np.nonzero(tid == type_j)[0]
+        mol = system.atom_mol_slot[0]
+        self.r_max = float(r_max)
+        self.n_bins = int(n_bins)
+        acc_dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.hist = jnp.zeros((n_bins,), acc_dt)
+        self._norm = 0.0
+
+        ii, jj = jnp.asarray(idx_i), jnp.asarray(idx_j)
+        mi, mj = jnp.asarray(mol[idx_i]), jnp.asarray(mol[idx_j])
+        n_bins_, r_max_ = self.n_bins, self.r_max
+
+        def one_chain(coords_t, box, atom_ok):
+            ri = coords_t[:, ii]
+            rj = coords_t[:, jj]
+            oki = atom_ok[ii]
+            okj = atom_ok[jj]
+            dr = ri[:, :, None] - rj[:, None, :]
+            dr = dr - box * jnp.round(dr / box)
+            r = jnp.sqrt(jnp.maximum(jnp.sum(dr * dr, 0), 1e-12))
+            keep = (mi[:, None] != mj[None, :]) & (r < r_max_) \
+                & oki[:, None] & okj[None, :]
+            bins = jnp.clip((r * (n_bins_ / r_max_)).astype(jnp.int32),
+                            0, n_bins_ - 1)
+            bins = jnp.where(keep, bins, n_bins_)
+            h = jnp.bincount(bins.reshape(-1), length=n_bins_ + 1)[:n_bins_]
+            norm = jnp.sum(oki) * jnp.sum(okj) / box**3
+            return h, norm
+
+        @jax.jit
+        def update(coords_c, box_c, ok_c, hist):
+            from metropolismontecarlo_tpu.utils.chunking import chunked_vmap
+
+            counts, norms = chunked_vmap(one_chain, chunk, coords_c,
+                                         box_c, ok_c)
+            return (hist + jnp.sum(counts, axis=0).astype(hist.dtype),
+                    jnp.sum(norms))
+
+        self._update = update
+
+    def update(self, coords, box, atom_ok):
+        """coords (C, 3, A_pad), box (C,), atom_ok (C, A_pad) bool."""
+        self.hist, dn = self._update(coords, box, atom_ok, self.hist)
+        self._norm += float(dn)
+
+    def result(self):
+        dr = self.r_max / self.n_bins
+        r = (np.arange(self.n_bins) + 0.5) * dr
+        if self._norm == 0.0:
+            return r, np.zeros(self.n_bins)
+        shell = 4.0 * np.pi * r**2 * dr
+        return r, np.asarray(self.hist) / (shell * self._norm)
+
+
 class BlockAverager:
     """Running block statistics (the reference's Properties accumulators,
     `Ewald/auxillary.jl:37-45`, as a host-side helper)."""

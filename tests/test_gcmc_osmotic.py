@@ -173,3 +173,52 @@ def test_osmotic_validation_guards():
                     RunParams(temperature=300.0, r_cut=5.0,
                               cutoff_mode="site", coulomb="ewald",
                               use_lrc=True), activity=1e-4)
+
+
+def test_masked_rdf_matches_unmasked_when_all_active():
+    """MaskedRDFAccumulator with a full mask must equal RDFAccumulator
+    exactly (same histogram, same normalization) on an all-active
+    molecular GCMC state."""
+    from metropolismontecarlo_tpu.mc.gcmc_mol import MolGCMC
+    from metropolismontecarlo_tpu.observables import (
+        MaskedRDFAccumulator,
+        RDFAccumulator,
+    )
+
+    sysW = spce_system(12)
+    params = RunParams(strict_min_image=False, temperature=400.0,
+                       r_cut=5.0, cutoff_mode="site", coulomb="ewald",
+                       use_lrc=False, p_translate=0.5, dr_max=0.5,
+                       dphi_max=0.5)
+    g = MolGCMC(sysW, params, activity=1e-4, p_exchange=0.0)
+    st = g.init(jax.random.PRNGKey(7), box=12.0, n_init=12, n_chains=4)
+    st, _ = g.run_block(st, 200)
+    rdf = RDFAccumulator(sysW, 0, 0, r_max=5.0, n_bins=50)
+    rdf.update(st)
+    mrdf = MaskedRDFAccumulator(sysW, 0, 0, r_max=5.0, n_bins=50)
+    mrdf.update(st.coords, st.box, g.atom_mask(st))
+    r1, g1 = rdf.result()
+    r2, g2 = mrdf.result()
+    np.testing.assert_allclose(g2, g1, rtol=1e-12)
+
+
+def test_masked_rdf_osmotic_solute_solvent():
+    """Solute-solvent g(r) from an osmotic run: finite, non-negative,
+    and decorrelated (~1) at the largest sampled r."""
+    from metropolismontecarlo_tpu.observables import MaskedRDFAccumulator
+
+    sysO = lj_plus_trimer(40, 48)
+    params = RunParams(strict_min_image=False, temperature=3.0, r_cut=2.5,
+                       cutoff_mode="site", coulomb="none", p_translate=0.5,
+                       dr_max=0.4, dphi_max=1.0, use_lrc=False)
+    g = OsmoticGCMC(sysO, params, activity=0.08, p_exchange=0.4)
+    st = g.init(jax.random.PRNGKey(8), box=6.0, n_init=8, n_chains=32)
+    st, _ = g.run_block(st, 2500)
+    rdf = MaskedRDFAccumulator(sysO, 0, 1, r_max=2.8, n_bins=40)
+    for _ in range(4):
+        st, stats = g.run_block(st, 400, drift_tol=1e-10)
+        rdf.update(st.coords, st.box, g.atom_mask(st))
+    r, gr = rdf.result()
+    assert np.isfinite(gr).all() and (gr >= 0.0).all()
+    tail = gr[r > 2.4].mean()
+    assert 0.5 < tail < 2.0, (tail, gr)
