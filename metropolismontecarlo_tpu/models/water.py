@@ -109,25 +109,55 @@ def tip4p_body_frame(r_oh, theta_deg, r_om):
     return pts - com
 
 
-@functools.lru_cache(maxsize=None)
-def tip4p2005_system(n_mol):
+# TIP4P-Ew (Horn et al. 2004) and TIP4P/Ice (Abascal et al. 2005):
+# the same 4-site topology reparameterized for Ewald liquids and for
+# ice phases / melting respectively.  eps in K = kJ/mol * 120.272...
+TIP4PEW_SIGMA_OO = 3.16435
+TIP4PEW_EPS_OO = 0.680946 * 120.272236695     # 81.90 K
+TIP4PEW_Q_H = 0.52422
+TIP4PEW_R_OM = 0.125
+
+TIP4PICE_SIGMA_OO = 3.1668
+TIP4PICE_EPS_OO = 0.882169 * 120.272236695    # 106.1 K
+TIP4PICE_Q_H = 0.5897
+TIP4PICE_R_OM = 0.1577
+
+
+def _tip4p_system(n_mol, sigma, eps, q_h, r_om, name):
     body = np.broadcast_to(
-        tip4p_body_frame(TIP4P2005_R_OH, TIP4P2005_THETA, TIP4P2005_R_OM),
+        tip4p_body_frame(TIP4P2005_R_OH, TIP4P2005_THETA, r_om),
         (n_mol, 4, 3)).copy()
     masses = np.broadcast_to(np.array([MASS_O, MASS_H, MASS_H, 0.0]),
                              (n_mol, 4)).copy()
     charges = np.broadcast_to(
-        np.array([0.0, TIP4P2005_Q_H, TIP4P2005_Q_H, TIP4P2005_Q_M]),
-        (n_mol, 4)).copy()
+        np.array([0.0, q_h, q_h, -2.0 * q_h]), (n_mol, 4)).copy()
     type_ids = np.broadcast_to(np.array([0, 1, 1, 1], np.int32),
                                (n_mol, 4)).copy()
-    eps_t = np.array([[TIP4P2005_EPS_OO, 0.0], [0.0, 0.0]])
-    sig_t = np.array([[TIP4P2005_SIGMA_OO, 1.0], [1.0, 1.0]])
+    eps_t = np.array([[eps, 0.0], [0.0, 0.0]])
+    sig_t = np.array([[sigma, 1.0], [1.0, 1.0]])
     return System(
         n_mol=n_mol, atoms_per_mol=4, body=body, masses=masses,
         charges=charges, type_ids=type_ids, eps_table=eps_t,
-        sig_table=sig_t, name="tip4p2005",
+        sig_table=sig_t, name=name,
     )
+
+
+@functools.lru_cache(maxsize=None)
+def tip4p2005_system(n_mol):
+    return _tip4p_system(n_mol, TIP4P2005_SIGMA_OO, TIP4P2005_EPS_OO,
+                         TIP4P2005_Q_H, TIP4P2005_R_OM, "tip4p2005")
+
+
+@functools.lru_cache(maxsize=None)
+def tip4pew_system(n_mol):
+    return _tip4p_system(n_mol, TIP4PEW_SIGMA_OO, TIP4PEW_EPS_OO,
+                         TIP4PEW_Q_H, TIP4PEW_R_OM, "tip4pew")
+
+
+@functools.lru_cache(maxsize=None)
+def tip4pice_system(n_mol):
+    return _tip4p_system(n_mol, TIP4PICE_SIGMA_OO, TIP4PICE_EPS_OO,
+                         TIP4PICE_Q_H, TIP4PICE_R_OM, "tip4pice")
 
 
 def spce_from_nist(path):

@@ -68,9 +68,12 @@ def build_system(cfg, base_dir="."):
     if kind == "tip3p":
         from metropolismontecarlo_tpu.models.water import tip3p_system
         return tip3p_system(int(model["n_mol"]))
-    if kind == "tip4p2005":
-        from metropolismontecarlo_tpu.models.water import tip4p2005_system
-        return tip4p2005_system(int(model["n_mol"]))
+    if kind in ("tip4p2005", "tip4pew", "tip4pice"):
+        from metropolismontecarlo_tpu.models import water as water_models
+        builder = {"tip4p2005": water_models.tip4p2005_system,
+                   "tip4pew": water_models.tip4pew_system,
+                   "tip4pice": water_models.tip4pice_system}[kind]
+        return builder(int(model["n_mol"]))
     if kind == "lj":
         from metropolismontecarlo_tpu.models.monatomic import lj_system
         return lj_system(int(model["n_mol"]),

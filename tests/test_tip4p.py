@@ -132,3 +132,35 @@ def test_tip4p_nvt_drift_and_rotation():
     state, stats = mc.run_block(state, 20, adjust=False)
     assert stats["drift_max_rel"] < 1e-10, stats
     assert stats["acc_rot"] > 0.0   # rotations accepted
+
+
+def test_tip4p_variant_parameters():
+    """TIP4P-Ew and TIP4P/Ice share the TIP4P topology with their own
+    published parameters; all three variants are neutral, M is massless,
+    and the drift invariant holds for each through moves."""
+    from metropolismontecarlo_tpu.models.water import (
+        tip4pew_system,
+        tip4pice_system,
+    )
+
+    for builder, q_h, r_om in ((tip4pew_system, 0.52422, 0.125),
+                               (tip4pice_system, 0.5897, 0.1577)):
+        s = builder(8)
+        q = np.asarray(s.charges)[0]
+        assert q.sum() == pytest.approx(0.0, abs=1e-12)
+        assert q[1] == q_h and q[3] == -2.0 * q_h
+        b = np.asarray(s.body)[0]
+        assert np.linalg.norm(b[3] - b[0]) == pytest.approx(r_om,
+                                                            abs=1e-12)
+        assert np.asarray(s.masses)[0, 3] == 0.0
+
+        params = RunParams(strict_min_image=False, temperature=300.0,
+                           r_cut=6.0, cutoff_mode="site", coulomb="ewald",
+                           p_translate=0.5, dr_max=0.3, dphi_max=0.4)
+        mc = MonteCarlo(builder(8), params, dtype=jnp.float64,
+                        recompute_chunk=4)
+        state = mc.init_state(jax.random.PRNGKey(5),
+                              cubic_lattice(8, 13.0), box=13.0,
+                              n_chains=4)
+        state, stats = mc.run_block(state, 10, adjust=False)
+        assert stats["drift_max_rel"] < 1e-10, (s.name, stats)
