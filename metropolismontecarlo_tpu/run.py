@@ -136,6 +136,58 @@ def _run_gcmc(cfg, system, params, dtype, args):
     return state
 
 
+def _run_semigrand(cfg, system, params, dtype, args):
+    """Semigrand loop: `"ensemble": {"kind": "semigrand",
+    "fugacity_ratio": xi, "box": L, "n_a": n, "n_b": m,
+    "p_flip": 0.3, "n_orient": 1}` in the run section."""
+    from metropolismontecarlo_tpu.mc.semigrand import Semigrand
+
+    run_cfg = cfg.get("run", {})
+    ens = run_cfg["ensemble"]
+    g = Semigrand(system, params,
+                  fugacity_ratio=float(ens["fugacity_ratio"]),
+                  p_flip=float(ens.get("p_flip", 0.3)), dtype=dtype,
+                  n_orient=int(ens.get("n_orient", 1)))
+    state = g.init(jax.random.PRNGKey(int(run_cfg.get("seed", 0))),
+                   box=float(ens["box"]), n_a=int(ens["n_a"]),
+                   n_b=int(ens["n_b"]),
+                   n_chains=int(run_cfg.get("n_chains", 8)))
+    out_cfg = run_cfg.get("output", {})
+    out_dir = out_cfg.get("dir")
+    logger = JsonlLogger(os.path.join(out_dir, "metrics.jsonl")
+                         if out_dir else None)
+    averages = BlockAverager()
+    n_blocks = int(run_cfg.get("n_blocks", 10))
+    n_steps = int(run_cfg.get("n_steps", 1000))
+    equil = int(run_cfg.get("equil_blocks", 0))
+    for block in range(n_blocks):
+        state, stats = g.run_block(state, n_steps)
+        if not args.quiet:
+            print(f"blk {block:4d}  <N_B> {stats['nb_mean']:9.3f}  "
+                  f"x_B {stats['nb_mean'] / stats['n_tot_mean']:.4f}  "
+                  f"accAB {stats['acc_flip_ab']:.3f}  "
+                  f"accBA {stats['acc_flip_ba']:.3f}  "
+                  f"drift {stats['drift_max_rel']:.2e}")
+        logger.write(dict(stats, block=block,
+                          phase="equil" if block < equil else "prod"))
+        ck_every = int(out_cfg.get("checkpoint_every", 0))
+        if out_dir and ck_every and (block + 1) % ck_every == 0:
+            from metropolismontecarlo_tpu.io.checkpoint import (
+                save_ensemble_state,
+            )
+            save_ensemble_state(os.path.join(out_dir, "checkpoint.npz"),
+                                state, {"block": block})
+        if block >= equil:
+            averages.add(**stats)
+    logger.close()
+    if not args.quiet and averages.blocks:
+        print(f"production averages over {len(averages.blocks)} blocks: "
+              f"<N_B> = {averages.mean('nb_mean'):.3f} "
+              f"+- {averages.sem('nb_mean'):.3f}")
+        print("done.")
+    return state
+
+
 def _run_gibbs(cfg, system, params, dtype, args):
     """Gibbs-ensemble loop: `"ensemble": {"kind": "gibbs",
     "boxes": [L1, L2], "n_init": [n1, n2], "capacity": 256,
@@ -248,6 +300,8 @@ def main(argv=None):
         return _run_gcmc(cfg, system, params, dtype, args)
     if ens and ens.get("kind") == "gibbs":
         return _run_gibbs(cfg, system, params, dtype, args)
+    if ens and ens.get("kind") == "semigrand":
+        return _run_semigrand(cfg, system, params, dtype, args)
 
     if args.resume:
         state_np, meta = load_state(args.resume)
