@@ -129,12 +129,6 @@ def make_semigrand(system, params, fugacity_ratio, p_flip=0.3,
     def atom_ok_of(active):
         return real & active[jnp.clip(mol_of_atom, 0, M - 1)]
 
-    def slot_a0(m):
-        """First atom column of molecule slot m (block-wise static
-        arithmetic; both branches of the where are exact)."""
-        return jnp.where(m < cap_a, a0_a + m * P0,
-                         a0_b + (m - cap_a) * P1)
-
     def write_pose0(coords, m, ra, keep):
         cur = jax.lax.dynamic_slice(coords, (0, a0_a + m * P0), (3, P0))
         new = jnp.where(keep, ra.T, cur)
@@ -304,8 +298,8 @@ def make_semigrand(system, params, fugacity_ratio, p_flip=0.3,
         quat = quat.at[tgt].set(jnp.where(ok_f, quat_flip, quat[tgt]))
         t_in_a = jnp.clip(tgt, 0, cap_a - 1)
         t_in_b = jnp.clip(tgt - cap_a, 0, cap_b - 1)
-        ra_f0 = jax.vmap(ev0.pose_atoms, (None, 0))(com_i, q_new0)[j_sel]
-        ra_f1 = jax.vmap(ev1.pose_atoms, (None, 0))(com_i, q_new1)[j_sel]
+        ra_f0 = ev0.pose_atoms(com_i, q_new0[j_sel])
+        ra_f1 = ev1.pose_atoms(com_i, q_new1[j_sel])
         coords = write_pose1(coords, t_in_b, ra_f1, ok_f & is_a)
         coords = write_pose0(coords, t_in_a, ra_f0, ok_f & ~is_a)
         active = active.at[tgt].set(ok_f | active[tgt])
@@ -376,6 +370,8 @@ def make_semigrand(system, params, fugacity_ratio, p_flip=0.3,
         """n_a + n_b molecules total (conserved); requires n_a + n_b <=
         min(cap_A, cap_B) so either pure composition fits."""
         n_tot = int(n_a) + int(n_b)
+        if n_tot < 1:
+            raise ValueError("need at least one molecule (n_a + n_b >= 1)")
         if n_tot > min(cap_a, cap_b):
             raise ValueError(
                 f"n_a + n_b = {n_tot} exceeds a block capacity "
