@@ -7,7 +7,8 @@ RunParams, and the run schedule.
 
 Schema (all sections optional except model):
 {
-  "model": {"kind": "spce"|"tip3p"|"lj"|"triatomic"|"topology",
+  "model": {"kind": "spce"|"tip3p"|"tip4p2005"|"tip4pew"|"tip4pice"|
+                    "co2"|"n2"|"lj"|"triatomic"|"topology",
             "n_mol": 750,                        // spce/tip3p/lj/triatomic
             "top": "topol.top",                  // topology kind
             "templates": {"SOL": "tip3p.pdb"},   // topology kind
@@ -73,6 +74,11 @@ def build_system(cfg, base_dir="."):
         builder = {"tip4p2005": water_models.tip4p2005_system,
                    "tip4pew": water_models.tip4pew_system,
                    "tip4pice": water_models.tip4pice_system}[kind]
+        return builder(int(model["n_mol"]))
+    if kind in ("co2", "n2"):
+        from metropolismontecarlo_tpu.models import linear as linear_models
+        builder = {"co2": linear_models.co2_system,
+                   "n2": linear_models.n2_system}[kind]
         return builder(int(model["n_mol"]))
     if kind == "lj":
         from metropolismontecarlo_tpu.models.monatomic import lj_system
