@@ -30,13 +30,30 @@ Widom ghosts (LJ + LRC decrement, real/recip/self/intra Ewald with the
 carried structure factors, Wolf constants, optional surface dipole) —
 so insertion and deletion are reciprocal number-for-number (gated by
 tests/test_fep.py).
+
+Single-stage BAR still fails when the two endpoint ensembles barely
+overlap — inserting a whole water into liquid water biases the
+estimate by several kJ/mol no matter how many samples are thrown at
+it.  The production answer is STAGED decoupling: `tag_last_molecule`
+builds (N+1)-molecule systems whose last molecule carries
+lambda-scaled LJ/charge interactions, each stage is sampled with the
+ordinary driver (the stages are real Systems, so the mega kernel, NPT,
+checkpoints all apply), `make_deletion_fn` on a stage's system yields
+U_lambda - U_rest for the cross-stage works, and
+`make_decoupled_insertion_fn` supplies Widom-style ghost samples of
+the fully decoupled first rung.  beta*mu_ex = sum over adjacent-stage
+BAR legs (docs/validation/run_bar_water.py).
 """
+
+import dataclasses
+import functools
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from metropolismontecarlo_tpu.mc.widom import make_pose_eval
+from metropolismontecarlo_tpu.models.system import System
 from metropolismontecarlo_tpu.ops import ewald as ewald_ops
 from metropolismontecarlo_tpu.ops import tail as tail_ops
 from metropolismontecarlo_tpu.utils.chunking import chunked_vmap
@@ -134,6 +151,153 @@ def make_deletion_fn(system, params, kvecs, kweights, dtype=jnp.float32,
     return deletion_du
 
 
+@functools.lru_cache(maxsize=None)
+def tag_last_molecule(system, lj_scale=1.0, q_scale=1.0):
+    """A copy of `system` whose LAST molecule is an independent
+    single-molecule species block ("<name>_tag") with scaled
+    interactions — the staged-decoupling building block:
+
+      U_lambda = U_rest + lj_scale * U_LJ(tag, rest)
+                        + q_scale  * U_qq_linear + q_scale^2 * U_qq_self
+
+    Charges scale by q_scale directly.  LJ scaling goes through NEW
+    atom types (ids offset by T) whose mixed-table entries carry
+    lj_scale on tag-rest rows and lj_scale^2 on tag-tag, with sigmas
+    unchanged, so pair energies AND tail corrections scale exactly.
+
+    At lj_scale == 0.0 the tagged sigmas are set to the pad value 1.0:
+    a fully decoupled molecule may legally sit on top of another atom
+    (distance floored at 1e-4 A^2), where an unscaled sigma overflows
+    s12 to +inf in f32 and 0*inf would poison the zero-epsilon product
+    with NaN — the same contract pad slots rely on (models/system.py).
+
+    Sampling the returned system with the ordinary driver gives the
+    lambda-stage ensemble; `make_deletion_fn(..., species=-1)` gives
+    U_lambda - U_rest on its samples (the BAR work ingredient), and the
+    lambda = (0, 0) system's total energy is EXACTLY the rest-system
+    energy (gated by tests/test_fep.py).
+    """
+    m_last = system.n_mol - 1
+    t = int(system.eps_table.shape[0])
+    charges = np.array(system.charges, np.float64)
+    charges[m_last] = q_scale * charges[m_last]
+    type_ids = np.array(system.type_ids, np.int32)
+    type_ids[m_last] = t + type_ids[m_last]
+
+    eps = np.asarray(system.eps_table, np.float64)
+    sig = np.asarray(system.sig_table, np.float64)
+    eps_new = np.zeros((2 * t, 2 * t))
+    eps_new[:t, :t] = eps
+    eps_new[t:, :t] = lj_scale * eps
+    eps_new[:t, t:] = lj_scale * eps
+    eps_new[t:, t:] = (lj_scale**2) * eps
+    sig_new = np.tile(sig, (2, 2))
+    if lj_scale == 0.0:
+        sig_new[t:, :] = 1.0
+        sig_new[:, t:] = 1.0
+
+    blocks = system.species
+    if blocks is None:
+        blocks = ((system.name, system.n_mol, system.atoms_per_mol),)
+    name, count, p = blocks[-1]
+    assert count >= 1
+    head = blocks[:-1] + (((name, count - 1, p),) if count > 1 else ())
+    species = head + ((name + "_tag", 1, p),)
+
+    return dataclasses.replace(
+        system, charges=charges, type_ids=type_ids, eps_table=eps_new,
+        sig_table=sig_new, species=species,
+        name=f"{system.name}_tag[{lj_scale:g},{q_scale:g}]")
+
+
+def make_decoupled_insertion_fn(sys_tag, params, kvecs, kweights,
+                                dtype=jnp.float32, chunk=8):
+    """Ghost insertions of `sys_tag`'s TAGGED molecule (its last species
+    block, from `tag_last_molecule`) into states sampled from the FULLY
+    DECOUPLED stage (lj_scale = q_scale = 0), where the state's own
+    tagged molecule is inert: its pose is uniform and independent, so
+    arbitrary ghost poses are extra exact samples of that ensemble —
+    the Widom trick applied to the first rung of a lambda ladder.
+
+    Returns fn(state, com_t (C, n, 3), quat_t (C, n, 4)) ->
+    (du (C, n), overlap (C, n)) with du = U_lambda(x with tag at pose)
+    - U_0(x): the tagged pair terms under sys_tag's scaled parameters
+    (state's inert tagged molecule excluded), the LRC increment, and
+    for ewald the +recip delta against the state's structure factors
+    (which carry NO tagged contribution at lambda = 0) plus self/intra;
+    for wolf the self and total-charge-constant increments.
+
+    The surface-dipole term is not supported here (the evaluator's
+    charge table would misattribute the state's inert tagged molecule).
+    """
+    assert not params.ewald_surface, \
+        "staged decoupling is defined under tinfoil boundaries"
+    species = len(sys_tag.species_slices) - 1
+    ev = make_pose_eval(sys_tag, params, kvecs, kweights, dtype, species)
+    _, m0, m1, P, _ = sys_tag.species_slices[species]
+    assert m1 - m0 == 1, "tagged block must hold exactly one molecule"
+    m_tag = m0
+    use_coul = params.coulomb != "none"
+    kv = None if kvecs is None else jnp.asarray(kvecs)
+    kw = None if kweights is None else jnp.asarray(kweights, dtype)
+
+    # LRC increment U_lrc(rest + tag) - U_lrc(rest), with sys_tag's
+    # lambda-scaled mixed tables (deletion-style counts: the tagged
+    # types are already in sys_tag.type_counts)
+    tm = np.asarray(sys_tag.type_ids)[m_tag, :P]
+    counts_np = np.asarray(sys_tag.type_counts, np.float64)
+    counts_minus_np = counts_np.copy()
+    for ti in tm:
+        counts_minus_np[ti] -= 1.0
+    counts = jnp.asarray(counts_np, dtype)
+    counts_minus = jnp.asarray(counts_minus_np, dtype)
+    eps_tab = jnp.asarray(sys_tag.eps_table, dtype)
+    sig_tab = jnp.asarray(sys_tag.sig_table, dtype)
+    use_lrc = params.use_lrc and params.lj_shift == "none"
+    q_env_tot = ev.q_sys_tot - ev.q_t_tot
+
+    def lrc_inc(box):
+        if not use_lrc:
+            return jnp.zeros((), dtype)
+        vol = box**3
+        return (tail_ops.lrc_energy(counts, eps_tab, sig_tab,
+                                    params.r_cut, vol)
+                - tail_ops.lrc_energy(counts_minus, eps_tab, sig_tab,
+                                      params.r_cut, vol))
+
+    def du_one(com_t, quat_t, coords_t, com, box, sfac):
+        ra = ev.pose_atoms(com_t, quat_t)
+        du, overlap = ev.pair_energy(com_t, ra, coords_t, com, box,
+                                     ev.real, m_tag)
+        du = du + lrc_inc(box)
+        if use_coul:
+            kappa = jnp.asarray(params.kappa_L, dtype) / box
+            if params.coulomb == "ewald":
+                cf = ewald_ops.cfac_coeffs(kv, kw, kappa, box, dtype)
+                s_t = ev.pose_sfac(ra, box)
+                du = du + ewald_ops.recip_energy_delta(sfac, s_t, cf)
+                du = du + ev.self_intra(box)
+            elif params.coulomb == "wolf":
+                du = du + ev.self_intra(box)
+                dq2 = (q_env_tot + ev.q_t_tot) ** 2 - q_env_tot**2
+                du = du + ev.wolf_const_coeff(box) * dq2
+        return du, overlap
+
+    def ghost_du(state, com_t, quat_t):
+        def chain(coords, com, box, sfac, ct, qt):
+            f = lambda c1, q1: du_one(c1, q1, coords, com, box, sfac)  # noqa: E731
+            return jax.vmap(f)(ct, qt)
+
+        return chunked_vmap(chain, chunk,
+                            state.coords.astype(dtype),
+                            state.com.astype(dtype),
+                            state.box.astype(dtype),
+                            state.sfac.astype(dtype),
+                            com_t.astype(dtype), quat_t.astype(dtype))
+
+    return ghost_du
+
+
 def _expit(z):
     """Numerically stable logistic 1/(1+exp(-z)) (host NumPy)."""
     return 0.5 * (1.0 + np.tanh(0.5 * z))
@@ -154,8 +318,11 @@ def bar_solve(w_f, w_r, tol=1e-12, max_iter=200):
     root is unique; solved by bisection (robust to +inf works from
     overlap-vetoed insertions, which contribute zero).
     """
-    w_f = np.asarray(w_f, np.float64).ravel()
-    w_r = np.asarray(w_r, np.float64).ravel()
+    # works beyond +-1e6 reduced units are indistinguishable from +-inf
+    # through the logistic (contribute exactly 0/1 weight) but would
+    # inflate the bisection bracket by orders of magnitude — clip.
+    w_f = np.clip(np.asarray(w_f, np.float64).ravel(), -1e6, 1e6)
+    w_r = np.clip(np.asarray(w_r, np.float64).ravel(), -1e6, 1e6)
     n_f, n_r = w_f.size, w_r.size
     assert n_f > 0 and n_r > 0
     m = np.log(n_f / n_r)

@@ -9,7 +9,13 @@ import pytest
 
 from metropolismontecarlo_tpu.io.configs import cubic_lattice
 from metropolismontecarlo_tpu.mc.driver import MonteCarlo
-from metropolismontecarlo_tpu.mc.fep import bar_mu_ex, bar_solve, make_deletion_fn
+from metropolismontecarlo_tpu.mc.fep import (
+    bar_mu_ex,
+    bar_solve,
+    make_decoupled_insertion_fn,
+    make_deletion_fn,
+    tag_last_molecule,
+)
 from metropolismontecarlo_tpu.mc.widom import make_widom_fn, mu_excess
 from metropolismontecarlo_tpu.models.monatomic import lj_system
 from metropolismontecarlo_tpu.models.system import RunParams
@@ -188,3 +194,216 @@ def test_bar_matches_widom_dense_lj():
     assert mu_bar == pytest.approx(mu_widom, abs=max(6.0 * sem, 0.15)), \
         (mu_bar, mu_widom, sem)
     assert mu_bar < 0.0  # attractive-dominated at this state point
+
+
+# ---------------- staged decoupling (lambda ladders) ----------------
+
+
+def _water9_states(kw, lj_scale, q_scale):
+    """(params, sys_tag, state at lambda, state at lambda=0, pose of the
+    tagged molecule): 8 lattice waters + 1 tagged water at a fixed pose,
+    identical coordinates in both states."""
+    box, m = 12.0, 8
+    params = RunParams(strict_min_image=False, temperature=300.0,
+                       r_cut=5.0, cutoff_mode="site", **kw)
+    sys_tag = tag_last_molecule(spce_system(m + 1), lj_scale, q_scale)
+    sys_0 = tag_last_molecule(spce_system(m + 1), 0.0, 0.0)
+    com8 = jnp.asarray(cubic_lattice(m, box), F64)
+    quat8 = random_quaternion(jax.random.PRNGKey(11), (m,), F64)
+    com_t = jnp.asarray([3.3, 7.1, 9.2], F64)
+    quat_t = random_quaternion(jax.random.PRNGKey(101), (), F64)
+    com9 = jnp.concatenate([com8, com_t[None, :]], axis=0)
+    quat9 = jnp.concatenate([quat8, quat_t[None, :]], axis=0)
+
+    mc_l = MonteCarlo(sys_tag, params, dtype=F64, pallas=False,
+                      recompute_chunk=1)
+    state_l = mc_l.init_state(jax.random.PRNGKey(0), com9, quat=quat9,
+                              box=box, n_chains=1)
+    mc_0 = MonteCarlo(sys_0, params, dtype=F64, pallas=False,
+                      recompute_chunk=1)
+    # park the lambda=0 state's inert tagged molecule SOMEWHERE ELSE:
+    # ghost insertions must exclude it, so its pose cannot matter
+    com9_far = com9.at[m].set(jnp.asarray([1.0, 1.0, 1.0], F64))
+    state_0 = mc_0.init_state(jax.random.PRNGKey(0), com9_far, quat=quat9,
+                              box=box, n_chains=1)
+    return params, sys_tag, mc_l, state_l, mc_0, state_0, com_t, quat_t
+
+
+def test_tagged_full_coupling_is_identity():
+    """lambda = (1, 1) tagging must not change the physics: total energy
+    equals the untagged system's on identical coordinates."""
+    box, m = 12.0, 9
+    params = RunParams(strict_min_image=False, temperature=300.0,
+                       r_cut=5.0, cutoff_mode="site", coulomb="ewald")
+    com = jnp.asarray(cubic_lattice(m, box), F64)
+    quat = random_quaternion(jax.random.PRNGKey(3), (m,), F64)
+    base = spce_system(m)
+    tagged = tag_last_molecule(base, 1.0, 1.0)
+    e = []
+    for system in (base, tagged):
+        mc = MonteCarlo(system, params, dtype=F64, pallas=False,
+                        recompute_chunk=1)
+        st = mc.init_state(jax.random.PRNGKey(0), com, quat=quat,
+                           box=box, n_chains=1)
+        e.append(float(st.energy[0]))
+    assert e[1] == pytest.approx(e[0], rel=1e-12)
+
+
+def test_tagged_decoupled_is_rest_system():
+    """lambda = (0, 0): the tagged molecule is inert — total energy
+    equals the (N-1)-molecule system's even with the tagged molecule
+    INSIDE another one (the pad-sigma contract keeps f32-style 0*inf
+    out of the sum)."""
+    box, m = 12.0, 8
+    params = RunParams(strict_min_image=False, temperature=300.0,
+                       r_cut=5.0, cutoff_mode="site", coulomb="ewald")
+    com8 = jnp.asarray(cubic_lattice(m, box), F64)
+    quat8 = random_quaternion(jax.random.PRNGKey(5), (m,), F64)
+    mc8 = MonteCarlo(spce_system(m), params, dtype=F64, pallas=False,
+                     recompute_chunk=1)
+    st8 = mc8.init_state(jax.random.PRNGKey(0), com8, quat=quat8,
+                         box=box, n_chains=1)
+
+    sys_0 = tag_last_molecule(spce_system(m + 1), 0.0, 0.0)
+    # tagged COM exactly on molecule 0's COM: the worst case
+    com9 = jnp.concatenate([com8, com8[:1]], axis=0)
+    quat9 = jnp.concatenate(
+        [quat8, random_quaternion(jax.random.PRNGKey(7), (1,), F64)], axis=0)
+    mc0 = MonteCarlo(sys_0, params, dtype=F64, pallas=False,
+                     recompute_chunk=1)
+    st0 = mc0.init_state(jax.random.PRNGKey(0), com9, quat=quat9,
+                         box=box, n_chains=1)
+    assert np.isfinite(float(st0.energy[0]))
+    assert float(st0.energy[0]) == pytest.approx(float(st8.energy[0]),
+                                                 rel=1e-12)
+
+
+@pytest.mark.parametrize("kw", STYLES[:3], ids=lambda k: "-".join(
+    f"{a}={b}" for a, b in k.items()))
+def test_ghost_insertion_matches_stage_deletion(kw):
+    """The leg-0 works: inserting the lambda-scaled ghost into the
+    decoupled state must cost exactly what make_deletion_fn reports on
+    the coupled state at the same pose, U_lambda(x) - U_rest(x)."""
+    if kw.get("ewald_surface"):
+        pytest.skip("staged decoupling is tinfoil-only")
+    lj_s, q_s = 0.37, 0.61
+    (params, sys_tag, mc_l, state_l, mc_0, state_0, com_t,
+     quat_t) = _water9_states(kw, lj_s, q_s)
+    deletion_du = make_deletion_fn(sys_tag, params, mc_l.kvecs,
+                                   mc_l.kweights, dtype=F64, chunk=1,
+                                   species=-1)
+    du_del, _ = deletion_du(state_l)
+    ghost_du = make_decoupled_insertion_fn(sys_tag, params, mc_0.kvecs,
+                                           mc_0.kweights, dtype=F64,
+                                           chunk=1)
+    du_ins, ovr = ghost_du(state_0, com_t[None, None, :],
+                           quat_t[None, None, :])
+    assert not bool(np.asarray(ovr)[0, 0])
+    assert float(du_ins[0, 0]) == pytest.approx(float(du_del[0, 0]),
+                                                rel=1e-9)
+
+
+def test_stage_deletion_telescopes_to_energy():
+    """U_lambda(x) - U_0(x) from make_deletion_fn must equal the
+    difference of the two drivers' independently initialized total
+    energies (every term accounted once)."""
+    (params, sys_tag, mc_l, state_l, mc_0, state_0, _,
+     _) = _water9_states(dict(coulomb="ewald"), 0.37, 0.61)
+    # recompute the lambda = 0 energy at the SAME coordinates
+    state_0same = mc_0.init_state(
+        jax.random.PRNGKey(0),
+        state_l.com[0], quat=state_l.quat[0],
+        box=float(state_l.box[0]), n_chains=1)
+    deletion_du = make_deletion_fn(sys_tag, params, mc_l.kvecs,
+                                   mc_l.kweights, dtype=F64, chunk=1,
+                                   species=-1)
+    du_del, _ = deletion_du(state_l)
+    de = float(state_l.energy[0]) - float(state_0same.energy[0])
+    assert float(du_del[0, 0]) == pytest.approx(de, rel=1e-10)
+
+
+def test_staged_bar_equals_widom_lj():
+    """Dense LJ: mu_ex summed over a 3-leg lambda ladder (ghosts ->
+    0.25 -> 0.6 -> 1.0, epsilon scaling) must agree with direct Widom
+    insertion into the rest system."""
+    n, t = 32, 1.2
+    box = float(((n + 1) / 0.5) ** (1.0 / 3.0))
+    params = RunParams(temperature=t, r_cut=2.4, coulomb="none",
+                       use_lrc=True, p_translate=1.0, dr_max=0.35,
+                       strict_min_image=False)
+    C, n_ins, blocks, steps = 8, 192, 5, 60
+    lams = [0.0, 0.25, 0.6, 1.0]
+    systems = [tag_last_molecule(lj_system(n + 1), l, 0.0) for l in lams]
+    mcs = [MonteCarlo(s, params, dtype=F64, recompute_chunk=4)
+           for s in systems]
+    dels = [None] + [make_deletion_fn(s, params, None, None, dtype=F64,
+                                      chunk=4, species=-1)
+                     for s in systems[1:]]
+    ghost_du = make_decoupled_insertion_fn(systems[1], params, None, None,
+                                           dtype=F64, chunk=4)
+
+    # direct Widom on the rest system
+    mc_w = MonteCarlo(lj_system(n), params, dtype=F64, recompute_chunk=4)
+    st_w = mc_w.init_state(jax.random.PRNGKey(1), cubic_lattice(n, box),
+                           box=box, n_chains=C)
+    st_w, _ = mc_w.run_block(st_w, 200, adjust=True)
+    widom_du, _ = make_widom_fn(lj_system(n), params, None, None,
+                                dtype=F64, chunk=4)
+    boltz = []
+    for b in range(blocks):
+        st_w, _ = mc_w.run_block(st_w, steps, adjust=False)
+        u = jax.random.uniform(jax.random.fold_in(jax.random.PRNGKey(9), b),
+                               (C, n_ins, 3), F64) * st_w.box[:, None, None]
+        qt = jnp.zeros((C, n_ins, 4), F64).at[..., 0].set(1.0)
+        du, ov = widom_du(st_w, u, qt)
+        boltz.append(np.where(np.asarray(ov), 0.0,
+                              np.exp(-np.asarray(du) / t)))
+    mu_widom = -t * np.log(np.mean(boltz))
+    per_block = [-t * np.log(np.mean(b)) for b in boltz]
+    sem = np.std(per_block) / np.sqrt(len(per_block))
+
+    # ladder: warm-start each stage from the previous one's samples
+    st = mcs[0].init_state(jax.random.PRNGKey(2),
+                           cubic_lattice(n + 1, box), box=box, n_chains=C)
+    st, _ = mcs[0].run_block(st, 200, adjust=True)
+    d_here = [[] for _ in lams]      # works at the stage's own lambda
+    d_next = [[] for _ in lams]      # works at the next lambda
+    d_prev = [[] for _ in lams]      # works at the previous lambda
+    ins_f, ins_o = [], []
+    for i in range(len(lams)):
+        if i > 0:
+            st = mcs[i].resync(st)
+            st, _ = mcs[i].run_block(st, 100, adjust=True)
+        for b in range(blocks):
+            st, stats = mcs[i].run_block(st, steps, adjust=False)
+            assert stats["drift_max_rel"] < 1e-9
+            if i == 0:
+                u = jax.random.uniform(
+                    jax.random.fold_in(jax.random.PRNGKey(13), b),
+                    (C, n_ins, 3), F64) * st.box[:, None, None]
+                qt = jnp.zeros((C, n_ins, 4), F64).at[..., 0].set(1.0)
+                du, ov = ghost_du(st, u, qt)
+                ins_f.append(np.asarray(du).ravel())
+                ins_o.append(np.asarray(ov).ravel())
+            else:
+                d_here[i].append(np.asarray(dels[i](st)[0]).ravel())
+                if i + 1 < len(lams):
+                    d_next[i].append(np.asarray(dels[i + 1](st)[0]).ravel())
+                d_prev[i].append(np.asarray(dels[i - 1](st)[0]).ravel()
+                                 if i - 1 > 0 else
+                                 np.zeros_like(d_here[i][-1]))
+
+    x_tot = 0.0
+    for leg in range(len(lams) - 1):
+        if leg == 0:
+            w_f = np.where(np.concatenate(ins_o), np.inf,
+                           np.concatenate(ins_f) / t)
+        else:
+            w_f = (np.concatenate(d_next[leg])
+                   - np.concatenate(d_here[leg])) / t
+        w_r = (np.concatenate(d_prev[leg + 1])
+               - np.concatenate(d_here[leg + 1])) / t
+        x_tot += bar_solve(w_f, w_r)
+    mu_staged = t * x_tot
+    assert mu_staged == pytest.approx(mu_widom, abs=max(6.0 * sem, 0.2)), \
+        (mu_staged, mu_widom, sem)
