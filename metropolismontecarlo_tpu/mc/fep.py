@@ -61,7 +61,7 @@ from metropolismontecarlo_tpu.utils.constants import COULOMB_FACTOR
 
 
 def make_deletion_fn(system, params, kvecs, kweights, dtype=jnp.float32,
-                     species=0, chunk=8):
+                     species=0, chunk=8, state_system=None):
     """Build deletion_du(state) -> (du (C, n_sp), overlap (C, n_sp)):
     the exact energy attributable to each molecule of the species,
     dU_m = U(state) - U(state minus molecule m), for every molecule and
@@ -70,6 +70,16 @@ def make_deletion_fn(system, params, kvecs, kweights, dtype=jnp.float32,
 
     chunk: chains per scan step (each chunk row holds an
     (n_sp, P, A_pad) pair grid).
+
+    state_system: the System the STATE was sampled with, when it
+    differs from `system` (staged-FEP cross-lambda works, U_lambda' -
+    U_rest on lambda-rung samples).  The state's carried structure
+    factors contain the molecule at the STATE system's charge scaling,
+    so the reciprocal delta must strip that contribution before adding
+    this system's — evaluating E(S_rest + s_eval) - E(S_rest) with
+    S_rest = sfac - s_state.  Everything else (pair terms, LRC, self/
+    intra, surface) is already built from `system`'s own tables.
+    Gated by tests/test_fep.py::test_cross_lambda_deletion_consistency.
     """
     ev = make_pose_eval(system, params, kvecs, kweights, dtype, species)
     _, m0, m1, P, _ = system.species_slices[species]
@@ -80,6 +90,10 @@ def make_deletion_fn(system, params, kvecs, kweights, dtype=jnp.float32,
     factor = jnp.asarray(COULOMB_FACTOR, dtype)
     kv = None if kvecs is None else jnp.asarray(kvecs)
     kw = None if kweights is None else jnp.asarray(kweights, dtype)
+    q_state_t = None
+    if state_system is not None:
+        q_state_t = jnp.asarray(
+            np.asarray(state_system.charges)[m0, :P], dtype)
 
     # LRC decrement U_lrc(N) - U_lrc(N-1): static type-count vectors
     tm = np.asarray(system.type_ids)[m0, :P]
@@ -115,8 +129,17 @@ def make_deletion_fn(system, params, kvecs, kweights, dtype=jnp.float32,
             if params.coulomb == "ewald":
                 cf = ewald_ops.cfac_coeffs(kv, kw, kappa, box, dtype)
                 s_m = ev.pose_sfac(ra, box)
-                # E(S) - E(S - s_m) = -[E(S + (-s_m)) - E(S)]
-                du = du - ewald_ops.recip_energy_delta(sfac, -s_m, cf)
+                if q_state_t is None:
+                    # E(S) - E(S - s_m) = -[E(S + (-s_m)) - E(S)]
+                    du = du - ewald_ops.recip_energy_delta(sfac, -s_m, cf)
+                else:
+                    # cross-lambda: the state's sfac carries THIS pose
+                    # at the state system's charges — strip it, then
+                    # add this system's: E(S_rest + s_m) - E(S_rest)
+                    s_state = ewald_ops.structure_factor(ra, q_state_t,
+                                                         kv, box)
+                    du = du + ewald_ops.recip_energy_delta(
+                        sfac - s_state, s_m, cf)
                 du = du + ev.self_intra(box)
                 if params.ewald_surface:
                     com_all = com[jnp.clip(ev.mol_of_atom, 0, M - 1)]

@@ -407,3 +407,29 @@ def test_staged_bar_equals_widom_lj():
     mu_staged = t * x_tot
     assert mu_staged == pytest.approx(mu_widom, abs=max(6.0 * sem, 0.2)), \
         (mu_staged, mu_widom, sem)
+
+
+def test_cross_lambda_deletion_consistency():
+    """Cross-rung works: U_b(x) - U_a(x) assembled from
+    make_deletion_fn(sys_b, state_system=sys_a) minus the same-system
+    deletion, on a state initialized at lambda_a, must equal the
+    difference of the two drivers' independent total energies — in
+    particular when the CHARGE scaling differs, where the state's
+    carried structure factors hold the tagged molecule at lambda_a and
+    the naive E(S) - E(S - s_b) delta is wrong by the second-law-
+    violating 2*q_b*(q_a - q_b)|s_u|^2 cross term."""
+    (params, sys_a, mc_a, state_a, _mc0, _st0, _c,
+     _q) = _water9_states(dict(coulomb="ewald"), 0.7, 0.4)
+    sys_b = tag_last_molecule(spce_system(9), 1.0, 0.9)
+    mc_b = MonteCarlo(sys_b, params, dtype=F64, pallas=False,
+                      recompute_chunk=1)
+    state_b = mc_b.init_state(jax.random.PRNGKey(0), state_a.com[0],
+                              quat=state_a.quat[0],
+                              box=float(state_a.box[0]), n_chains=1)
+    d_a = make_deletion_fn(sys_a, params, mc_a.kvecs, mc_a.kweights,
+                           dtype=F64, chunk=1, species=-1)(state_a)[0]
+    d_b = make_deletion_fn(sys_b, params, mc_b.kvecs, mc_b.kweights,
+                           dtype=F64, chunk=1, species=-1,
+                           state_system=sys_a)(state_a)[0]
+    de = float(state_b.energy[0]) - float(state_a.energy[0])
+    assert float(d_b[0, 0] - d_a[0, 0]) == pytest.approx(de, rel=1e-10)
