@@ -53,6 +53,36 @@ def make_kvectors(nk=5, ksq_max=27, strict=True):
     return np.asarray(ks, dtype=np.int32), np.asarray(ws, dtype=np.float64)
 
 
+def tune_parameters(box, r_cut, tol=1e-5):
+    """Accuracy-targeted Ewald parameters: (kappa_L, nk, ksq_max) such
+    that both truncation errors sit at the RELATIVE level `tol`.
+
+    The reference hardcodes kappa = 5.6/box with nk = 5 (`Ewald/
+    main.jl:290`, `ewalds.jl:62`) — adequate for its one water box,
+    wrong for anything else.  The controlling magnitudes are
+
+      real-space tail  ~ erfc(kappa r_cut)          (per-pair weight)
+      k-space tail     ~ exp(-k~_max^2 / 4 kappa^2) (last shell weight)
+
+    so set kappa r_cut = sqrt(ln 1/tol) (the erfc argument that drives
+    its exponential to tol) and k~_max = 2 kappa sqrt(ln 1/tol), i.e.
+    integer n_max = ceil(box ln(1/tol) / (pi r_cut)).  Correctness is
+    gated the only way that is convention-free: the TOTAL Coulomb
+    energy (real + recip + self + intra) is kappa-INDEPENDENT once both
+    sums are converged, so tuned parameter sets at different r_cut must
+    agree with each other and tighter tolerances must agree more
+    (tests/test_nist_golden.py::test_tuned_parameters_kappa_invariance).
+
+    Returns (kappa_L, nk, ksq_max) matching RunParams' conventions
+    (kappa = kappa_L / box; 0 < |k|^2 < ksq_max in integer units).
+    """
+    assert 0.0 < tol < 1.0 and r_cut > 0.0 and box > 0.0
+    s = float(np.sqrt(np.log(1.0 / tol)))
+    kappa = s / r_cut
+    nk = int(np.ceil(box * s * kappa / np.pi))
+    return kappa * box, nk, nk * nk + 1
+
+
 def cfac_coeffs(kvecs, weights, kappa, box, dtype=None):
     """Per-k reciprocal coefficients: w * (2 pi / V) exp(-k~^2/4 kappa^2)/k~^2
     with k~ = 2 pi k / box.  jit-friendly in `box` (needed for NPT)."""

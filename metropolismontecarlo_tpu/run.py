@@ -28,6 +28,24 @@ from metropolismontecarlo_tpu.utils.config import (
 from metropolismontecarlo_tpu.utils.logging import JsonlLogger, banner, block_line
 
 
+def _start_box(run_cfg, system, base_dir):
+    """The starting box edge implied by the run's start section (host
+    float; used to tune Ewald parameters before building the driver)."""
+    start = run_cfg.get("start", {"kind": "lattice"})
+    kind = start.get("kind", "lattice").lower()
+    if kind == "lattice":
+        if "box" in start and start["box"]:
+            return float(start["box"])
+        return (system.n_mol / float(start["density"])) ** (1.0 / 3.0)
+    if kind == "nist":
+        from metropolismontecarlo_tpu.models.water import spce_from_nist
+        return float(spce_from_nist(os.path.join(base_dir,
+                                                 start["path"]))[3])
+    if kind == "cnf":
+        return float(read_cnf(os.path.join(base_dir, start["path"]))[2])
+    raise ValueError(f"unknown start kind {kind!r}")
+
+
 def _initial_state(mc, run_cfg, system, base_dir):
     start = run_cfg.get("start", {"kind": "lattice"})
     kind = start.get("kind", "lattice").lower()
@@ -288,6 +306,23 @@ def main(argv=None):
 
     system = build_system(cfg, base_dir)
     params = build_params(cfg)
+    ewald_tol = cfg.get("params", {}).get("ewald_tol")
+    if ewald_tol and params.coulomb == "ewald":
+        import dataclasses
+
+        from metropolismontecarlo_tpu.ops.ewald import tune_parameters
+        box0 = _start_box(run_cfg, system, base_dir)
+        # ensemble sections size the box themselves
+        ens0 = run_cfg.get("ensemble")
+        if ens0 and "box" in ens0:
+            box0 = float(ens0["box"])
+        kl, nk, ksq = tune_parameters(box0, params.qq_cut,
+                                      float(ewald_tol))
+        params = dataclasses.replace(params, kappa_L=kl, nk=nk,
+                                      ksq_max=ksq)
+        if not args.quiet:
+            print(f"ewald tuned to tol {ewald_tol:g} at box {box0:.3f}: "
+                  f"kappa_L = {kl:.3f}, nk = {nk}, ksq_max = {ksq}")
     dtype = jnp.float64 if run_cfg.get("dtype") == "float64" else jnp.float32
     if dtype == jnp.float64:
         jax.config.update("jax_enable_x64", True)

@@ -13,7 +13,10 @@ Schema (all sections optional except model):
             "top": "topol.top",                  // topology kind
             "templates": {"SOL": "tip3p.pdb"},   // topology kind
             "molecules": [["SOL", 100]]},        // optional override
-  "params": { ... RunParams fields ... },
+  "params": { ... RunParams fields ...,
+              "ewald_tol": 1e-5 },  // optional: accuracy-targeted
+                                    // kappa_L/nk/ksq_max at the start
+                                    // box (ops.ewald.tune_parameters)
   "run":   {"n_chains": 64, "n_blocks": 10, "n_steps": 100,
             "equil_blocks": 2, "seed": 0, "dtype": "float32",
             "ensemble": {"kind": "gcmc", "activity": 0.05,  // muVT mode
@@ -52,8 +55,13 @@ def load_config(path):
 
 
 def build_params(cfg):
+    """RunParams from the "params" section.  One pseudo-field:
+    "ewald_tol" requests accuracy-targeted kappa_L/nk/ksq_max via
+    ops.ewald.tune_parameters — it needs the start box, so the runner
+    applies it after the start geometry is known (run.py)."""
     fields = {f.name for f in dataclasses.fields(RunParams)}
-    given = cfg.get("params", {})
+    given = dict(cfg.get("params", {}))
+    given.pop("ewald_tol", None)
     unknown = set(given) - fields
     if unknown:
         raise ValueError(f"unknown RunParams fields: {sorted(unknown)}")

@@ -363,3 +363,32 @@ def test_structure_factor_ideal_gas_unity():
     _, s = acc.result()
     # per-shell SEM ~ 1/sqrt(multiplicity * chains) ~ 2-3%
     assert np.all(np.abs(s - 1.0) < 0.15), s
+
+
+def test_cli_ewald_tol_tuning(tmp_path, capsys):
+    """params.ewald_tol replaces the hardcoded kappa_L/nk/ksq_max with
+    accuracy-targeted values at the start box (and the run still
+    passes its drift gates)."""
+    cfg = {
+        "model": {"kind": "spce", "n_mol": 16},
+        "params": {"strict_min_image": False, "temperature": 350.0,
+                   "r_cut": 5.0, "cutoff_mode": "site",
+                   "coulomb": "ewald", "ewald_tol": 1e-5},
+        "run": {"n_chains": 2, "n_blocks": 2, "n_steps": 5,
+                "equil_blocks": 1, "seed": 1, "dtype": "float64",
+                "start": {"kind": "lattice", "box": 12.0},
+                "output": {"dir": str(tmp_path / "out")}},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    from metropolismontecarlo_tpu.ops.ewald import tune_parameters
+    from metropolismontecarlo_tpu.run import main
+
+    main([str(cfg_path)])
+    out = capsys.readouterr().out
+    kl, nk, ksq = tune_parameters(12.0, 5.0, 1e-5)
+    assert f"nk = {nk}, ksq_max = {ksq}" in out
+    assert nk != 5            # actually retuned away from the default
+    lines = [json.loads(l) for l in
+             (tmp_path / "out" / "metrics.jsonl").read_text().splitlines()]
+    assert all(l["drift_max_rel"] < 1e-10 for l in lines)

@@ -137,3 +137,42 @@ def test_tiled_recompute_matches_dense(reference_dir):
             a, b = float(dense[k]), float(tiled[k])
             assert abs(a - b) <= 1e-9 * max(abs(a), 1.0), (
                 prm.coulomb, prm.wolf_style, k, a, b)
+
+
+def test_tuned_parameters_kappa_invariance(reference_dir):
+    """ops/ewald.tune_parameters: the TOTAL Coulomb energy (real +
+    fourier + self + intra) is kappa-independent once both truncations
+    sit below the target tolerance, so tuned parameter sets at very
+    different r_cut/kappa/nk must agree on it — an absolute,
+    convention-free accuracy gate (the reference's hardcoded kappa =
+    5.6/L, nk = 5 has no error control at all)."""
+    import dataclasses
+
+    from metropolismontecarlo_tpu.ops.ewald import tune_parameters
+
+    path = os.path.join(reference_dir, "Ewald",
+                        "spce_sample_config_periodic1.txt")
+    system, coords, com, box = spce_from_nist(path)
+    args = (jnp.asarray(coords, jnp.float64), jnp.asarray(com, jnp.float64),
+            jnp.asarray(box, jnp.float64))
+
+    def coul_total(r_cut, tol):
+        kappa_l, nk, ksq = tune_parameters(box, r_cut, tol)
+        prm = dataclasses.replace(PARAMS, r_cut=r_cut, kappa_L=kappa_l,
+                                  nk=nk, ksq_max=ksq)
+        kv, kw = make_kvectors(nk, ksq, strict=True)
+        out = energy_breakdown_jit(system, prm, *args, kvecs=kv, kweights=kw)
+        return sum(float(out[k]) for k in
+                   ("coul_real", "coul_fourier", "coul_self", "coul_intra"))
+
+    e_ref = coul_total(8.5, 1e-8)          # tightest: the anchor
+    e_a = coul_total(10.0, 1e-6)
+    e_b = coul_total(7.0, 1e-6)
+    scale = abs(e_ref)
+    assert abs(e_a - e_ref) / scale < 2e-6, (e_a, e_ref)
+    assert abs(e_b - e_ref) / scale < 2e-6, (e_b, e_ref)
+    # and the looser pair agrees with each other at the same level
+    assert abs(e_a - e_b) / scale < 2e-6, (e_a, e_b)
+    # monotone: tightening the tolerance at fixed r_cut converges
+    e_c = coul_total(10.0, 1e-4)
+    assert abs(e_a - e_ref) <= abs(e_c - e_ref) + 1e-9 * scale
