@@ -53,7 +53,8 @@ class MonteCarlo:
     """
 
     def __init__(self, system, params, dtype=jnp.float32,
-                 recompute_chunk="auto", pallas="auto", tp_mesh=None):
+                 recompute_chunk="auto", pallas="auto", tp_mesh=None,
+                 pressure_ladder=None):
         """recompute_chunk: chains per step of the chunked full-energy
         recompute scan (drift checks, init, volume moves).  "auto"/None
         sizes it from a peak-memory model of the recompute path (dense
@@ -75,7 +76,13 @@ class MonteCarlo:
         routes every full-energy recompute (drift check, resync,
         pressure) through the tensor-parallel row-sharded path — for
         single systems far beyond 10^4 atoms.  The sweep itself stays
-        chain-local; chains must be divisible by the chains-axis size."""
+        chain-local; chains must be divisible by the chains-axis size.
+
+        pressure_ladder: (n_chains,) per-chain pressures for NPT —
+        every chain samples its own isobar (one-run isotherm/EOS scans,
+        the batch counterpart of per-chain state.temp ladders).
+        Requires params.p_volume > 0; params.pressure may then be None.
+        Gated by the per-chain ideal-gas closed form in tests/test_mc.py."""
         self.system = system
         self.params = params
         self.dtype = dtype
@@ -157,8 +164,10 @@ class MonteCarlo:
         self._volume_move = (
             make_volume_move_fn(system, params, self.kvecs, self.kweights,
                                 dtype, chunk=self.recompute_chunk,
-                                build_coords=self.build_coords)
-            if params.pressure is not None and params.p_volume > 0.0
+                                build_coords=self.build_coords,
+                                pressure=pressure_ladder)
+            if (params.pressure is not None or pressure_ladder is not None)
+            and params.p_volume > 0.0
             else None
         )
 

@@ -37,15 +37,21 @@ from metropolismontecarlo_tpu.utils.chunking import chunked_vmap
 
 
 def make_volume_move_fn(system, params, kvecs, kweights, dtype=jnp.float32,
-                        chunk=8, build_coords=None):
+                        chunk=8, build_coords=None, pressure=None):
     """Build `volume_move(state) -> state` over the full chain batch.
 
     build_coords: (com, quat) -> (3, A_pad) transposed padded atoms (the
     driver's ragged-aware builder); a uniform-width fallback is used when
-    not given."""
+    not given.
+
+    pressure: overrides params.pressure; a (C,) array runs every chain
+    at its own pressure (isotherm/EOS ladders — the batch counterpart of
+    the per-chain temperature ladder, one compiled program sampling many
+    state points)."""
     M, P, A = system.n_mol, system.atoms_per_mol, system.n_atoms
     body = jnp.asarray(system.body, dtype)
-    pres = jnp.asarray(params.pressure, dtype)
+    pres = jnp.asarray(params.pressure if pressure is None else pressure,
+                       dtype)
 
     def attempt_one(com, quat, box, energy, key, dv_max, step):  # noqa: ARG001
         """Propose scaled config for one chain; returns proposal pieces."""

@@ -327,8 +327,21 @@ def main(argv=None):
     if dtype == jnp.float64:
         jax.config.update("jax_enable_x64", True)
     rc = run_cfg.get("recompute_chunk", "auto")
+    # optional per-chain pressure ladder (one-run isotherm/EOS scans):
+    # "pressure_ladder": {"p_min": ..., "p_max": ..., "spacing":
+    # "geometric"|"linear"} — pressures in K/A^3 like params.pressure
+    pl_cfg = run_cfg.get("pressure_ladder")
+    pressure_ladder = None
+    if pl_cfg:
+        n_chains = int(run_cfg.get("n_chains", 8))
+        lo, hi = float(pl_cfg["p_min"]), float(pl_cfg["p_max"])
+        if pl_cfg.get("spacing", "geometric") == "geometric":
+            pressure_ladder = np.geomspace(lo, hi, n_chains)
+        else:
+            pressure_ladder = np.linspace(lo, hi, n_chains)
     mc = MonteCarlo(system, params, dtype=dtype,
-                    recompute_chunk=rc if rc in ("auto", None) else int(rc))
+                    recompute_chunk=rc if rc in ("auto", None) else int(rc),
+                    pressure_ladder=pressure_ladder)
 
     ens = run_cfg.get("ensemble")
     if ens and ens.get("kind") in ("gcmc", "osmotic"):
@@ -392,7 +405,7 @@ def main(argv=None):
         cvacc = EnergyFluctuations()
     nptfl = None
     if out_cfg.get("npt_fluctuations") and not remc_cfg \
-            and params.p_volume > 0:
+            and params.p_volume > 0 and pressure_ladder is None:
         from metropolismontecarlo_tpu.observables import NPTFluctuations
         nptfl = NPTFluctuations(pressure=params.pressure)
     widom_cfg = out_cfg.get("widom")

@@ -19,6 +19,9 @@ Schema (all sections optional except model):
                                     // box (ops.ewald.tune_parameters)
   "run":   {"n_chains": 64, "n_blocks": 10, "n_steps": 100,
             "equil_blocks": 2, "seed": 0, "dtype": "float32",
+            "pressure_ladder": {"p_min": 1e-5, "p_max": 1e-3,
+                                "spacing": "geometric"},  // per-chain
+                                // isobars (one-run EOS; K/A^3)
             "ensemble": {"kind": "gcmc", "activity": 0.05,  // muVT mode
                          "capacity": 96, "box": 8.0, "n_init": 30},
                         // or {"kind": "gibbs", "boxes": [L1, L2],

@@ -392,3 +392,31 @@ def test_cli_ewald_tol_tuning(tmp_path, capsys):
     lines = [json.loads(l) for l in
              (tmp_path / "out" / "metrics.jsonl").read_text().splitlines()]
     assert all(l["drift_max_rel"] < 1e-10 for l in lines)
+
+
+def test_cli_pressure_ladder(tmp_path):
+    """run.pressure_ladder: every chain equilibrates to its own isobar
+    (monotone volumes across the ladder) in one CLI run."""
+    cfg = {
+        "model": {"kind": "lj", "n_mol": 16},
+        "params": {"strict_min_image": False, "temperature": 2.0,
+                   "r_cut": 1.0, "cutoff_mode": "site", "coulomb": "none",
+                   "p_translate": 1.0, "dr_max": 1.0, "use_lrc": False,
+                   "p_volume": 1.0, "dv_max": 0.3},
+        "run": {"n_chains": 8, "n_blocks": 4, "n_steps": 120,
+                "equil_blocks": 1, "seed": 3, "dtype": "float64",
+                "pressure_ladder": {"p_min": 0.1, "p_max": 1.0},
+                "start": {"kind": "lattice", "density": 0.3},
+                "output": {"dir": str(tmp_path / "out")}},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    from metropolismontecarlo_tpu.run import main
+
+    state = main([str(cfg_path), "--quiet"])
+    box = np.asarray(state.box)
+    # 10x pressure span -> 10x volume span (ideal gas), i.e. a 2.15x
+    # box span; the final state is ONE sample per chain (box sd ~ 8%),
+    # so gate the endpoints with margin rather than strict monotonicity
+    assert box[0] > 1.5 * box[-1], box
+    assert box[:2].min() > box[-2:].max(), box

@@ -484,3 +484,34 @@ def test_two_particle_boltzmann_distribution():
     # and the peak location is right (minimum of u at 2^(1/6)=1.122... but
     # weighted by r^2; just check high-probability region matches)
     assert abs(np.argmax(p_meas) - np.argmax(p_exact)) <= 3
+
+
+def test_npt_pressure_ladder_ideal_gas_exact():
+    """Per-chain pressure ladder (one-run EOS scans): with interactions
+    off, every chain must independently satisfy its OWN closed form
+    <V> = (M+1) T / P_chain — the acceptance rule broadcast over the
+    chains axis, gated chain by chain."""
+    n, t, C = 16, 2.0, 32
+    system = lj_system(n, eps=0.0, sigma=1.0)
+    ladder = np.geomspace(0.25, 1.0, C)
+    params = RunParams(temperature=t, r_cut=1.0, cutoff_mode="site",
+                       coulomb="none", p_translate=1.0, dr_max=1.0,
+                       use_lrc=False, pressure=None, p_volume=1.0,
+                       dv_max=0.3)
+    mc = MonteCarlo(system, params, dtype=jnp.float64, recompute_chunk=8,
+                    pressure_ladder=jnp.asarray(ladder))
+    box0 = (n * t / 0.5) ** (1.0 / 3.0)
+    state = mc.init_state(jax.random.PRNGKey(14), cubic_lattice(n, box0),
+                          box=box0, n_chains=C)
+    state = mc.run_steps(state, 300, False)   # equilibrate volumes
+    vols = []
+    for _ in range(12):
+        state = mc.run_steps(state, 50, False)
+        vols.append(np.asarray(state.box) ** 3)
+    v_mean = np.mean(vols, axis=0)            # (C,) per-chain averages
+    v_exact = (n + 1) * t / ladder
+    ratio = v_mean / v_exact
+    # per chain: ~600 correlated samples of V with sd/mean = 1/sqrt(M+1)
+    assert np.max(np.abs(ratio - 1.0)) < 0.2, ratio
+    # the ladder as a whole pins the EOS slope much more tightly
+    assert abs(np.mean(ratio) - 1.0) < 0.03, np.mean(ratio)
