@@ -433,3 +433,61 @@ def test_cross_lambda_deletion_consistency():
                            state_system=sys_a)(state_a)[0]
     de = float(state_b.energy[0]) - float(state_a.energy[0])
     assert float(d_b[0, 0] - d_a[0, 0]) == pytest.approx(de, rel=1e-10)
+
+
+def test_tag_last_molecule_ragged_mixture(reference_dir):
+    """Solvation free energies in MIXTURES: tagging the last molecule of
+    a ragged MEA-in-water system (11-atom solute after 3-atom waters)
+    must reproduce the full system at lambda = (1,1) and the pure-water
+    rest system at lambda = (0,0), and the cross-lambda deletion works
+    must telescope to the independent energy difference."""
+    import os
+
+    from metropolismontecarlo_tpu.io.topology import read_top
+    from metropolismontecarlo_tpu.models.from_topology import (
+        system_from_topology,
+        templates_from_pdbs,
+    )
+
+    top = read_top(os.path.join(reference_dir, "topol.top"))
+    templates = templates_from_pdbs(top, {
+        "MEA_DUMMY": os.path.join(reference_dir, "mea.pdb"),
+        "SOL": os.path.join(reference_dir, "tip3p.pdb")})
+    n_sol = 12
+    full = system_from_topology(
+        top, templates, molecules=[("SOL", n_sol), ("MEA_DUMMY", 1)])
+    rest = system_from_topology(
+        top, templates, molecules=[("SOL", n_sol)])
+    box = 14.0
+    params = RunParams(strict_min_image=False, temperature=300.0,
+                       r_cut=6.0, cutoff_mode="site", coulomb="ewald",
+                       nk=4, ksq_max=16)
+    com = jnp.asarray(cubic_lattice(n_sol + 1, box), F64)
+    quat = random_quaternion(jax.random.PRNGKey(21), (n_sol + 1,), F64)
+
+    def energy(system, n_keep):
+        mc = MonteCarlo(system, params, dtype=F64, pallas=False,
+                        recompute_chunk=1)
+        st = mc.init_state(jax.random.PRNGKey(0), com[:n_keep],
+                           quat=quat[:n_keep], box=box, n_chains=1)
+        return mc, st
+
+    _, st_full = energy(full, n_sol + 1)
+    _, st_rest = energy(rest, n_sol)
+    mc_1, st_1 = energy(tag_last_molecule(full, 1.0, 1.0), n_sol + 1)
+    mc_h, st_h = energy(tag_last_molecule(full, 0.45, 0.8), n_sol + 1)
+    _, st_0 = energy(tag_last_molecule(full, 0.0, 0.0), n_sol + 1)
+
+    e = lambda st: float(st.energy[0])  # noqa: E731
+    assert e(st_1) == pytest.approx(e(st_full), rel=1e-12)
+    assert e(st_0) == pytest.approx(e(st_rest), rel=1e-12)
+
+    # cross-lambda works on the 11-atom tagged solute telescope exactly
+    d_h = make_deletion_fn(mc_h.system, params, mc_h.kvecs, mc_h.kweights,
+                           dtype=F64, chunk=1, species=-1)(st_h)[0]
+    d_1x = make_deletion_fn(mc_1.system, params, mc_1.kvecs, mc_1.kweights,
+                            dtype=F64, chunk=1, species=-1,
+                            state_system=mc_h.system)(st_h)[0]
+    assert float(d_h[0, 0]) == pytest.approx(e(st_h) - e(st_0), rel=1e-10)
+    assert float(d_1x[0, 0] - d_h[0, 0]) == pytest.approx(
+        e(st_1) - e(st_h), rel=1e-9)
