@@ -217,13 +217,17 @@ def make_mol_slots(system, params, dtype=jnp.float64):
 
     def pose_batch(com_t, quats, coords, com, box, a_ok, excl, sfac_base,
                    cf):
-        """Energies of a batch of orientations at one COM: (u_j, ovr_j,
-        s_j) with u_j = pair + reciprocal delta vs sfac_base — the
-        Rosenbluth trial evaluator (one batched (k, P, A_pad) pair grid
-        + (k, K) structure factors)."""
-        def one(q):
-            ra = ev.pose_atoms(com_t, q)
-            e_p, ovr = ev.pair_energy(com_t, ra, coords, com, box, a_ok,
+        """Energies of a batch of trial poses: (u_j, ovr_j, s_j) with
+        u_j = pair + reciprocal delta vs sfac_base — the Rosenbluth
+        trial evaluator (one batched (k, P, A_pad) pair grid + (k, K)
+        structure factors).  com_t is (3,) for k orientations at one
+        COM (orientational bias) or (k, 3) for k full poses
+        (positional/cavity bias)."""
+        coms = jnp.broadcast_to(com_t, (quats.shape[0], 3))
+
+        def one(c, q):
+            ra = ev.pose_atoms(c, q)
+            e_p, ovr = ev.pair_energy(c, ra, coords, com, box, a_ok,
                                       excl)
             if use_ewald:
                 s = ev.pose_sfac(ra, box)
@@ -232,7 +236,7 @@ def make_mol_slots(system, params, dtype=jnp.float64):
                 s = jnp.zeros((K, 2), dtype)
             return e_p, ovr, s
 
-        return jax.vmap(one)(quats)
+        return jax.vmap(one)(coms, quats)
 
     return SimpleNamespace(
         ev=ev, P=P, cap=cap, A=A, A_pad=A_pad, K=K, kv=kv, kw=kw,
@@ -244,7 +248,8 @@ def make_mol_slots(system, params, dtype=jnp.float64):
 
 
 def make_gcmc_mol(system, params, activity, p_exchange=0.3,
-                  dtype=jnp.float64, chunk=8, n_orient=1):
+                  dtype=jnp.float64, chunk=8, n_orient=1,
+                  bias="orientation"):
     """Build the molecular-muVT step/energy functions.
 
     system: a uniform single-species System whose n_mol IS the slot
@@ -262,6 +267,15 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
     dense phases), never the sampled distribution; n_orient = 1 is the
     unbiased algorithm.  TPU-native: the k trials are ONE batched
     (k, P, A_pad) pair-grid + (k, K) structure-factor evaluation.
+
+    bias="pose" widens the trials from k orientations at ONE position
+    to k FULL poses (independent uniform positions AND orientations) —
+    positional/cavity bias, the dense-phase workhorse: insertion trials
+    hunt for cavities across the whole box, deletions complete the
+    reverse ensemble with k-1 fresh full poses.  The trial proposal
+    density stays uniform per trial, so the W/k acceptance rule is
+    unchanged and exactness is inherited (gated by the bias="pose"
+    k=1-vs-k=8 ensemble-equality test).
     """
     ms = make_mol_slots(system, params, dtype)
     ev, P, cap = ms.ev, ms.P, ms.cap
@@ -276,6 +290,9 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
     n_or = int(n_orient)
     if n_or < 1:
         raise ValueError("n_orient must be >= 1")
+    if bias not in ("orientation", "pose"):
+        raise ValueError(f"bias must be 'orientation' or 'pose': {bias!r}")
+    pose_bias = bias == "pose"
     # within non-exchange attempts, split params.p_translate : rest
     p_disp = (1.0 - px) * float(params.p_translate)
     p_rot = (1.0 - px) * (1.0 - float(params.p_translate))
@@ -287,7 +304,7 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
         com, quat, coords, active, box, sfac, e, key, acc, att = carry
         key, k = jax.random.split(key)
         (k_move, k_sel, k_pos, k_rot, k_insq, k_delq, k_pick,
-         k_acc) = jax.random.split(k, 8)
+         k_acc, k_inspos, k_delpos) = jax.random.split(k, 10)
         n = jnp.sum(active.astype(jnp.int32))
         nf = n.astype(dtype)
         u_move = jax.random.uniform(k_move, dtype=dtype)
@@ -331,9 +348,13 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
             d_move = jnp.zeros((), dtype)
         du_move = e_new - e_old + d_move
 
-        # --- insertion: k trial orientations at one uniform position ---
-        # (Rosenbluth orientational bias; n_or = 1 is the unbiased rule)
-        com_ins = jax.random.uniform(k_pos, (3,), dtype) * box
+        # --- insertion: k trial orientations at one uniform position
+        # (orientational bias), or k full uniform poses (cavity bias) ---
+        # (Rosenbluth k-trials; n_or = 1 is the unbiased rule)
+        if pose_bias:
+            com_ins = jax.random.uniform(k_inspos, (n_or, 3), dtype) * box
+        else:
+            com_ins = jax.random.uniform(k_pos, (3,), dtype) * box
         quats_i = trial_quats(k_insq, n_or)
         u_i, ovr_i, s_i = pose_batch(com_ins, quats_i, coords, com, box,
                                      a_ok, -1, sfac, cf)
@@ -344,6 +365,7 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
         u_pick = jax.random.uniform(k_pick, dtype=dtype)
         j_sel = jnp.argmax(jnp.cumsum(w_i) > u_pick * w_sum_i)
         quat_ins = quats_i[j_sel]
+        com_ins = com_ins[j_sel] if pose_bias else com_ins
         ra_ins = ev.pose_atoms(com_ins, quat_ins)
         s_ins = s_i[j_sel]
         ec_ins = exchange_const(box, n, +1.0)
@@ -360,7 +382,12 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
             u_exist = e_old
         if n_or > 1:
             quats_d = trial_quats(k_delq, n_or - 1)
-            u_d, ovr_d, _ = pose_batch(com_i, quats_d, coords, com, box,
+            if pose_bias:
+                coms_d = jax.random.uniform(k_delpos, (n_or - 1, 3),
+                                            dtype) * box
+            else:
+                coms_d = com_i
+            u_d, ovr_d, _ = pose_batch(coms_d, quats_d, coords, com, box,
                                        a_ok, idx, sfac_wo, cf)
             neg_d = jnp.concatenate([(-beta * u_exist)[None],
                                      jnp.where(ovr_d, neg_inf,
@@ -463,12 +490,14 @@ class MolGCMC:
     """
 
     def __init__(self, system, params, activity, p_exchange=0.3,
-                 dtype=jnp.float64, chunk=8, n_orient=1):
+                 dtype=jnp.float64, chunk=8, n_orient=1,
+                 bias="orientation"):
         self.params = params
         self.capacity = system.n_mol
         self._system = system
         self._init, self.run_steps, self.full_energy = make_gcmc_mol(
-            system, params, activity, p_exchange, dtype, chunk, n_orient)
+            system, params, activity, p_exchange, dtype, chunk, n_orient,
+            bias)
 
     def init(self, key, box, n_init, n_chains):
         return self._init(key, box, n_init, n_chains)

@@ -79,7 +79,9 @@ def _run_gcmc(cfg, system, params, dtype, args):
     systems (P > 1, e.g. spce) the full molecular app (mc/gcmc_mol.py,
     orientational insertions + electrostatics) — there the model's
     n_mol IS the slot capacity, so it must equal ensemble.capacity.
-    Optional `"p_exchange"` sets the exchange-attempt probability."""
+    Optional `"p_exchange"` sets the exchange-attempt probability;
+    `"n_orient"` the Rosenbluth trial count; `"bias": "pose"` widens
+    the trials to full poses (positional/cavity bias)."""
     run_cfg = cfg.get("run", {})
     ens = run_cfg["ensemble"]
     if ens.get("kind") == "osmotic":
@@ -96,7 +98,8 @@ def _run_gcmc(cfg, system, params, dtype, args):
                 "slots ARE the system's molecules")
         g = MolGCMC(system, params, activity=float(ens["activity"]),
                     p_exchange=float(ens.get("p_exchange", 0.3)),
-                    dtype=dtype, n_orient=int(ens.get("n_orient", 1)))
+                    dtype=dtype, n_orient=int(ens.get("n_orient", 1)),
+                    bias=ens.get("bias", "orientation"))
     else:
         from metropolismontecarlo_tpu.mc.gcmc import GCMC
         unsupported = {"p_exchange", "n_orient"} & set(ens)

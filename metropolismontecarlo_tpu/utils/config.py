@@ -23,7 +23,9 @@ Schema (all sections optional except model):
                                 "spacing": "geometric"},  // per-chain
                                 // isobars (one-run EOS; K/A^3)
             "ensemble": {"kind": "gcmc", "activity": 0.05,  // muVT mode
-                         "capacity": 96, "box": 8.0, "n_init": 30},
+                         "capacity": 96, "box": 8.0, "n_init": 30,
+                         "n_orient": 8, "bias": "pose"},  // Rosenbluth
+                                     // k-trials; "pose" = cavity bias
                         // or {"kind": "gibbs", "boxes": [L1, L2],
                         //     "n_init": [n1, n2], "capacity": 256,
                         //     "dv_max": 0.03}  (two-box coexistence)

@@ -223,3 +223,48 @@ def test_gcmc_mol_checkpoint_resume(tmp_path):
     from metropolismontecarlo_tpu.mc.gibbs_mol import MolGibbsState
     with pytest.raises(ValueError, match="MolGibbsState"):
         load_ensemble_state(path, MolGibbsState)
+
+
+def test_gcmc_mol_pose_bias_same_ensemble():
+    """bias="pose" (k full uniform poses: positional/cavity bias, the
+    dense-phase workhorse) must sample the SAME muVT distribution as
+    the unbiased sampler — same <N>, <E>; only acceptance changes."""
+    z, box, t = 0.05, 6.0, 3.0
+    params = RunParams(strict_min_image=False, temperature=t, r_cut=2.5,
+                       cutoff_mode="site", coulomb="none", p_translate=0.5,
+                       dr_max=0.5, dphi_max=1.0, use_lrc=False)
+    sysT = triatomic_system(48)
+    results = {}
+    for k in (1, 8):
+        g = MolGCMC(sysT, params, activity=z, p_exchange=0.4, n_orient=k,
+                    bias="pose")
+        st = g.init(jax.random.PRNGKey(30 + k), box=box, n_init=10,
+                    n_chains=96)
+        st, _ = g.run_block(st, 3000)
+        ns, es = [], []
+        for _ in range(4):
+            st, stats = g.run_block(st, 800, drift_tol=1e-10)
+            ns.append(stats["n_mean"])
+            es.append(stats["energy_mean"])
+            assert stats["full_frac"] == 0.0
+        results[k] = (np.mean(ns), np.mean(es))
+    n1, e1 = results[1]
+    n8, e8 = results[8]
+    assert n8 == pytest.approx(n1, rel=0.05), results
+    assert e8 == pytest.approx(e1, rel=0.15), results
+
+
+def test_gcmc_mol_pose_bias_ewald_drift():
+    """Cavity-biased exchanges keep the carried energy and structure
+    factors exact through the full Ewald bookkeeping."""
+    params = _water_params()
+    g = MolGCMC(spce_system(27), params, activity=2.5e-3, p_exchange=0.5,
+                n_orient=6, bias="pose")
+    st = g.init(jax.random.PRNGKey(4), box=20.0, n_init=14, n_chains=12)
+    ins = dels = 0.0
+    for _ in range(2):
+        st, stats = g.run_block(st, 500, drift_tol=1e-9)
+        assert stats["sfac_err_max"] < 1e-8, stats
+        ins += stats["acc_insert"]
+        dels += stats["acc_delete"]
+    assert ins > 0.0 and dels > 0.0, (ins, dels)
