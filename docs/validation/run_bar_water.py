@@ -7,12 +7,15 @@ Hummer et al. J. Phys. Chem. 100, 1206 (1996)).  It is also the
 classic demonstration of why free-energy METHODS matter more than
 sample counts:
 
-  * direct Widom insertion is carried by ~1-in-1e4 cavity hits and
-    lands several kJ/mol HIGH even with millions of ghosts;
+  * direct Widom insertion is carried by ~1-in-1e4 cavity hits: the
+    estimator is dominated by the far tail of the insertion-energy
+    distribution and scatters by several kJ/mol run to run (measured
+    here: -19.97 at 21M ghosts in one run, -29.55 at 1.6M in another);
   * single-stage BAR (insertions + deletions) is minimum-variance but
     still assumes the two work distributions overlap — in dense water
-    they don't, and it lands several kJ/mol LOW with a deceptively
-    tiny fold spread (measured here: -29.3 at 21M samples);
+    they barely do, and it sits several kJ/mol off with a deceptively
+    tiny fold spread (measured: -29.3 at 21M samples from
+    short-equilibrated endpoints, -26.0 from well-equilibrated ones);
   * the production answer is STAGED decoupling: a ladder of
     lambda-scaled tagged systems (mc/fep.tag_last_molecule), each
     rung sampled with the ordinary mega-kernel driver, adjacent rungs
@@ -40,6 +43,11 @@ import jax
 
 if os.environ.get("BAR_CPU"):       # smoke runs (axon ignores JAX_PLATFORMS)
     jax.config.update("jax_platforms", "cpu")
+# 12 rungs x (sweep + ghost/deletion evaluators) = dozens of compiles;
+# cache them so reruns pay sampling only
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("BAR_CACHE", "/tmp/mmc_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np
@@ -252,9 +260,9 @@ def main():
         f"{wf0.size / 1e6:.1f}M decoupled-rung ghosts "
         f"({(~ov0).mean() * 100:.1f}% core-free)",
         f"mu_ex (Widom-only)       = {mu_widom * to_kj:+.2f} kJ/mol "
-        "(one-sided, biased high)",
+        "(one-sided, tail-dominated)",
         f"mu_ex (single-stage BAR) = {mu_ss * to_kj:+.2f} kJ/mol "
-        "(no overlap, biased low)",
+        "(two-state, overlap-limited)",
         f"mu_ex (staged BAR)       = {mu_staged * to_kj:+.2f} "
         f"+- {sem * to_kj:.2f} kJ/mol (4 chain-folds)",
         f"literature (SPC/E)       ~ {LIT_KJMOL} kJ/mol",
