@@ -29,15 +29,15 @@ from metropolismontecarlo_tpu.mc.gcmc_mol import MolGCMC
 from metropolismontecarlo_tpu.models.system import RunParams
 from metropolismontecarlo_tpu.models.water import spce_system
 
-T = 700.0                 # dense but exchange-tractable (see gcmc_water)
-BOX = 15.0
-Z = 8.0e-4                # A^-3
+T = 500.0                 # liquid branch: z > ~2e-4/A^3 condenses here
+BOX = 14.0
+Z = 5.0e-4                # A^-3
 CAP = 128
-N_INIT = 64
+N_INIT = 76               # ~0.83 g/cc, the 500 K liquid density
 N_CHAINS = int(os.environ.get("POSE_CHAINS", 256))
-EQUIL_STEPS = int(os.environ.get("POSE_EQUIL", 4000))
+EQUIL_STEPS = int(os.environ.get("POSE_EQUIL", 6000))
 PROD_BLOCKS = int(os.environ.get("POSE_PROD", 6))
-BLOCK_STEPS = 1500
+BLOCK_STEPS = 2000
 
 
 SEEDS = {"unbiased": 101, "orient-k8": 202, "pose-k8": 303}

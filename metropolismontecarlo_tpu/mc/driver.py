@@ -161,6 +161,11 @@ class MonteCarlo:
                  make_sweep_fn(system, params, self.kvecs, self.kweights,
                                dtype, pallas_mode, species=sl))
                 for sl in system.species_slices)
+        if pressure_ladder is not None and params.p_volume <= 0.0:
+            raise ValueError(
+                "pressure_ladder requires params.p_volume > 0 — with no "
+                "volume moves every chain would silently sample the same "
+                "fixed-V NVT ensemble instead of its isobar")
         self._volume_move = (
             make_volume_move_fn(system, params, self.kvecs, self.kweights,
                                 dtype, chunk=self.recompute_chunk,

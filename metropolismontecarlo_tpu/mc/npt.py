@@ -89,6 +89,11 @@ def make_volume_move_fn(system, params, kvecs, kweights, dtype=jnp.float32,
 
     def volume_move(state):
         C = state.com.shape[0]
+        if pres.ndim == 1 and pres.shape[0] != C:
+            raise ValueError(
+                f"pressure ladder has {pres.shape[0]} entries but the "
+                f"state carries {C} chains — one pressure per chain "
+                "(or a scalar) is required")
         box_new, com_new, coords_new, vol_old, vol_new, u_acc = \
             jax.vmap(attempt_one, in_axes=(0, 0, 0, 0, 0, 0, None))(
                 state.com, state.quat, state.box, state.energy, state.key,

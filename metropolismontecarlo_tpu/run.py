@@ -30,7 +30,11 @@ from metropolismontecarlo_tpu.utils.logging import JsonlLogger, banner, block_li
 
 def _start_box(run_cfg, system, base_dir):
     """The starting box edge implied by the run's start section (host
-    float; used to tune Ewald parameters before building the driver)."""
+    float; used to tune Ewald parameters before building the driver).
+    Must stay consistent with _initial_state, which derives its box
+    through this function for the lattice kind and from the parsed
+    file for nist/cnf (this re-parses — only paid when ewald_tol is
+    set)."""
     start = run_cfg.get("start", {"kind": "lattice"})
     kind = start.get("kind", "lattice").lower()
     if kind == "lattice":
@@ -53,10 +57,7 @@ def _initial_state(mc, run_cfg, system, base_dir):
     key = jax.random.PRNGKey(seed)
     n_chains = int(run_cfg.get("n_chains", 8))
     if kind == "lattice":
-        if "box" in start and start["box"]:
-            box = float(start["box"])
-        else:
-            box = (system.n_mol / float(start["density"])) ** (1.0 / 3.0)
+        box = _start_box(run_cfg, system, base_dir)
         com = cubic_lattice(system.n_mol, box)
         return mc.init_state(key, com, box=box, n_chains=n_chains)
     if kind == "nist":
@@ -86,6 +87,10 @@ def _run_gcmc(cfg, system, params, dtype, args):
     ens = run_cfg["ensemble"]
     if ens.get("kind") == "osmotic":
         from metropolismontecarlo_tpu.mc.gcmc_osmotic import OsmoticGCMC
+        if "bias" in ens:
+            raise ValueError("ensemble.bias applies only to molecular "
+                             "GCMC (mc/gcmc_mol.py); the osmotic app "
+                             "does not support cavity bias yet")
         g = OsmoticGCMC(system, params, activity=float(ens["activity"]),
                         p_exchange=float(ens.get("p_exchange", 0.3)),
                         dtype=dtype, n_orient=int(ens.get("n_orient", 1)))
@@ -102,7 +107,7 @@ def _run_gcmc(cfg, system, params, dtype, args):
                     bias=ens.get("bias", "orientation"))
     else:
         from metropolismontecarlo_tpu.mc.gcmc import GCMC
-        unsupported = {"p_exchange", "n_orient"} & set(ens)
+        unsupported = {"p_exchange", "n_orient", "bias"} & set(ens)
         if unsupported:
             raise ValueError(
                 f"ensemble keys {sorted(unsupported)} apply only to "
@@ -314,11 +319,16 @@ def main(argv=None):
         import dataclasses
 
         from metropolismontecarlo_tpu.ops.ewald import tune_parameters
-        box0 = _start_box(run_cfg, system, base_dir)
-        # ensemble sections size the box themselves
+        # ensemble sections size the box themselves (no start section);
+        # Gibbs tunes at the SMALLER box — kappa = kappa_L/box tracks
+        # each box, and the smaller one needs the most k-vectors
         ens0 = run_cfg.get("ensemble")
         if ens0 and "box" in ens0:
             box0 = float(ens0["box"])
+        elif ens0 and "boxes" in ens0:
+            box0 = min(float(b) for b in ens0["boxes"])
+        else:
+            box0 = _start_box(run_cfg, system, base_dir)
         kl, nk, ksq = tune_parameters(box0, params.qq_cut,
                                       float(ewald_tol))
         params = dataclasses.replace(params, kappa_L=kl, nk=nk,
