@@ -269,13 +269,16 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
     (k, P, A_pad) pair-grid + (k, K) structure-factor evaluation.
 
     bias="pose" widens the trials from k orientations at ONE position
-    to k FULL poses (independent uniform positions AND orientations) —
-    positional/cavity bias, the dense-phase workhorse: insertion trials
-    hunt for cavities across the whole box, deletions complete the
-    reverse ensemble with k-1 fresh full poses.  The trial proposal
-    density stays uniform per trial, so the W/k acceptance rule is
-    unchanged and exactness is inherited (gated by the bias="pose"
-    k=1-vs-k=8 ensemble-equality test).
+    to k FULL poses (independent uniform positions AND orientations);
+    deletions complete the reverse ensemble with k-1 fresh full poses.
+    The trial proposal density stays uniform per trial, so the W/k
+    acceptance rule is unchanged and exactness is inherited (gated by
+    the bias="pose" k=1-vs-k=8 ensemble-equality test).  Scope note
+    (measured, dense SPC/E on TPU): in the deep-rejection regime the
+    acceptance RATE is c*E[W] regardless of trial correlation, so pose
+    and orientation bias perform identically there; k-trial averaging
+    of either kind only raises acceptance where single-trial Boltzmann
+    factors saturate the Metropolis cap (Jensen on the concave min).
     """
     ms = make_mol_slots(system, params, dtype)
     ev, P, cap = ms.ev, ms.P, ms.cap
