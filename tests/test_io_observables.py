@@ -420,3 +420,34 @@ def test_cli_pressure_ladder(tmp_path):
     # so gate the endpoints with margin rather than strict monotonicity
     assert box[0] > 1.5 * box[-1], box
     assert box[:2].min() > box[-2:].max(), box
+
+
+def test_blocking_analysis_ar1_closed_form():
+    """Blocking analysis against an AR(1) process x_t = phi x_{t-1} +
+    eps: the exact integrated autocorrelation time is
+    tau = (1 + phi) / (2 (1 - phi)) and the true sem of the mean is
+    sem_naive * sqrt(2 tau); the plateau estimate must recover both,
+    and must reduce to the naive sem for white noise."""
+    from metropolismontecarlo_tpu.observables import blocking_analysis
+
+    rng = np.random.default_rng(3)
+    phi, n = 0.9, 1 << 17
+    eps = rng.normal(size=n)
+    x = np.empty(n)
+    x[0] = eps[0] / np.sqrt(1 - phi**2)
+    for t in range(1, n):
+        x[t] = phi * x[t - 1] + eps[t]
+    out = blocking_analysis(x)
+    tau_exact = (1 + phi) / (2 * (1 - phi))          # 9.5
+    assert out["tau"] == pytest.approx(tau_exact, rel=0.25), out
+    assert out["sem"] == pytest.approx(
+        out["sem_naive"] * np.sqrt(2 * tau_exact), rel=0.15), out
+
+    w = rng.normal(size=1 << 14)
+    out_w = blocking_analysis(w)
+    # plateau-max reading is conservative: within ~20% above naive
+    assert out_w["sem"] < 1.25 * out_w["sem_naive"], out_w
+    assert out_w["tau"] < 0.8, out_w
+
+    with pytest.raises(ValueError):
+        blocking_analysis(np.ones(8))
