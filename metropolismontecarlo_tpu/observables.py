@@ -184,6 +184,15 @@ class BlockAverager:
             return float("nan")
         return float(np.std(vals, ddof=1) / np.sqrt(len(vals)))
 
+    def sem_blocking(self, key, skip=0):
+        """Autocorrelation-aware sem of the block series (blocking_
+        analysis plateau); falls back to the naive sem when the series
+        is too short to block (< 32 entries)."""
+        vals = [b[key] for b in self.blocks[skip:] if key in b]
+        if len(vals) < 32:
+            return self.sem(key, skip)
+        return blocking_analysis(vals)["sem"]
+
 
 def blocking_analysis(series, min_blocks=16):
     """Flyvbjerg-Petersen blocking analysis: the autocorrelation-aware

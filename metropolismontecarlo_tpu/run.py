@@ -550,11 +550,13 @@ def main(argv=None):
                    metadata={"block": n_blocks})
     logger.close()
     if not args.quiet and averages.blocks:
+        # blocking-plateau errors when the block series is long enough
+        # to resolve its own autocorrelation (observables.blocking_analysis)
         print(f"production averages over {len(averages.blocks)} blocks: "
               f"<E> = {averages.mean('energy_mean'):.4f} "
-              f"+- {averages.sem('energy_mean'):.4f}   "
+              f"+- {averages.sem_blocking('energy_mean'):.4f}   "
               f"<P> = {averages.mean('pressure_mean'):.6f} "
-              f"+- {averages.sem('pressure_mean'):.6f}")
+              f"+- {averages.sem_blocking('pressure_mean'):.6f}")
         print("done.")
     elif not args.quiet:
         print("done.")
