@@ -87,6 +87,34 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
     wall = 2.0 * max(params.r_cut, params.qq_cut) \
         if params.strict_min_image else 0.0
 
+    def check_ewald_consistency(boxes, tol=5e-3):
+        """Transfers require BOTH boxes to sample the SAME model, which
+        for Ewald means both truncation tails must be CONVERGED — a
+        merely self-consistent truncated model is box-dependent under
+        the kappa = kappa_L/box convention (erfc(kappa r_cut) differs
+        between boxes), and molecules then drain into whichever box's
+        mangled electrostatics are more favorable.  MEASURED: the
+        reference convention kappa_L = 5.6, nk = 5 with r_cut 5.5 gives
+        erfc(kappa r_cut) = 0.05 in a 22 A box, and supercritical water
+        in (14, 22) boxes splits to a 15x density ratio instead of
+        equalizing; with tuned parameters it equalizes.  Fix with
+        ops.ewald.tune_parameters(max_box, r_cut, tol)."""
+        if not use_ewald:
+            return
+        from scipy.special import erfc as _herfc
+        worst = float(np.max(_herfc(
+            params.kappa_L / np.asarray(boxes, np.float64)
+            * params.qq_cut)))
+        if worst > tol:
+            big = float(np.max(boxes))
+            raise ValueError(
+                f"Ewald real-space truncation erfc(kappa*qq_cut) = "
+                f"{worst:.2e} in the {big:.1f} A box exceeds {tol:g}: "
+                "the two boxes would sample DIFFERENT truncated models "
+                "and transfers drain into the softer one.  Set kappa_L/"
+                "nk/ksq_max from ops.ewald.tune_parameters(max_box, "
+                "r_cut, tol) for the largest box this run can reach")
+
     def pose_sfac_or_zero(ra, box):
         if use_ewald:
             return ev.pose_sfac(ra, box)
@@ -326,6 +354,7 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
                 "image (set strict_min_image=False to sample the "
                 "truncated model); the volume move only walls PROPOSED "
                 "boxes, so an illegal start would go uncaught")
+        check_ewald_consistency(np.asarray(boxes))
         k_chain, k1, k2 = jax.random.split(jnp.asarray(key), 3)
         keys = jax.random.split(k_chain, n_chains)
         per_box = [ms.pose_lattice_init(kk, float(b), n_chains)
@@ -378,7 +407,8 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
                                        state.coords, state.active,
                                        state.box, state.sfac, ks)
 
-    return init, run_steps, full_energy, widom_boltzmann
+    return (init, run_steps, full_energy, widom_boltzmann,
+            check_ewald_consistency)
 
 
 class MolGibbsEnsemble:
@@ -394,9 +424,10 @@ class MolGibbsEnsemble:
         self.params = params
         self.capacity = system.n_mol
         (self._init, self.run_steps, self.full_energy,
-         self.widom_boltzmann) = make_gibbs_mol(system, params, dv_max,
-                                                p_transfer, dtype,
-                                                n_orient, chunk)
+         self.widom_boltzmann,
+         self._check_ewald) = make_gibbs_mol(system, params, dv_max,
+                                             p_transfer, dtype,
+                                             n_orient, chunk)
 
     def init(self, key, boxes, n_init, n_chains):
         return self._init(key, boxes, n_init, n_chains)
@@ -404,6 +435,9 @@ class MolGibbsEnsemble:
     def run_block(self, state, n_steps, drift_tol=None):
         att0, acc0 = state.att, state.acc
         state = self.run_steps(state, n_steps)
+        # volume exchange can grow a box past the Ewald-consistency
+        # envelope checked at init — re-check at block boundaries
+        self._check_ewald(np.asarray(jnp.max(state.box))[None])
         e, sf = self.full_energy(state)
         scale = jnp.maximum(jnp.abs(e), 1.0)
         drift = jnp.max(jnp.abs(e - state.energy) / scale)

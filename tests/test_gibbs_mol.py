@@ -76,8 +76,13 @@ def test_gibbs_mol_spce_ewald_drift():
     structure factors must survive transfers (with the box-dependent
     self+intra constants) and volume exchanges (full recompute under
     per-box kappa) — checked against dense recomputes."""
+    # kappa_L/nk sized for the LARGER box (the Ewald-consistency guard:
+    # both boxes must sample the same converged model)
+    from metropolismontecarlo_tpu.ops.ewald import tune_parameters
+    kl, nk, ksq = tune_parameters(23.0, 8.0, 1e-3)
     params = RunParams(temperature=600.0, r_cut=8.0, cutoff_mode="site",
-                       coulomb="ewald", use_lrc=False, p_translate=0.5,
+                       coulomb="ewald", kappa_L=kl, nk=nk, ksq_max=ksq,
+                       use_lrc=False, p_translate=0.5,
                        p_volume=0.02, dr_max=1.5, dphi_max=0.8)
     g = MolGibbsEnsemble(spce_system(27), params, dv_max=0.02,
                          p_transfer=0.5)
@@ -129,8 +134,11 @@ def test_gibbs_mol_orientational_bias_same_ensemble():
 def test_gibbs_mol_orientational_bias_ewald_drift():
     """Biased transfers keep the carried per-box energies and structure
     factors exact."""
+    from metropolismontecarlo_tpu.ops.ewald import tune_parameters
+    kl, nk, ksq = tune_parameters(23.0, 8.0, 1e-3)
     params = RunParams(temperature=600.0, r_cut=8.0, cutoff_mode="site",
-                       coulomb="ewald", use_lrc=False, p_translate=0.5,
+                       coulomb="ewald", kappa_L=kl, nk=nk, ksq_max=ksq,
+                       use_lrc=False, p_translate=0.5,
                        p_volume=0.02, dr_max=1.5, dphi_max=0.8)
     g = MolGibbsEnsemble(spce_system(27), params, dv_max=0.02,
                          p_transfer=0.5, n_orient=4)
@@ -153,3 +161,32 @@ def test_gibbs_mol_min_image_guard():
     with pytest.raises(ValueError, match="minimum-image"):
         g.init(jax.random.PRNGKey(0), boxes=(15.0, 23.0),
                n_init=(4, 4), n_chains=2)
+
+
+def test_gibbs_mol_ewald_consistency_guard():
+    """Transfers between DIFFERENT-SIZED boxes require the Ewald sums to
+    be converged in BOTH (kappa = kappa_L/box makes the truncated model
+    box-dependent; measured: supercritical water in (14, 22) boxes with
+    the reference kappa_L = 5.6 splits to a 15x density ratio instead
+    of equalizing — molecules drain into the box whose mangled
+    electrostatics are softer).  The app must refuse such parameters
+    and accept tuned ones."""
+    from metropolismontecarlo_tpu.ops.ewald import tune_parameters
+
+    params = RunParams(strict_min_image=False, temperature=600.0,
+                       r_cut=5.5, cutoff_mode="site", coulomb="ewald",
+                       use_lrc=False, p_translate=0.5, p_volume=0.0,
+                       dr_max=0.5, dphi_max=0.8)
+    g = MolGibbsEnsemble(spce_system(16), params, p_transfer=0.4)
+    with pytest.raises(ValueError, match="DIFFERENT truncated models"):
+        g.init(jax.random.PRNGKey(0), boxes=(14.0, 22.0),
+               n_init=(8, 8), n_chains=2)
+
+    import dataclasses
+    kl, nk, ksq = tune_parameters(22.0, 5.5, 1e-3)
+    ok = dataclasses.replace(params, kappa_L=kl, nk=nk, ksq_max=ksq)
+    g2 = MolGibbsEnsemble(spce_system(16), ok, p_transfer=0.4)
+    st = g2.init(jax.random.PRNGKey(0), boxes=(14.0, 22.0),
+                 n_init=(8, 8), n_chains=2)
+    st, stats = g2.run_block(st, 50, drift_tol=1e-9)
+    assert stats["acc_disp"] >= 0.0
