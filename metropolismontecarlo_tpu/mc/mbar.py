@@ -180,3 +180,54 @@ def reweight_temperature(energies, temps, t_targets, pv=None):
         out["c"].append(e_var / t**2)
         out["ess"].append(ess)
     return {k: np.asarray(v) for k, v in out.items()}
+
+
+def reweight_activity_mbar(n_kn, activities, z_targets):
+    """Pool muVT (GCMC) runs at several activities via MBAR.
+
+    `gcmc.reweight_activity` reweights ONE run's N-histogram — exact,
+    but its reach is set by that single run's sampled N range.  Pooling
+    runs at different activities z_k extends the reach to the union of
+    their N ranges with optimal (MBAR) weighting in the overlap.  The
+    key simplification at fixed T, V: the muVT reduced potential is
+    u_k(x) = beta U(x) - N(x) ln z_k, and the beta*U term is COMMON to
+    every activity state, so it cancels out of the MBAR equations
+    identically (a per-sample shift shared by all states leaves the
+    self-consistent f_k and all weights invariant).  Only the molecule
+    counts are needed:  u_kn = -N_n ln z_k.
+
+    n_kn: (K, S) molecule-number samples — row k from the run at
+    activity `activities[k]` (e.g. stacked `jnp.sum(state.active, -1)`
+    snapshots, flattened over chains x blocks).  z_targets: activities
+    to predict at.
+
+    Returns a dict of arrays over targets: n_mean, n_var, ess, and
+    pn — (M, N_max+1) normalized P(N) at each target.
+
+    Exactness anchors (tests/test_mbar.py): ideal gas gives
+    N ~ Poisson(z V) at EVERY activity; a K = 1 pool must equal
+    `gcmc.reweight_activity` on the same run's histogram to solver
+    tolerance (the two estimators coincide identically at K = 1).
+    """
+    n_kn = np.asarray(n_kn, np.float64)
+    zs = np.asarray(activities, np.float64).ravel()
+    K, S = n_kn.shape
+    assert zs.shape == (K,) and np.all(zs > 0.0)
+    pooled = n_kn.ravel()                        # (N,) molecule counts
+    u_kn = -pooled[None, :] * np.log(zs)[:, None]
+    nsamp = np.full(K, S, np.float64)
+    f_k = mbar_solve(u_kn, nsamp)
+
+    n_max = int(pooled.max())
+    out = {k: [] for k in ("n_mean", "n_var", "ess", "pn")}
+    for z in np.atleast_1d(np.asarray(z_targets, np.float64)):
+        if z <= 0.0:
+            raise ValueError("activities must be positive")
+        _, w, ess = mbar_weights(-pooled * np.log(z), f_k, u_kn, nsamp)
+        n_mean = float(np.sum(w * pooled))
+        out["n_mean"].append(n_mean)
+        out["n_var"].append(float(np.sum(w * (pooled - n_mean) ** 2)))
+        out["ess"].append(ess)
+        out["pn"].append(np.bincount(pooled.astype(np.int64), weights=w,
+                                     minlength=n_max + 1))
+    return {k: np.asarray(v) for k, v in out.items()}

@@ -121,6 +121,49 @@ def test_temperature_reweighting_harmonic():
     assert far["ess"][0] < 0.05 * e.size
 
 
+def test_activity_pooling_ideal_gas():
+    # ideal gas muVT: N ~ Poisson(z V) at every activity; pooled runs
+    # at three activities must predict the mean AND the variance (= zV)
+    # at a never-sampled activity in between
+    rng = np.random.default_rng(6)
+    v = 50.0
+    zs = np.asarray([0.5, 1.0, 2.0])
+    s = 30000
+    n_kn = np.stack([rng.poisson(z * v, s) for z in zs])
+    from metropolismontecarlo_tpu.mc.mbar import reweight_activity_mbar
+    out = reweight_activity_mbar(n_kn, zs, [0.7, 1.5])
+    np.testing.assert_allclose(out["n_mean"], np.asarray([0.7, 1.5]) * v,
+                               rtol=0.01)
+    np.testing.assert_allclose(out["n_var"], np.asarray([0.7, 1.5]) * v,
+                               rtol=0.05)
+    # Poisson rungs are NARROW (sigma ~ sqrt(zV)), so a between-rung
+    # target overlaps only the tails of its neighbors: ESS is a modest
+    # fraction of the pool, not ~pool (unlike broad-energy temperature
+    # reweighting) — but still orders of magnitude above extrapolation
+    assert np.all(out["ess"] > 0.02 * n_kn.size)
+    # P(N) rows are normalized distributions
+    np.testing.assert_allclose(out["pn"].sum(axis=1), 1.0, atol=1e-12)
+    # far extrapolation announces itself
+    far = reweight_activity_mbar(n_kn, zs, [20.0])
+    assert far["ess"][0] < 0.01 * n_kn.size
+
+
+def test_activity_k1_equals_histogram_route():
+    # a single-run pool IS histogram reweighting: identical estimators,
+    # agreement to solver tolerance (not statistical error)
+    from metropolismontecarlo_tpu.mc.gcmc import reweight_activity
+    from metropolismontecarlo_tpu.mc.mbar import reweight_activity_mbar
+    rng = np.random.default_rng(7)
+    z0, v, s = 1.0, 30.0, 20000
+    n = rng.poisson(z0 * v, s)
+    hist = np.bincount(n, minlength=n.max() + 1)
+    for z_new in (0.8, 1.3):
+        ref = reweight_activity(hist, z0, z_new)
+        out = reweight_activity_mbar(n[None, :], [z0], [z_new])
+        assert abs(out["n_mean"][0] - ref["n_mean"]) < 1e-9
+        assert abs(out["n_var"][0] - ref["n_var"]) < 1e-7
+
+
 def test_unconverged_raises():
     rng = np.random.default_rng(5)
     _, u_kn, _ = gaussian_states([1.0, 2.0], [0.0, 0.0], 100, rng)
