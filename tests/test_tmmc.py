@@ -1,0 +1,155 @@
+"""TMMC gates (mc/tmmc.py) — closed forms and cross-implementation
+checks, not regressions.
+
+  * ideal gas: ln Pi(N) = N ln(zV) - ln N! exactly;
+  * bias invariance: the collection matrix records UNBIASED acceptance
+    probabilities, so any eta leaves ln Pi unchanged (only the sampled
+    N range widens);
+  * interacting LJ: P(N) from ln Pi must match a plain-GCMC histogram
+    at the same state point (two different estimators, same model);
+  * coexistence solver: synthetic double-Gaussian ln Pi with a known
+    equal-weight activity;
+  * the carried-energy drift invariant.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.special import gammaln
+
+from metropolismontecarlo_tpu.mc.tmmc import (
+    TMMC,
+    bias_from_lnpi,
+    coexistence,
+    lnpi_from_cmat,
+    reweight_lnpi,
+)
+from metropolismontecarlo_tpu.models.monatomic import lj_system
+from metropolismontecarlo_tpu.models.system import RunParams
+
+
+def _params(t=1.2, dr=0.4):
+    return RunParams(strict_min_image=False, temperature=t, r_cut=2.5,
+                     cutoff_mode="site", coulomb="none", p_translate=0.4,
+                     dr_max=dr, use_lrc=False)
+
+
+def _ideal_lnpi(zv, nmax):
+    n = np.arange(nmax + 1)
+    return n * np.log(zv) - gammaln(n + 1.0)
+
+
+def test_ideal_gas_lnpi_exact():
+    """eps = 0: every exchange acceptance probability is a CLOSED FORM
+    (min(1, zV/(N+1)) up, min(1, N/zV) down) and the Rao-Blackwellized
+    deposit is deterministic per N, so ln Pi is EXACT (to fp rounding)
+    on the whole visited range after a single visit each."""
+    box, z = 5.0, 0.08            # zV = 10
+    t = TMMC(lj_system(1, eps=0.0), _params(), activity=z, capacity=48)
+    st = t.init(jax.random.PRNGKey(0), box=box, n_init=10, n_chains=64)
+    for _ in range(6):
+        st, stats = t.run_block(st, 1500, drift_tol=1e-9)
+    lnpi = t.lnpi()
+    fin = np.isfinite(lnpi)
+    exact = _ideal_lnpi(z * box**3, 48)
+    i0 = np.where(fin)[0][0]
+    d = (lnpi - lnpi[i0]) - (exact - exact[i0])
+    assert np.sum(fin) > 15
+    assert np.max(np.abs(d[fin])) < 1e-8, np.max(np.abs(d[fin]))
+
+
+def test_bias_invariance_and_range_widening():
+    """An arbitrary strong bias must leave ln Pi unchanged (C records
+    unbiased probabilities) while widening the sampled N range."""
+    box, z = 5.0, 0.08
+    sys_ = lj_system(1, eps=0.0)
+
+    t0 = TMMC(sys_, _params(), activity=z, capacity=48)
+    st = t0.init(jax.random.PRNGKey(1), box=box, n_init=10, n_chains=64)
+    for _ in range(4):
+        st, s0 = t0.run_block(st, 1500, update_bias=False)   # eta = 0
+
+    t1 = TMMC(sys_, _params(), activity=z, capacity=48)
+    # strong arbitrary bias toward large N: eta(N) = +0.35 N
+    t1.eta = 0.35 * np.arange(49, dtype=np.float64)
+    st1 = t1.init(jax.random.PRNGKey(2), box=box, n_init=10, n_chains=64)
+    for _ in range(4):
+        st1, s1 = t1.run_block(st1, 1500, update_bias=False)
+
+    l0, l1 = t0.lnpi(), t1.lnpi()
+    both = np.isfinite(l0) & np.isfinite(l1)
+    i0 = np.where(both)[0][0]
+    d = (l0 - l0[i0]) - (l1 - l1[i0])
+    # ideal gas + Rao-Blackwellized deposits: both runs are exact on
+    # their visited ranges, so the biased and unbiased estimates must
+    # coincide to fp rounding wherever both visited
+    assert np.max(np.abs(d[both])) < 1e-8, np.max(np.abs(d[both]))
+    # the biased walker pushed well past the unbiased Poisson peak
+    assert s1["n_max"] > s0["n_max"] + 5
+
+
+def test_interacting_matches_gcmc_histogram():
+    """Same interacting model, two estimators: P(N) from the TMMC
+    ln Pi vs a plain-GCMC N histogram."""
+    from metropolismontecarlo_tpu.mc.gcmc import GCMC, n_counts
+
+    box, z, temp = 5.0, 0.05, 1.5
+    t = TMMC(lj_system(1), _params(temp), activity=z, capacity=64)
+    st = t.init(jax.random.PRNGKey(3), box=box, n_init=12, n_chains=64)
+    for _ in range(6):
+        st, _ = t.run_block(st, 2000, drift_tol=1e-9, update_bias=False)
+    lnpi = t.lnpi()
+
+    g = GCMC(lj_system(1), _params(temp), activity=z, capacity=64)
+    sg = g.init(jax.random.PRNGKey(4), box=box, n_init=12, n_chains=64)
+    sg, _ = g.run_block(sg, 4000)
+    hist = np.zeros(65, np.int64)
+    for _ in range(6):
+        sg, _ = g.run_block(sg, 1000, drift_tol=1e-9)
+        hist += n_counts(sg, 64)
+
+    fin = np.isfinite(lnpi)
+    p_tm = np.where(fin, np.exp(lnpi - lnpi[fin].max()), 0.0)
+    p_tm /= p_tm.sum()
+    n = np.arange(65)
+    mean_tm = float((n * p_tm).sum())
+    mean_g = float((n * hist).sum() / hist.sum())
+    # two independent stochastic estimates of <N>; generous bound
+    assert abs(mean_tm - mean_g) < 0.05 * mean_g + 0.5, (mean_tm, mean_g)
+
+
+def test_coexistence_solver_synthetic():
+    """Double-Gaussian ln Pi built at known equal-weight activity z*:
+    the solver must recover z* and the basin means."""
+    n = np.arange(301, dtype=np.float64)
+    m1, s1, m2, s2 = 20.0, 6.0, 220.0, 12.0
+    v = 343.0
+    # equal weights at z_star: both Gaussians integrate to ln w = 0
+    lnpi_star = np.logaddexp(-0.5 * ((n - m1) / s1) ** 2 - np.log(s1),
+                             -0.5 * ((n - m2) / s2) ** 2 - np.log(s2))
+    z_star = 0.07
+    z0 = 0.03          # de-tune: hand the solver the ln Pi at z0
+    lnpi_z0 = lnpi_star + n * np.log(z0 / z_star)
+    res = coexistence(lnpi_z0, z0, v)
+    assert res["z_coex"] == pytest.approx(z_star, rel=1e-3)
+    assert abs(res["dlnw"]) < 1e-6
+    assert res["rho_vap"] == pytest.approx(m1 / v, rel=0.02)
+    assert res["rho_liq"] == pytest.approx(m2 / v, rel=0.02)
+
+
+def test_reweight_and_bias_utilities():
+    lnpi = np.array([-np.inf, 0.0, 1.0, 0.5, -np.inf])
+    out = reweight_lnpi(lnpi, 1.0, np.e)   # adds N per step
+    fin = np.isfinite(out)
+    assert fin.tolist() == [False, True, True, True, False]
+    assert out[fin].max() == 0.0
+    eta = bias_from_lnpi(lnpi)
+    assert eta[0] == eta[1] == 0.0         # clamped + gauged at first
+    assert eta[4] == eta[3]
+    assert np.all(np.isfinite(eta))
+
+
+def test_empty_cmat_raises():
+    with pytest.raises(ValueError, match="no measured transitions"):
+        lnpi_from_cmat(np.zeros((10, 3)))
