@@ -123,6 +123,14 @@ def make_slot_lj(system, params, capacity, dtype):
 def make_gcmc(system, params, activity, capacity, dtype=jnp.float64):
     """Build the muVT step/energy functions.
 
+    activity: scalar, or a (n_chains,) ACTIVITY LADDER — each chain
+    samples its own muVT ensemble (the grand-canonical analog of the
+    per-chain pressure ladders, `mc/npt.py`): one compiled run covers a
+    whole z-scan, and densely spaced rungs give `mc/mbar.
+    reweight_activity_mbar` the P(N) overlap it needs to bridge between
+    them.  Chains are independent, so a ladder costs nothing beyond the
+    scalar run.
+
     Returns (init, run_steps, full_energy):
       init(key, box, n_init, n_chains) -> GCMCState (lattice initial
           placement of n_init actives per chain);
@@ -131,14 +139,17 @@ def make_gcmc(system, params, activity, capacity, dtype=jnp.float64):
       full_energy(state) -> (C,) dense masked recompute (drift anchor).
     """
     beta = jnp.asarray(1.0 / params.temperature, dtype)
-    z = jnp.asarray(activity, dtype)
+    z_arr = jnp.asarray(activity, dtype)
+    if z_arr.ndim not in (0, 1):
+        raise ValueError("activity must be a scalar or a (n_chains,) "
+                         "ladder")
     p_t = float(params.p_translate)
     cap = int(capacity)
     _site_energy, _full_energy_one, _nth_active = make_slot_lj(
         system, params, cap, dtype)
 
     def _one_step(carry, _):
-        com, active, box, e, key, acc, att = carry
+        com, active, box, e, key, acc, att, z = carry
         key, k = jax.random.split(key)
         k_move, k_sel, k_pos, k_acc = jax.random.split(k, 4)
         n = jnp.sum(active.astype(jnp.int32))
@@ -183,12 +194,13 @@ def make_gcmc(system, params, activity, capacity, dtype=jnp.float64):
               + jnp.where(ok_d, -u_old, 0.0)
         a_row = jnp.stack([ok_t, ok_i, ok_d]).astype(jnp.int32)
         t_row = (jnp.arange(3) == mt).astype(jnp.int32)
-        return (com, active, box, e, key, acc + a_row, att + t_row), None
+        return (com, active, box, e, key, acc + a_row, att + t_row,
+                z), None
 
-    def _run_chain(com, active, box, e, key, acc, att, n_steps):
-        carry = (com, active, box, e, key, acc, att)
+    def _run_chain(com, active, box, e, key, acc, att, z, n_steps):
+        carry = (com, active, box, e, key, acc, att, z)
         carry, _ = jax.lax.scan(_one_step, carry, None, length=n_steps)
-        return carry
+        return carry[:7]
 
     @jax.jit
     def full_energy(state):
@@ -197,17 +209,23 @@ def make_gcmc(system, params, activity, capacity, dtype=jnp.float64):
 
     from functools import partial
 
+    z_axis = 0 if z_arr.ndim == 1 else None
+
     @partial(jax.jit, static_argnums=1)
     def run_steps(state, n_steps):
-        out = jax.vmap(_run_chain, in_axes=(0,) * 7 + (None,))(
+        out = jax.vmap(_run_chain, in_axes=(0,) * 7 + (z_axis, None))(
             state.com, state.active, state.box, state.energy, state.key,
-            state.acc, state.att, n_steps)
+            state.acc, state.att, z_arr, n_steps)
         return GCMCState(out[0], out[1], out[2], out[3], out[4],
                          out[5], out[6])
 
     def init(key, box, n_init, n_chains):
         if n_init > cap:
             raise ValueError("n_init exceeds capacity")
+        if z_arr.ndim == 1 and z_arr.shape[0] != n_chains:
+            raise ValueError(
+                f"activity ladder has {z_arr.shape[0]} rungs but "
+                f"n_chains={n_chains} (one activity per chain)")
         keys = jax.random.split(jnp.asarray(key), n_chains)
         # lattice start, NOT uniform random: random placement seeds
         # overlapped pairs whose floored ~1e12+ energies later cancel
@@ -276,6 +294,11 @@ def reweight_activity(hist, z0, z_new):
 
 class GCMC:
     """Driver wrapper: blocks with the drift invariant and N statistics.
+
+    `activity` may be a scalar or a (n_chains,) per-chain ladder (one
+    z-scan in one compiled run; see `make_gcmc`).  Ladder runs read
+    per-chain N from `jnp.sum(state.active, 1)` — the pooled `n_mean`
+    in the block stats mixes rungs.
 
     >>> g = GCMC(lj_system(1), params, activity=0.05, capacity=128)
     >>> st = g.init(key, box=8.0, n_init=24, n_chains=256)

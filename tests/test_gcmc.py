@@ -146,3 +146,41 @@ def test_gcmc_reweight_empty_histogram_raises():
 
     with pytest.raises(ValueError, match="empty"):
         reweight_activity(np.zeros(64), 0.1, 0.2)
+
+
+def test_gcmc_activity_ladder_per_chain_poisson():
+    """(n_chains,) activity ladder: each chain is its own muVT ensemble,
+    so with eps = 0 the per-rung group means must match Poisson(z_k V)
+    rung by rung — in ONE compiled run."""
+    box = 8.0
+    zs = np.asarray([0.01, 0.02, 0.04, 0.08])
+    per = 64
+    ladder = np.repeat(zs, per)              # (256,) chain activities
+    params = RunParams(strict_min_image=False, temperature=1.5, r_cut=2.5,
+                       cutoff_mode="site", coulomb="none", p_translate=0.3,
+                       dr_max=1.0, use_lrc=False)
+    g = GCMC(lj_system(1, eps=0.0), params, activity=ladder, capacity=96)
+    st = g.init(jax.random.PRNGKey(5), box=box, n_init=10,
+                n_chains=ladder.size)
+    st, _ = g.run_block(st, 3000)
+    n_sum = np.zeros(ladder.size)
+    blocks = 8
+    for _ in range(blocks):
+        st, stats = g.run_block(st, 800, drift_tol=1e-10)
+        assert stats["full_frac"] == 0.0
+        n_sum += np.asarray(jnp.sum(st.active, axis=1))
+    per_chain = n_sum / blocks
+    rung_means = per_chain.reshape(len(zs), per).mean(axis=1)
+    np.testing.assert_allclose(rung_means, zs * box**3, rtol=0.05)
+    # rungs must DIFFER (the ladder actually reached the kernel)
+    assert rung_means[-1] > 4 * rung_means[0]
+
+
+def test_gcmc_activity_ladder_length_mismatch_raises():
+    params = RunParams(strict_min_image=False, temperature=1.5, r_cut=2.5,
+                       cutoff_mode="site", coulomb="none", p_translate=0.3,
+                       dr_max=1.0, use_lrc=False)
+    g = GCMC(lj_system(1, eps=0.0), params, activity=np.asarray([0.1, 0.2]),
+             capacity=16)
+    with pytest.raises(ValueError, match="ladder"):
+        g.init(jax.random.PRNGKey(0), box=6.0, n_init=4, n_chains=8)
