@@ -182,6 +182,61 @@ def reweight_temperature(energies, temps, t_targets, pv=None):
     return {k: np.asarray(v) for k, v in out.items()}
 
 
+def reweight_muvt(energies, n_kn, temps, activities, targets):
+    """Joint (T, z) reweighting of muVT runs via MBAR.
+
+    The full grand-canonical reduced potential of a sample is
+    u_k(x) = U(x) / T_k - N(x) ln z_k, so pooling runs that differ in
+    temperature AND activity needs the joint (E, N) time series —
+    `reweight_temperature` (fixed z) and `reweight_activity_mbar`
+    (fixed T, where the U term cancels) are the two marginals of this
+    estimator.  One (T, z) grid of short runs then predicts <N>, <E>,
+    and their fluctuations at ANY (T, z) with honest ESS diagnostics.
+
+    energies, n_kn: (K, S) per-state energy and molecule-number samples
+    (same sample order).  temps, activities: (K,) state parameters.
+    targets: sequence of (T, z) pairs.
+
+    Returns a dict of arrays over targets: f, n_mean, n_var, e_mean,
+    e_var, ess.
+
+    Exactness anchor (tests/test_mbar.py): the exponential-molecule toy
+    model (each molecule carries an independent Exp(1/T) energy, unit
+    single-particle DOS) has N ~ Poisson(z V T) and <E> = <N> T in
+    closed form at EVERY (T, z) — errors in either the U/T or the
+    N ln z term of the reduced potential break it.
+    """
+    e = np.asarray(energies, np.float64)
+    n = np.asarray(n_kn, np.float64)
+    temps = np.asarray(temps, np.float64).ravel()
+    zs = np.asarray(activities, np.float64).ravel()
+    K, S = e.shape
+    assert n.shape == (K, S) and temps.shape == zs.shape == (K,)
+    assert np.all(zs > 0.0) and np.all(temps > 0.0)
+    pe, pn = e.ravel(), n.ravel()
+    u_kn = pe[None, :] / temps[:, None] - pn[None, :] * np.log(zs)[:, None]
+    nsamp = np.full(K, S, np.float64)
+    f_k = mbar_solve(u_kn, nsamp)
+
+    out = {k: [] for k in ("f", "n_mean", "n_var", "e_mean", "e_var",
+                           "ess")}
+    for t_t, z_t in targets:
+        if t_t <= 0.0 or z_t <= 0.0:
+            raise ValueError("target temperature and activity must be "
+                             "positive")
+        u_t = pe / t_t - pn * np.log(z_t)
+        f_t, w, ess = mbar_weights(u_t, f_k, u_kn, nsamp)
+        n_mean = float(np.sum(w * pn))
+        e_mean = float(np.sum(w * pe))
+        out["f"].append(f_t)
+        out["n_mean"].append(n_mean)
+        out["n_var"].append(float(np.sum(w * (pn - n_mean) ** 2)))
+        out["e_mean"].append(e_mean)
+        out["e_var"].append(float(np.sum(w * (pe - e_mean) ** 2)))
+        out["ess"].append(ess)
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
 def reweight_activity_mbar(n_kn, activities, z_targets):
     """Pool muVT (GCMC) runs at several activities via MBAR.
 

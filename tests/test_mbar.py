@@ -164,6 +164,51 @@ def test_activity_k1_equals_histogram_route():
         assert abs(out["n_var"][0] - ref["n_var"]) < 1e-7
 
 
+def _exp_molecule_muvt(t, z, v, s, rng):
+    """Toy grand-canonical model with closed forms at every (T, z):
+    unit single-particle DOS on e in [0, inf) gives q1(T) = T, so
+    N ~ Poisson(z V T) and U | N = sum of N Exp(1/T) energies —
+    <E> = <N> T."""
+    n = rng.poisson(z * v * t, s)
+    e = np.asarray([rng.exponential(t, k).sum() for k in n])
+    return e, n.astype(np.float64)
+
+
+def test_joint_muvt_reweighting():
+    from metropolismontecarlo_tpu.mc.mbar import reweight_muvt
+
+    rng = np.random.default_rng(8)
+    v, s = 30.0, 20000
+    states = [(0.8, 1.0), (1.0, 1.0), (1.0, 1.5), (1.25, 1.2)]
+    e_kn, n_kn = zip(*[_exp_molecule_muvt(t, z, v, s, rng)
+                       for t, z in states])
+    temps = [t for t, _ in states]
+    zs = [z for _, z in states]
+    # targets move T and z JOINTLY, including a never-sampled corner
+    targets = [(0.9, 1.2), (1.1, 1.1), (1.0, 1.25)]
+    out = reweight_muvt(np.stack(e_kn), np.stack(n_kn), temps, zs,
+                        targets)
+    exact_n = np.asarray([z * v * t for t, z in targets])
+    exact_e = np.asarray([t for t, _ in targets]) * exact_n
+    np.testing.assert_allclose(out["n_mean"], exact_n, rtol=0.02)
+    np.testing.assert_allclose(out["e_mean"], exact_e, rtol=0.03)
+    # Poisson variance of N
+    np.testing.assert_allclose(out["n_var"], exact_n, rtol=0.06)
+    assert np.all(out["ess"] > 0.05 * s)
+
+    # reweighting AT a sampled state reproduces its direct averages
+    at = reweight_muvt(np.stack(e_kn), np.stack(n_kn), temps, zs,
+                       [states[2]])
+    direct_n = n_kn[2].mean()
+    sem = n_kn[2].std() / np.sqrt(s)
+    assert abs(at["n_mean"][0] - direct_n) < 6 * sem
+
+    # far corner announces itself
+    far = reweight_muvt(np.stack(e_kn), np.stack(n_kn), temps, zs,
+                        [(3.0, 5.0)])
+    assert far["ess"][0] < 0.01 * 4 * s
+
+
 def test_unconverged_raises():
     rng = np.random.default_rng(5)
     _, u_kn, _ = gaussian_states([1.0, 2.0], [0.0, 0.0], 100, rng)
