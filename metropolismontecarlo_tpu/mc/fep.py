@@ -321,6 +321,49 @@ def make_decoupled_insertion_fn(sys_tag, params, kvecs, kweights,
     return ghost_du
 
 
+def lambda_basis(d_ljhalf, d_lj, d_half, d_full):
+    """Per-sample (A, A2, B, C) basis of the tagged-molecule
+    interaction.
+
+    `tag_last_molecule` scales make every cross-lambda work an EXACT
+    low-order polynomial in (lj, q):
+
+        d(lj, q) = U_(lj,q) - U_rest = lj*A + lj^2*A2 + q*B + q^2*C
+
+    A: tag-rest LJ pairs + the tag-rest tail rows (the eps table's
+    tag-rest entries carry lj directly, not an LB sqrt, and LJ is
+    linear in eps).  A2: the tag-TAG tail-correction self term (the
+    doubled table's tag-tag block scales as lj^2) — small (~3 K for an
+    SPC/E tag at V ~ 1.7e3 A^3) but measurably there; a 3-term basis
+    without it reconstructs works ~0.6 K wrong.  B: real-space coulomb
+    cross terms and the linear recip cross 2 q Re(S_rest . s_tag*).
+    C: recip |s_tag|^2 plus the self and intra constants.  There is no
+    lj*q cross term (LJ and coulomb never multiply).
+
+    Four ladder works per sample recover the basis:
+    d_ljhalf = d(1/2, 0), d_lj = d(1, 0), d_half = d(1, 1/2),
+    d_full = d(1, 1) — and then the FULL (K, N) MBAR matrix over any
+    lambda ladder is closed-form (gated to fp precision by
+    tests/test_fep.py::test_lambda_basis_decomposition_exact).
+
+    Returns (A, A2, B, C) arrays of the inputs' shape.
+    """
+    e1 = np.asarray(d_lj, np.float64)            # A + A2
+    e2 = np.asarray(d_ljhalf, np.float64)        # A/2 + A2/4
+    a = 4.0 * e2 - e1
+    a2 = e1 - a
+    d2 = np.asarray(d_half, np.float64) - e1     # B/2 + C/4
+    d3 = np.asarray(d_full, np.float64) - e1     # B + C
+    b = 4.0 * d2 - d3
+    c = d3 - b
+    return a, a2, b, c
+
+
+def lambda_work(lj, q, a, a2, b, c):
+    """d(lj, q) from a `lambda_basis` decomposition."""
+    return lj * a + (lj * lj) * a2 + q * b + (q * q) * c
+
+
 def _expit(z):
     """Numerically stable logistic 1/(1+exp(-z)) (host NumPy)."""
     return 0.5 * (1.0 + np.tanh(0.5 * z))

@@ -172,14 +172,23 @@ def make_tmmc(system, params, activity, capacity, dtype=jnp.float64):
         return new, out[7]
 
     def init(key, box, n_init, n_chains):
-        if n_init > cap:
+        """n_init: scalar, or (n_chains,) per-chain STRATIFIED starts —
+        spreading walkers across the whole N range makes the collection
+        matrix cover both basins from block 0 instead of waiting for a
+        diffusive frontier (the difference between 0.5 and full
+        coverage at strongly subcritical temperatures)."""
+        n0 = np.asarray(n_init, np.int32)
+        if np.any(n0 > cap):
             raise ValueError("n_init exceeds capacity")
+        if n0.ndim == 1 and n0.shape[0] != n_chains:
+            raise ValueError("per-chain n_init must have n_chains entries")
         keys = jax.random.split(jnp.asarray(key), n_chains)
         from metropolismontecarlo_tpu.io.configs import cubic_lattice
         lat = jnp.asarray(cubic_lattice(cap, box), dtype)
         com = jnp.broadcast_to(lat[None], (n_chains, cap, 3))
-        active = jnp.broadcast_to(jnp.arange(cap) < n_init,
-                                  (n_chains, cap))
+        active = (jnp.arange(cap)[None, :]
+                  < jnp.asarray(n0).reshape(-1, 1 if n0.ndim else 1))
+        active = jnp.broadcast_to(active, (n_chains, cap))
         boxes = jnp.full((n_chains,), box, dtype)
         state = GCMCState(
             com=com, active=active, box=boxes,
@@ -262,20 +271,33 @@ def reweight_lnpi(lnpi, z0, z_new):
     return out - out[fin].max() if fin.any() else out
 
 
-def _basin_stats(lnpi):
+def _basin_stats(lnpi, n_sep=10, min_barrier=1.0):
     """Split a two-basin ln Pi at its interior minimum; return
     (ln W_vap, ln W_liq, N_vap, N_liq) — basin log-weights and
-    basin-mean molecule numbers."""
+    basin-mean molecule numbers.
+
+    A statistical ln Pi has many sub-kT noise wiggles, each technically
+    a local max; accepting any of them lets the equal-weight solver
+    latch onto a noise dimple near the global peak (observed: a
+    T = 1.05 LJ run "found" basins at N = 160 and 166).  A candidate
+    second peak therefore must be >= n_sep states away from the global
+    one AND separated from it by an interior minimum >= min_barrier
+    (kT) below BOTH peaks."""
     fin = np.where(np.isfinite(lnpi))[0]
     sub = lnpi[fin]
-    # interior minimum between the two maxima
     imax1 = int(np.argmax(sub))
-    # the other basin's peak: best point at least 2 kT below-barrier
-    # away; robust split = global min of the region between the two
-    # largest local maxima
     order = np.argsort(sub)[::-1]
-    imax2 = next((int(i) for i in order if abs(int(i) - imax1) > 1
-                  and _is_local_max(sub, int(i))), None)
+    imax2 = None
+    for i in order:
+        i = int(i)
+        if abs(i - imax1) < n_sep or not _is_local_max(sub, i):
+            continue
+        lo, hi = sorted((imax1, i))
+        barrier = float(np.min(sub[lo:hi + 1]))
+        if barrier <= sub[i] - min_barrier and \
+           barrier <= sub[imax1] - min_barrier:
+            imax2 = i
+            break
     if imax2 is None:
         raise ValueError("ln Pi is single-basin at this activity")
     lo, hi = sorted((imax1, imax2))
@@ -303,12 +325,14 @@ def _is_local_max(a, i):
     return a[i] >= l and a[i] >= r
 
 
-def coexistence(lnpi, z0, volume, z_lo=None, z_hi=None, tol=1e-10):
+def coexistence(lnpi, z0, volume, z_lo=None, z_hi=None, tol=1e-10,
+                n_sep=10, min_barrier=1.0):
     """Vapor-liquid coexistence from ln Pi by equal basin weights.
 
     Bisect on ln z until the reweighted ln Pi has equal integrated
-    probability in the two basins (Errington 2003).  Returns a dict:
-    z_coex, rho_vap, rho_liq (basin-mean N / V), dlnw (residual weight
+    probability in the two basins (Errington 2003).  n_sep/min_barrier
+    are the `_basin_stats` noise guards.  Returns a dict: z_coex,
+    rho_vap, rho_liq (basin-mean N / V), dlnw (residual weight
     imbalance), and lnpi_coex.
     """
     lnpi = np.asarray(lnpi, np.float64)
@@ -321,7 +345,7 @@ def coexistence(lnpi, z0, volume, z_lo=None, z_hi=None, tol=1e-10):
     def imbalance(z):
         lp = reweight_lnpi(lnpi, z0, z)
         try:
-            lw_v, lw_l, _, _ = _basin_stats(lp)
+            lw_v, lw_l, _, _ = _basin_stats(lp, n_sep, min_barrier)
         except ValueError:
             # a strong tilt destroys one basin's local max entirely:
             # peak at low N => vapor-only (z far too low), at high N
@@ -346,7 +370,7 @@ def coexistence(lnpi, z0, volume, z_lo=None, z_hi=None, tol=1e-10):
             break
     z_c = float(np.exp(0.5 * (a + b)))
     lp = reweight_lnpi(lnpi, z0, z_c)
-    lw_v, lw_l, n_v, n_l = _basin_stats(lp)
+    lw_v, lw_l, n_v, n_l = _basin_stats(lp, n_sep, min_barrier)
     return {
         "z_coex": z_c,
         "rho_vap": n_v / volume,

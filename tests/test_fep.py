@@ -12,6 +12,8 @@ from metropolismontecarlo_tpu.mc.driver import MonteCarlo
 from metropolismontecarlo_tpu.mc.fep import (
     bar_mu_ex,
     bar_solve,
+    lambda_basis,
+    lambda_work,
     make_decoupled_insertion_fn,
     make_deletion_fn,
     tag_last_molecule,
@@ -407,6 +409,34 @@ def test_staged_bar_equals_widom_lj():
     mu_staged = t * x_tot
     assert mu_staged == pytest.approx(mu_widom, abs=max(6.0 * sem, 0.2)), \
         (mu_staged, mu_widom, sem)
+
+
+def test_lambda_basis_decomposition_exact():
+    """d(lj, q) = lj*A + lj^2*A2 + q*B + q^2*C exactly: the basis
+    recovered from works at (1/2,0), (1,0), (1,1/2), (1,1) must
+    reproduce the work at ARBITRARY (lj, q) — including the state's own
+    rung — to fp precision.  This is what makes full-matrix lambda
+    MBAR free: four evaluations give every rung.  (The lj^2 term is the
+    tag-tag tail-correction self entry: a 3-term basis without it was
+    measurably ~0.6 K wrong on this 9-water state.)"""
+    (params, sys_a, mc_a, state_a, _mc0, _st0, _c,
+     _q) = _water9_states(dict(coulomb="ewald"), 0.7, 0.4)
+
+    def work_at(lj, q):
+        s = tag_last_molecule(spce_system(9), lj, q)
+        mc = MonteCarlo(s, params, dtype=F64, pallas=False,
+                        recompute_chunk=1)
+        return float(make_deletion_fn(
+            s, params, mc.kvecs, mc.kweights, dtype=F64, chunk=1,
+            species=-1, state_system=sys_a)(state_a)[0][0, 0])
+
+    basis = lambda_basis(work_at(0.5, 0.0), work_at(1.0, 0.0),
+                         work_at(1.0, 0.5), work_at(1.0, 1.0))
+    for lj, q in ((0.7, 0.4), (0.3, 0.9), (0.05, 0.0), (1.0, 0.75)):
+        direct = work_at(lj, q)
+        recon = float(lambda_work(lj, q, *basis))
+        assert recon == pytest.approx(direct, rel=1e-9, abs=1e-6), \
+            (lj, q, direct, recon)
 
 
 def test_cross_lambda_deletion_consistency():
