@@ -23,9 +23,12 @@ sample counts:
     with Widom-style ghosts on the fully decoupled rung
     (make_decoupled_insertion_fn).
 
-All three estimators come out of ONE run: the decoupled rung's ghost
-batches are also evaluated at full coupling (= Widom), and the full
-rung's deletion works close the single-stage BAR pair.
+All estimators come out of ONE run: each sample (ghost pose or rung
+state) is evaluated at the FOUR lambda-basis systems (mc/fep.
+lambda_basis: d(lj,q) = lj*A + lj^2*A2 + q*B + q^2*C exactly), which
+yields its work at EVERY rung in closed form — so the same collection
+pass feeds Widom (full-coupling ghosts), single-stage BAR, staged
+adjacent-rung BAR, and the pooled full-ladder MBAR solve.
 
 Run: `python docs/validation/run_bar_water.py` (TPU, ~20 min).
 Writes docs/validation/bar_water.txt.
@@ -56,10 +59,13 @@ from metropolismontecarlo_tpu.io.configs import cubic_lattice
 from metropolismontecarlo_tpu.mc.driver import MonteCarlo
 from metropolismontecarlo_tpu.mc.fep import (
     bar_solve,
+    lambda_basis,
+    lambda_work,
     make_decoupled_insertion_fn,
     make_deletion_fn,
     tag_last_molecule,
 )
+from metropolismontecarlo_tpu.mc.mbar import mbar_solve
 from metropolismontecarlo_tpu.models.system import RunParams
 from metropolismontecarlo_tpu.models.water import spce_system
 from metropolismontecarlo_tpu.ops.quaternions import (
@@ -114,6 +120,19 @@ def main():
     systems = [tag_last_molecule(spce_system(N + 1), lj, q)
                for lj, q in LAMBDAS]
     mcs = [MonteCarlo(s, params, dtype=jnp.float32) for s in systems]
+    # the lambda-work BASIS (mc/fep.lambda_basis): every cross-lambda
+    # work is exactly lj*A + lj^2*A2 + q*B + q^2*C, so evaluating each
+    # sample at FOUR systems — (1/2,0), (1,0), (1,1/2), (1,1) — yields
+    # its work at EVERY rung in closed form: the same collection cost
+    # as the old adjacent-triple scheme buys the full MBAR matrix
+    i_lj = LAMBDAS.index((1.0, 0.0))
+    i_qh = next(i for i, (l, q) in enumerate(LAMBDAS)
+                if l == 1.0 and abs(q - 0.5) < 1e-12)
+    i_qf = LAMBDAS.index((1.0, 1.0))
+    systems.append(tag_last_molecule(spce_system(N + 1), 0.5, 0.0))
+    mcs.append(MonteCarlo(systems[-1], params, dtype=jnp.float32))
+    i_ljh = len(systems) - 1               # evaluation-only system
+    basis_cols = (i_ljh, i_lj, i_qh, i_qf)
 
     _dels = {}
 
@@ -126,12 +145,9 @@ def main():
                 dtype=jnp.float32, chunk=8, species=-1,
                 state_system=None if i == j else systems[i])
         return _dels[(j, i)]
-    ghost_1 = make_decoupled_insertion_fn(
-        systems[1], params, mcs[0].kvecs, mcs[0].kweights,
-        dtype=jnp.float32, chunk=8)
-    ghost_full = make_decoupled_insertion_fn(
-        systems[-1], params, mcs[0].kvecs, mcs[0].kweights,
-        dtype=jnp.float32, chunk=8)
+    ghosts_basis = [make_decoupled_insertion_fn(
+        systems[j], params, mcs[0].kvecs, mcs[0].kweights,
+        dtype=jnp.float32, chunk=8) for j in basis_cols]
 
     m_tag = N
     a0 = int(systems[0].mol_a0[m_tag])
@@ -149,7 +165,7 @@ def main():
           f"{stats['dr_max_mean']:.2f}  [{time.time() - t0:.0f} s]",
           flush=True)
 
-    wf0, ov0, wfull, ovfull = [], [], [], []
+    g_basis, ov0 = [[] for _ in basis_cols], []
     best_com = best_quat = None
     for b in range(PROD_BLOCKS):
         st, stats = mcs[0].run_block(st, BLOCK, adjust=False)
@@ -159,23 +175,29 @@ def main():
         u = jax.random.uniform(kp, (N_CHAINS, N_INS, 3), jnp.float32) \
             * st.box[:, None, None]
         qt = random_quaternion(kq, (N_CHAINS, N_INS), jnp.float32)
-        du1, o1 = ghost_1(st, u, qt)
-        duF, oF = ghost_full(st, u, qt)
-        wf0.append(np.asarray(du1, np.float64))
+        dus = []
+        o1 = None
+        for acc, gfn in zip(g_basis, ghosts_basis):
+            du, o = gfn(st, u, qt)
+            acc.append(np.asarray(du, np.float64))
+            dus.append(du)
+            o1 = o                       # identical masks (same poses)
         ov0.append(np.asarray(o1, bool))
-        wfull.append(np.asarray(duF, np.float64))
-        ovfull.append(np.asarray(oF, bool))
         if b == PROD_BLOCKS - 1:
             # teleport targets for rung 1: each chain's lowest-energy
             # ghost pose at lambda_1 (any start is legal; equilibration
-            # re-thermalizes — this one is guaranteed core-free)
+            # re-thermalizes — this one is guaranteed core-free).
+            # lambda_1's work is reconstructed from the basis.
+            ba = lambda_basis(*[np.asarray(d, np.float64) for d in dus])
+            du1 = jnp.asarray(lambda_work(*LAMBDAS[1], *ba))
             pick = jnp.argmin(jnp.where(o1, jnp.inf, du1), axis=1)
             best_com = jnp.take_along_axis(u, pick[:, None, None], 1)[:, 0]
             best_quat = jnp.take_along_axis(qt, pick[:, None, None], 1)[:, 0]
 
-    # ---- rungs 1..K: sample each lambda, collect cross-lambda works
+    # ---- rungs 1..K: sample each lambda, collect the 4-work basis
     d_at = [dict() for _ in range(n_stage)]   # d_at[i][j]: works of
     #   rung i's samples evaluated with rung j's parameters, (C, S)
+    bases = [None] * n_stage                  # (A, A2, B, C) per rung
     for i in range(1, n_stage):
         if i == 1:
             ra = best_com[:, None, :] + rotate_vectors(best_quat, body_t)
@@ -187,15 +209,19 @@ def main():
         st = mcs[i].resync(st)
         for _ in range(STAGE_EQUIL):
             st, stats = mcs[i].run_block(st, BLOCK, adjust=True)
-        cols = {j: [] for j in (i - 1, i, i + 1) if 1 <= j < n_stage}
+        cols = {j: [] for j in basis_cols}
         for b in range(PROD_BLOCKS):
             st, stats = mcs[i].run_block(st, BLOCK, adjust=False)
             worst = max(worst, stats["drift_max_rel"])
             assert stats["drift_max_rel"] < 1e-4, (i, b, stats)
             for j, acc in cols.items():
                 acc.append(np.asarray(del_fn(j, i)(st)[0], np.float64))
-        d_at[i] = {j: np.concatenate(acc, axis=1)
-                   for j, acc in cols.items()}
+        ba = lambda_basis(*[np.concatenate(cols[j], axis=1)
+                            for j in basis_cols])
+        bases[i] = ba
+        # the basis gives this rung's samples' works at EVERY rung
+        d_at[i] = {j: lambda_work(*LAMBDAS[j], *ba)
+                   for j in range(n_stage)}
         lj, q = LAMBDAS[i]
         print(f"rung {i:2d} (lj {lj:g}, q {q:g}): "
               f"<d_self> = {d_at[i][i].mean() * KJMOL_PER_K:+8.2f} kJ/mol  "
@@ -203,10 +229,11 @@ def main():
               f"[{time.time() - t0:.0f} s]", flush=True)
 
     # ---- assemble works per leg, solve BAR per chain-fold
-    wf0 = np.concatenate(wf0, axis=1)           # (C, S0)
-    ov0 = np.concatenate(ov0, axis=1)
-    wfull = np.concatenate(wfull, axis=1)
-    ovfull = np.concatenate(ovfull, axis=1)
+    gb = lambda_basis(*[np.concatenate(acc, axis=1) for acc in g_basis])
+    ov0 = np.concatenate(ov0, axis=1)           # (C, S0)
+    wf0 = lambda_work(*LAMBDAS[1], *gb)         # ghost works at rung 1
+    wfull = lambda_work(1.0, 1.0, *gb)          # ... at full coupling
+    ovfull = ov0
     beta = 1.0 / T
 
     def leg_works(leg, chains):
@@ -240,6 +267,33 @@ def main():
                              for g in range(n_stage - 1)))
     sem = np.std(folds) / np.sqrt(len(folds))
 
+    # ---- full-matrix MBAR over the whole ladder (same collected data)
+    lam_pow = np.asarray([(l, l * l, q, q * q) for l, q in LAMBDAS])
+
+    def mbar_mu(chains):
+        """beta*(F_full - F_decoupled) by MBAR: rung-0 samples are the
+        ghost (environment, pose) pairs, rungs 1.. the sampled states;
+        every u_kn row is closed-form from the lambda basis."""
+        stride = max(1, int(np.ceil(ov0[chains].size / 120_000)))
+        b0 = np.stack([x[chains].ravel()[::stride] for x in gb])
+        o0 = ov0[chains].ravel()[::stride]
+        cols = [b0] + [np.stack([x[chains].ravel() for x in bases[i]])
+                       for i in range(1, n_stage)]
+        n_k = [c.shape[1] for c in cols]
+        allb = np.concatenate(cols, axis=1)          # (4, N_tot)
+        u_kn = beta * (lam_pow @ allb)               # (K, N_tot)
+        # core-vetoed ghost poses are legal rung-0 samples (u_0 = 0)
+        # with hard-zero weight everywhere else
+        veto = np.zeros(allb.shape[1], bool)
+        veto[:n_k[0]] = o0
+        u_kn[1:, veto] = np.inf
+        f = mbar_solve(u_kn, n_k, tol=1e-8, max_iter=50_000)
+        return T * f[-1]
+
+    mu_mbar = mbar_mu(all_chains)
+    mbar_folds = [mbar_mu(f) for f in np.array_split(all_chains, 4)]
+    sem_mbar = np.std(mbar_folds) / np.sqrt(len(mbar_folds))
+
     # single-run diagnostics: Widom-only and single-stage BAR
     boltz = np.where(ovfull, 0.0, np.exp(-np.minimum(beta * wfull, 500.0)))
     mu_widom = -T * np.log(boltz.mean())
@@ -248,7 +302,11 @@ def main():
     mu_ss = T * bar_solve(w_f_ss, w_r_ss)
 
     to_kj = KJMOL_PER_K
-    ok = abs(mu_staged * to_kj - LIT_KJMOL) < max(2.5, 6.0 * sem * to_kj)
+    ok = (abs(mu_staged * to_kj - LIT_KJMOL) < max(2.5, 6.0 * sem * to_kj)
+          and abs(mu_mbar * to_kj - LIT_KJMOL)
+          < max(2.5, 6.0 * sem_mbar * to_kj)
+          and abs((mu_mbar - mu_staged) * to_kj)
+          < max(1.5, 6.0 * (sem + sem_mbar) * to_kj))
     lines = [
         "SPC/E hydration free energy via STAGED decoupling on TPU",
         f"device: {dev.device_kind}, f32 mega-kernel sampling, "
@@ -265,6 +323,9 @@ def main():
         "(two-state, overlap-limited)",
         f"mu_ex (staged BAR)       = {mu_staged * to_kj:+.2f} "
         f"+- {sem * to_kj:.2f} kJ/mol (4 chain-folds)",
+        f"mu_ex (full-ladder MBAR) = {mu_mbar * to_kj:+.2f} "
+        f"+- {sem_mbar * to_kj:.2f} kJ/mol (pooled 12-state solve on "
+        "the same samples via the lambda-work basis)",
         f"literature (SPC/E)       ~ {LIT_KJMOL} kJ/mol",
         f"worst block drift: {worst:.2e}",
         f"wall: {time.time() - t0:.0f} s",
