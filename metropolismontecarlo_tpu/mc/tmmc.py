@@ -279,25 +279,30 @@ def _basin_stats(lnpi, n_sep=10, min_barrier=1.0):
     A statistical ln Pi has many sub-kT noise wiggles, each technically
     a local max; accepting any of them lets the equal-weight solver
     latch onto a noise dimple near the global peak (observed: a
-    T = 1.05 LJ run "found" basins at N = 160 and 166).  A candidate
-    second peak therefore must be >= n_sep states away from the global
-    one AND separated from it by an interior minimum >= min_barrier
-    (kT) below BOTH peaks."""
+    T = 1.05 LJ run "found" basins at N = 160 and 166).  Guards:
+      * a candidate second peak must be >= n_sep states from the global
+        one and separated by an interior minimum >= min_barrier (kT)
+        below BOTH peaks;
+      * among qualifying candidates, pick the one with the DEEPEST
+        separating valley (largest prominence of the lower peak), not
+        the highest peak.  The true vapor-liquid interfacial barrier is
+        many kT while noise dimples are ~1 kT, so ordering by peak
+        height lets a dimple adjacent to the favored basin win whenever
+        the reweighting tilt pushes the other basin's peak below it
+        (observed: T = 1.0 with height ordering split the LIQUID at
+        N = 165/181 instead of finding the vapor basin)."""
     fin = np.where(np.isfinite(lnpi))[0]
     sub = lnpi[fin]
     imax1 = int(np.argmax(sub))
-    order = np.argsort(sub)[::-1]
-    imax2 = None
-    for i in order:
-        i = int(i)
+    best_sig, imax2 = -np.inf, None
+    for i in range(sub.size):
         if abs(i - imax1) < n_sep or not _is_local_max(sub, i):
             continue
         lo, hi = sorted((imax1, i))
         barrier = float(np.min(sub[lo:hi + 1]))
-        if barrier <= sub[i] - min_barrier and \
-           barrier <= sub[imax1] - min_barrier:
-            imax2 = i
-            break
+        sig = min(float(sub[i]), float(sub[imax1])) - barrier
+        if sig >= min_barrier and sig > best_sig:
+            best_sig, imax2 = sig, i
     if imax2 is None:
         raise ValueError("ln Pi is single-basin at this activity")
     lo, hi = sorted((imax1, imax2))
@@ -435,6 +440,18 @@ class TMMC:
             except ValueError:
                 pass                      # not enough data yet
         return state._replace(energy=e), stats
+
+    def reset_collection(self):
+        """Burn-in discard.  TM deposits average the acceptance
+        probability over the SAMPLED microstate distribution within each
+        N-slice, so the estimator is only exact once that within-slice
+        sampling is equilibrated — deposits from unequilibrated starts
+        (e.g. stratified walkers still on their init lattice) pollute C
+        permanently and can fabricate ln Pi structure at the frontier
+        (observed: a rising edge spike at N = 178-182 that hijacked the
+        T = 1.0 coexistence solve).  Call after the equilibration blocks
+        to restart accumulation; the current bias eta is kept."""
+        self.cmat[:] = 0.0
 
     def lnpi(self):
         lnpi, _ = lnpi_from_cmat(self.cmat)

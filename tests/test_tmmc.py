@@ -138,6 +138,26 @@ def test_coexistence_solver_synthetic():
     assert res["rho_liq"] == pytest.approx(m2 / v, rel=0.02)
 
 
+def test_basin_split_prefers_deepest_valley():
+    """A noise dimple near the dominant peak (>= n_sep away, ~1.2 kT
+    deep) qualifies under the height-ordered rule and used to hijack
+    the split; the prominence rule must pick the true far basin whose
+    separating valley is many kT deep even when its peak is tilted far
+    below the dimple."""
+    n = np.arange(201, dtype=np.float64)
+    main = -0.5 * ((n - 160.0) / 8.0) ** 2          # dominant (liquid)
+    far = -12.0 - 0.5 * ((n - 20.0) / 6.0) ** 2     # true second basin
+    lnpi = np.logaddexp(main, far)
+    # carve a 1.3-kT dimple 14 states from the main peak: local min at
+    # 146, local max at 140 — the dimple peak (~-2) towers over the far
+    # peak (-12) but its valley is shallow
+    lnpi[140:153] += 1.3 * np.cos(np.pi * (n[140:153] - 146) / 6.0) - 1.3
+    from metropolismontecarlo_tpu.mc.tmmc import _basin_stats
+    lw_v, lw_l, n_v, n_l = _basin_stats(lnpi, n_sep=10, min_barrier=1.0)
+    assert n_v == pytest.approx(20.0, abs=2.0)
+    assert n_l == pytest.approx(160.0, abs=2.0)
+
+
 def test_reweight_and_bias_utilities():
     lnpi = np.array([-np.inf, 0.0, 1.0, 0.5, -np.inf])
     out = reweight_lnpi(lnpi, 1.0, np.e)   # adds N per step
