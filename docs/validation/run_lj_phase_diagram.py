@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from metropolismontecarlo_tpu.mc.tmmc import TMMC, coexistence
+from metropolismontecarlo_tpu.mc.tmmc import (TMMC, coexistence,
+                                              surface_tension)
 from metropolismontecarlo_tpu.models.monatomic import lj_system
 from metropolismontecarlo_tpu.models.system import RunParams
 
@@ -69,6 +70,7 @@ def run_one(temp, seed):
             t.reset_collection()
     res = coexistence(t.lnpi(), Z0, BOX**3)
     res["visited"] = stats["visited_frac"]
+    res["gamma"] = surface_tension(res["lnpi_coex"], BOX, temp)
     return res
 
 
@@ -106,6 +108,7 @@ def main():
     rho_v = np.asarray([r["rho_vap"] for r in results])
     rho_l = np.asarray([r["rho_liq"] for r in results])
     zs = np.asarray([r["z_coex"] for r in results])
+    gam = np.asarray([r["gamma"] for r in results])
     tc, rc, a, b = fit_critical(TEMPS, rho_v, rho_l)
 
     mono = (np.all(np.diff(rho_v) > 0) and np.all(np.diff(rho_l) < 0)
@@ -113,7 +116,12 @@ def main():
     resid_ok = all(abs(r["dlnw"]) < 1e-6 for r in results)
     cover_ok = all(r["visited"] > 0.85 for r in results)
     tc_ok = 1.05 < tc < 1.35 and 0.25 < rc < 0.40
-    ok = mono and resid_ok and cover_ok and tc_ok
+    # Binder single-box estimate: positive, vanishing toward T_c, and
+    # order-of-magnitude sane at the lowest T (full-LJ gamma(0.85) ~
+    # 0.84, cut-shifted ~0.3; the cut-unshifted model sits between)
+    gamma_ok = (np.all(gam > 0) and np.all(np.diff(gam) < 0)
+                and 0.1 < gam[0] < 1.5)
+    ok = mono and resid_ok and cover_ok and tc_ok and gamma_ok
 
     lines = [
         "LJ vapor-liquid phase diagram from TMMC (TPU)",
@@ -121,14 +129,16 @@ def main():
         f"model: cut LJ r_cut=2.5, no shift, no LRC; box={BOX} cap={CAP}",
         f"protocol: per T, {CHAINS} stratified walkers x 48-64 x{STEPS} "
         f"steps, bias per block, 1/4 burn-in discard, f32, z0={Z0}",
-        "  T      z*        rho_vap   rho_liq",
+        "  T      z*        rho_vap   rho_liq   gamma",
     ] + [
         f"  {t:<6} {r['z_coex']:<9.5f} {r['rho_vap']:<9.4f} "
-        f"{r['rho_liq']:<9.4f}"
+        f"{r['rho_liq']:<9.4f} {r['gamma']:<9.4f}"
         for t, r in zip(TEMPS, results)
     ] + [
         f"branches monotone in T: {mono}; basin residuals < 1e-6: "
         f"{resid_ok}; coverage > 0.85: {cover_ok}",
+        f"surface tension (Binder, single box): positive, decreasing, "
+        f"gamma(0.85) in 0.1-1.5: {gamma_ok}",
         f"rectilinear-diameter + Ising-0.326 fit: T_c = {tc:.3f}, "
         f"rho_c = {rc:.3f} (bands 1.05-1.35 / 0.25-0.40; "
         f"truncated-shifted LJ ~1.09, full LJ ~1.31)",

@@ -249,8 +249,18 @@ def make_mol_slots(system, params, dtype=jnp.float64):
 
 def make_gcmc_mol(system, params, activity, p_exchange=0.3,
                   dtype=jnp.float64, chunk=8, n_orient=1,
-                  bias="orientation"):
+                  bias="orientation", tmmc=False):
     """Build the molecular-muVT step/energy functions.
+
+    tmmc=True builds the TRANSITION-MATRIX variant (see mc/tmmc.py for
+    the method): run_steps becomes run_steps(state, eta, n_steps) ->
+    (state, cmat) where eta is the (cap+1,) bias applied to exchange
+    acceptance only and cmat is the (C, cap+1, 3) per-call collection
+    matrix of Rao-Blackwellized unbiased acceptance probabilities
+    ([stay, up, down] columns, move-type probabilities folded in).
+    With eta = 0 the sampled trajectories are BIT-IDENTICAL to the
+    tmmc=False build (gated in tests) — the bias enters acceptance
+    thresholds only, never the proposal stream or the bookkeeping.
 
     system: a uniform single-species System whose n_mol IS the slot
     capacity (e.g. models/water.spce_system(64)).  Returns
@@ -304,7 +314,11 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
     rosenbluth = ms.rosenbluth
 
     def _one_step(carry, _):
-        com, quat, coords, active, box, sfac, e, key, acc, att = carry
+        if tmmc:
+            (com, quat, coords, active, box, sfac, e, key, acc, att,
+             cmat, eta) = carry
+        else:
+            com, quat, coords, active, box, sfac, e, key, acc, att = carry
         key, k = jax.random.split(key)
         (k_move, k_sel, k_pos, k_rot, k_insq, k_delq, k_pick,
          k_acc, k_inspos, k_delpos) = jax.random.split(k, 10)
@@ -411,10 +425,32 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
         ln_acc_i = jnp.log(z * vol / (nf + 1.0)) + m_i \
             + jnp.log(jnp.maximum(w_sum_i, 1e-300)) - np.log(n_or) \
             - beta * ec_ins
-        ok_i = (mt == 2) & ~full & (w_sum_i > 0.0) & (ln_u < ln_acc_i)
         ln_acc_d = jnp.log(jnp.maximum(nf, 1.0) / (z * vol)) \
             + np.log(n_or) - m_d \
             - jnp.log(jnp.maximum(w_sum_d, 1e-300)) - beta * ec_del
+        if tmmc:
+            # Rao-Blackwellized collection-matrix deposit of the
+            # UNBIASED acceptance probabilities (min(1, e^ln_acc) =
+            # e^min(ln_acc, 0); conditional on this step's trial set,
+            # whose expectation is the macrostate transition
+            # probability), with the exchange-type probability 0.5*px
+            # folded in analytically — mirrors mc/tmmc.py
+            pa_i = jnp.where(full | (w_sum_i <= 0.0), 0.0,
+                             jnp.exp(jnp.minimum(ln_acc_i, 0.0)))
+            pa_d = jnp.where(n > 0,
+                             jnp.exp(jnp.minimum(ln_acc_d, 0.0)), 0.0)
+            p_x = jnp.asarray(0.5 * px, dtype)
+            up_v = p_x * pa_i
+            dn_v = p_x * pa_d
+            row = (jnp.arange(cap + 1) == n).astype(dtype)
+            cmat = cmat + row[:, None] * jnp.stack(
+                [1.0 - up_v - dn_v, up_v, dn_v])
+            # bias enters the ACCEPTANCE THRESHOLD only (clamped index
+            # reads are guarded by full / n==0 rejects)
+            eta_n = eta[n]
+            ln_acc_i = ln_acc_i + eta[jnp.minimum(n + 1, cap)] - eta_n
+            ln_acc_d = ln_acc_d + eta[jnp.maximum(n - 1, 0)] - eta_n
+        ok_i = (mt == 2) & ~full & (w_sum_i > 0.0) & (ln_u < ln_acc_i)
         ok_d = (mt == 3) & (n > 0) & (ln_u < ln_acc_d)
 
         # --- state updates (where-selects only)
@@ -435,13 +471,23 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
         a_row = jnp.stack([ok_m & (mt == 0), ok_m & (mt == 1),
                            ok_i, ok_d]).astype(jnp.int32)
         t_row = (jnp.arange(4) == mt).astype(jnp.int32)
-        carry = (com, quat, coords, active, box, sfac, e, key,
-                 acc + a_row, att + t_row)
+        if tmmc:
+            carry = (com, quat, coords, active, box, sfac, e, key,
+                     acc + a_row, att + t_row, cmat, eta)
+        else:
+            carry = (com, quat, coords, active, box, sfac, e, key,
+                     acc + a_row, att + t_row)
         return carry, None
 
     def _run_chain(com, quat, coords, active, box, sfac, e, key, acc, att,
-                   n_steps):
-        carry = (com, quat, coords, active, box, sfac, e, key, acc, att)
+                   n_steps, eta=None):
+        if tmmc:
+            cmat = jnp.zeros((cap + 1, 3), dtype)
+            carry = (com, quat, coords, active, box, sfac, e, key, acc,
+                     att, cmat, eta)
+        else:
+            carry = (com, quat, coords, active, box, sfac, e, key, acc,
+                     att)
         carry, _ = jax.lax.scan(_one_step, carry, None, length=n_steps)
         return carry
 
@@ -450,17 +496,32 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
         return chunked_vmap(ms.full_one, chunk, state.com, state.quat,
                             state.coords, state.active, state.box)
 
-    @partial(jax.jit, static_argnums=1)
-    def run_steps(state, n_steps):
-        out = jax.vmap(_run_chain, in_axes=(0,) * 10 + (None,))(
-            state.com, state.quat, state.coords, state.active, state.box,
-            state.sfac, state.energy, state.key, state.acc, state.att,
-            n_steps)
-        return MolGCMCState(*out)
+    if tmmc:
+        @partial(jax.jit, static_argnums=2)
+        def run_steps(state, eta, n_steps):
+            out = jax.vmap(_run_chain, in_axes=(0,) * 10 + (None, None))(
+                state.com, state.quat, state.coords, state.active,
+                state.box, state.sfac, state.energy, state.key,
+                state.acc, state.att, n_steps, jnp.asarray(eta, dtype))
+            return MolGCMCState(*out[:10]), out[10]
+    else:
+        @partial(jax.jit, static_argnums=1)
+        def run_steps(state, n_steps):
+            out = jax.vmap(_run_chain, in_axes=(0,) * 10 + (None,))(
+                state.com, state.quat, state.coords, state.active,
+                state.box, state.sfac, state.energy, state.key,
+                state.acc, state.att, n_steps)
+            return MolGCMCState(*out)
 
     def init(key, box, n_init, n_chains):
-        if n_init > cap:
+        """n_init: scalar, or (n_chains,) per-chain STRATIFIED starts
+        (see mc/tmmc.py — blanket the N axis so the collection matrix
+        covers both basins from block 0)."""
+        n0 = np.asarray(n_init, np.int32)
+        if np.any(n0 > cap):
             raise ValueError("n_init exceeds capacity")
+        if n0.ndim == 1 and n0.shape[0] != n_chains:
+            raise ValueError("per-chain n_init must have n_chains entries")
         if params.strict_min_image and box < 2.0 * max(params.r_cut,
                                                        params.qq_cut):
             raise ValueError(f"box {box} < 2*cutoff violates minimum-"
@@ -469,8 +530,9 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
         k_chain, k_quat = jax.random.split(jnp.asarray(key))
         keys = jax.random.split(k_chain, n_chains)
         com, quat, coords = ms.pose_lattice_init(k_quat, box, n_chains)
-        active = jnp.broadcast_to(jnp.arange(cap) < n_init,
-                                  (n_chains, cap))
+        active = (jnp.arange(cap)[None, :]
+                  < jnp.asarray(n0).reshape(-1, 1 if n0.ndim else 1))
+        active = jnp.broadcast_to(active, (n_chains, cap))
         state = MolGCMCState(
             com=com, quat=quat, coords=coords, active=active,
             box=jnp.full((n_chains,), box, dtype),

@@ -293,20 +293,7 @@ def _basin_stats(lnpi, n_sep=10, min_barrier=1.0):
         N = 165/181 instead of finding the vapor basin)."""
     fin = np.where(np.isfinite(lnpi))[0]
     sub = lnpi[fin]
-    imax1 = int(np.argmax(sub))
-    best_sig, imax2 = -np.inf, None
-    for i in range(sub.size):
-        if abs(i - imax1) < n_sep or not _is_local_max(sub, i):
-            continue
-        lo, hi = sorted((imax1, i))
-        barrier = float(np.min(sub[lo:hi + 1]))
-        sig = min(float(sub[i]), float(sub[imax1])) - barrier
-        if sig >= min_barrier and sig > best_sig:
-            best_sig, imax2 = sig, i
-    if imax2 is None:
-        raise ValueError("ln Pi is single-basin at this activity")
-    lo, hi = sorted((imax1, imax2))
-    isplit = lo + int(np.argmin(sub[lo:hi + 1]))
+    imax1, imax2, isplit = _find_split(sub, n_sep, min_barrier)
     n_grid = fin.astype(np.float64)
 
     def side(sl):
@@ -322,6 +309,27 @@ def _basin_stats(lnpi, n_sep=10, min_barrier=1.0):
     if n_a <= n_b:
         return lw_a, lw_b, n_a, n_b
     return lw_b, lw_a, n_b, n_a
+
+
+def _find_split(sub, n_sep, min_barrier):
+    """Locate the two basin peaks and the dividing minimum on a finite
+    ln Pi segment; raises ValueError when single-basin.  Returns
+    (imax1, imax2, isplit) indices into `sub`."""
+    imax1 = int(np.argmax(sub))
+    best_sig, imax2 = -np.inf, None
+    for i in range(sub.size):
+        if abs(i - imax1) < n_sep or not _is_local_max(sub, i):
+            continue
+        lo, hi = sorted((imax1, i))
+        barrier = float(np.min(sub[lo:hi + 1]))
+        sig = min(float(sub[i]), float(sub[imax1])) - barrier
+        if sig >= min_barrier and sig > best_sig:
+            best_sig, imax2 = sig, i
+    if imax2 is None:
+        raise ValueError("ln Pi is single-basin at this activity")
+    lo, hi = sorted((imax1, imax2))
+    isplit = lo + int(np.argmin(sub[lo:hi + 1]))
+    return imax1, imax2, isplit
 
 
 def _is_local_max(a, i):
@@ -383,6 +391,32 @@ def coexistence(lnpi, z0, volume, z_lo=None, z_hi=None, tol=1e-10,
         "dlnw": float(lw_l - lw_v),
         "lnpi_coex": lp,
     }
+
+
+def surface_tension(lnpi_coex, box, temperature, n_sep=10,
+                    min_barrier=1.0):
+    """Vapor-liquid surface tension from the ln Pi interfacial barrier
+    (Binder, Phys. Rev. A 25, 1699 (1982)).
+
+    At coexistence the minimum between the basins corresponds to a
+    liquid slab spanning the box with TWO planar interfaces of area
+    L^2, so the barrier height is their free-energy cost:
+
+        beta F_barrier = (ln Pi_vap_peak + ln Pi_liq_peak)/2 - ln Pi_min
+        gamma = kT * beta F_barrier / (2 L^2)
+
+    Single-box estimate — the rigorous method extrapolates L -> inf
+    (ln L / L^2 corrections), so expect ~10-20% finite-size deviation
+    from the thermodynamic limit at L ~ 6 sigma.  Returns gamma in
+    [energy]/[length]^2 (reduced LJ: epsilon/sigma^2).
+    """
+    lnpi = np.asarray(lnpi_coex, np.float64)
+    fin = np.where(np.isfinite(lnpi))[0]
+    sub = lnpi[fin]
+    imax1, imax2, isplit = _find_split(sub, n_sep, min_barrier)
+    df = 0.5 * (float(sub[imax1]) + float(sub[imax2])) - float(sub[isplit])
+    area = 2.0 * float(box) ** 2
+    return float(temperature) * df / area
 
 
 class TMMC:
@@ -456,3 +490,75 @@ class TMMC:
     def lnpi(self):
         lnpi, _ = lnpi_from_cmat(self.cmat)
         return lnpi
+
+
+class TMMCMol:
+    """Flat-histogram muVT for RIGID MOLECULAR species: the TMMC
+    estimator (collection matrix, self-tuned bias, ln Pi(N)) on top of
+    the molecular-GCMC machinery (orientational insertions, carried
+    Ewald structure factors, Rosenbluth k-trials) — vapor-liquid
+    coexistence of molecular fluids (e.g. SPC/E water) from ONE biased
+    run.  See `make_gcmc_mol(..., tmmc=True)` for the step function and
+    `TMMC` for the estimator conventions; `coexistence`/
+    `surface_tension` apply unchanged.
+
+    >>> t = TMMCMol(spce_system(64), params, activity=1e-4)
+    >>> st = t.init(key, 15.0, np.linspace(0, 60, 128).astype(int), 128)
+    >>> for b in range(48):
+    ...     st, stats = t.run_block(st, 2000)
+    ...     if b == 11: t.reset_collection()      # burn-in discard
+    >>> res = coexistence(t.lnpi(), t.activity, 15.0**3)
+    """
+
+    def __init__(self, system, params, activity, p_exchange=0.3,
+                 dtype=jnp.float64, chunk=8, n_orient=1,
+                 bias="orientation"):
+        from metropolismontecarlo_tpu.mc.gcmc_mol import make_gcmc_mol
+        self.params = params
+        self.activity = float(activity)
+        self.capacity = int(system.n_mol)
+        self._init, self._run_steps, self.full_energy = make_gcmc_mol(
+            system, params, activity, p_exchange, dtype, chunk, n_orient,
+            bias, tmmc=True)
+        self.cmat = np.zeros((self.capacity + 1, 3), np.float64)
+        self.eta = np.zeros(self.capacity + 1, np.float64)
+
+    def init(self, key, box, n_init, n_chains):
+        return self._init(key, box, n_init, n_chains)
+
+    def run_block(self, state, n_steps, drift_tol=None, update_bias=True):
+        att0, acc0 = state.att, state.acc
+        state, cmat = self._run_steps(state, self.eta, n_steps)
+        self.cmat += np.asarray(cmat, np.float64).sum(axis=0)
+        e, sf = self.full_energy(state)
+        scale = jnp.maximum(jnp.abs(e), 1.0)
+        drift = jnp.max(jnp.abs(e - state.energy) / scale)
+        sfac_err = jnp.max(jnp.abs(sf - state.sfac))
+        n = jnp.sum(state.active, axis=1)
+        ratio = (state.acc - acc0) / jnp.maximum(state.att - att0, 1)
+        stats = {
+            "n_mean": float(jnp.mean(n.astype(jnp.float64))),
+            "n_min": int(jnp.min(n)),
+            "n_max": int(jnp.max(n)),
+            "visited_frac": float(np.mean(self.cmat.sum(axis=1) > 0)),
+            "full_frac": float(jnp.mean((n >= self.capacity)
+                                        .astype(jnp.float64))),
+            "acc_trans": float(jnp.mean(ratio[:, 0])),
+            "acc_rot": float(jnp.mean(ratio[:, 1])),
+            "acc_insert": float(jnp.mean(ratio[:, 2])),
+            "acc_delete": float(jnp.mean(ratio[:, 3])),
+            "drift_max_rel": float(drift),
+            "sfac_err_max": float(sfac_err),
+        }
+        if drift_tol is not None:
+            assert stats["drift_max_rel"] < drift_tol, stats
+        if update_bias:
+            try:
+                lnpi, _ = lnpi_from_cmat(self.cmat)
+                self.eta = bias_from_lnpi(lnpi)
+            except ValueError:
+                pass                      # not enough data yet
+        return state._replace(energy=e, sfac=sf), stats
+
+    reset_collection = TMMC.reset_collection
+    lnpi = TMMC.lnpi

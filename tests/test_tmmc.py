@@ -158,6 +158,21 @@ def test_basin_split_prefers_deepest_valley():
     assert n_l == pytest.approx(160.0, abs=2.0)
 
 
+def test_surface_tension_known_barrier():
+    """Piecewise ln Pi with peaks at 0 and a flat valley at -B: the
+    Binder estimate must return exactly T*B/(2 L^2), robust to a 1-kT
+    noise dimple riding on the valley."""
+    from metropolismontecarlo_tpu.mc.tmmc import surface_tension
+    n = np.arange(241, dtype=np.float64)
+    B, box, temp = 14.0, 7.0, 0.9
+    lnpi = np.full(241, -B)
+    lnpi[:41] = -B * np.abs(n[:41] - 20.0) / 20.0          # vapor peak at 20
+    lnpi[200:] = -B * np.abs(n[200:] - 220.0) / 20.0       # liquid peak at 220
+    lnpi[100:113] += 0.9 * np.cos(np.pi * (n[100:113] - 106.0) / 6.0) + 0.9
+    gamma = surface_tension(lnpi, box, temp)
+    assert gamma == pytest.approx(temp * B / (2 * box**2), rel=1e-12)
+
+
 def test_reweight_and_bias_utilities():
     lnpi = np.array([-np.inf, 0.0, 1.0, 0.5, -np.inf])
     out = reweight_lnpi(lnpi, 1.0, np.e)   # adds N per step
