@@ -528,10 +528,16 @@ class TMMCMol:
 
     def run_block(self, state, n_steps, drift_tol=None, update_bias=True):
         att0, acc0 = state.att, state.acc
+        e0 = state.energy
         state, cmat = self._run_steps(state, self.eta, n_steps)
         self.cmat += np.asarray(cmat, np.float64).sum(axis=0)
         e, sf = self.full_energy(state)
-        scale = jnp.maximum(jnp.abs(e), 1.0)
+        # drift scale: BOTH block endpoints — a biased walker can travel
+        # the whole N range in one block (e.g. 70 waters -> 2), and the
+        # f32 cancellation residue of that excursion is tiny relative to
+        # the energies traversed but large relative to the near-zero
+        # endpoint alone
+        scale = jnp.maximum(jnp.maximum(jnp.abs(e), jnp.abs(e0)), 1.0)
         drift = jnp.max(jnp.abs(e - state.energy) / scale)
         sfac_err = jnp.max(jnp.abs(sf - state.sfac))
         n = jnp.sum(state.active, axis=1)
