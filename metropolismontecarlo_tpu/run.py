@@ -162,6 +162,131 @@ def _run_gcmc(cfg, system, params, dtype, args):
     return state
 
 
+def _run_tmmc(cfg, system, params, dtype, args):
+    """Flat-histogram muVT loop: `"ensemble": {"kind": "tmmc",
+    "activity": z, "capacity": cap, "box": L, "n_init": n | [lo, hi],
+    ...}` in the run section.
+
+    Monatomic systems use mc/tmmc.TMMC; rigid molecular systems (P > 1)
+    TMMCMol (there capacity must equal the model's n_mol).  Options:
+      * `"n_init": [lo, hi]` — STRATIFIED per-chain starts
+        (linspace over the N axis; see mc/tmmc.py for why);
+      * `"melt_blocks"` (molecular only) — displacement/rotation-only
+        blocks before exchanges open, so hot lattice starts relax at
+        fixed N instead of evaporating (the tmmc_water.txt protocol);
+      * `"discard_blocks"` — burn-in discard: reset the collection
+        matrix after that many TM blocks (lattice-start deposits
+        otherwise pollute ln Pi permanently);
+      * `"p_exchange"`, `"n_orient"` as in molecular GCMC;
+      * `"coexistence": true` — solve equal basin weights at the end
+        and report (z*, rho_vap, rho_liq, gamma).
+    Writes lnpi.txt (N, ln Pi) to output.dir.
+    """
+    import numpy as _np
+
+    from metropolismontecarlo_tpu.mc.tmmc import (
+        TMMC,
+        TMMCMol,
+        coexistence,
+        surface_tension,
+    )
+
+    run_cfg = cfg.get("run", {})
+    ens = run_cfg["ensemble"]
+    n_chains = int(run_cfg.get("n_chains", 8))
+    box = float(ens["box"])
+    molecular = system.atoms_per_mol > 1
+    if molecular:
+        if int(ens["capacity"]) != system.n_mol:
+            raise ValueError(
+                f"molecular TMMC: model n_mol ({system.n_mol}) must "
+                f"equal ensemble capacity ({ens['capacity']})")
+        t = TMMCMol(system, params, activity=float(ens["activity"]),
+                    p_exchange=float(ens.get("p_exchange", 0.3)),
+                    dtype=dtype, n_orient=int(ens.get("n_orient", 1)))
+    else:
+        if "melt_blocks" in ens:
+            raise ValueError("melt_blocks applies only to molecular "
+                             "TMMC (monatomic lattice starts relax "
+                             "within the first block)")
+        t = TMMC(system, params, activity=float(ens["activity"]),
+                 capacity=int(ens["capacity"]), dtype=dtype)
+    n_init = ens["n_init"]
+    if isinstance(n_init, (list, tuple)):
+        lo, hi = n_init
+        n_init = _np.linspace(float(lo), float(hi),
+                              n_chains).astype(_np.int32)
+    else:
+        n_init = int(n_init)
+    seed = int(run_cfg.get("seed", 0))
+    state = t.init(jax.random.PRNGKey(seed), box=box, n_init=n_init,
+                   n_chains=n_chains)
+
+    out_cfg = run_cfg.get("output", {})
+    out_dir = out_cfg.get("dir")
+    logger = JsonlLogger(os.path.join(out_dir, "metrics.jsonl")
+                         if out_dir else None)
+    n_blocks = int(run_cfg.get("n_blocks", 10))
+    n_steps = int(run_cfg.get("n_steps", 1000))
+    melt = int(ens.get("melt_blocks", 0))
+    discard = int(ens.get("discard_blocks", 0))
+
+    if melt:
+        from metropolismontecarlo_tpu.mc.gcmc_mol import MolGCMC
+        g0 = MolGCMC(system, params, activity=float(ens["activity"]),
+                     p_exchange=0.0, dtype=dtype)
+        for block in range(melt):
+            state, stats = g0.run_block(state, n_steps)
+            if not args.quiet:
+                print(f"melt {block:4d}  <E> {stats['energy_mean']:.1f}"
+                      f"  accT {stats['acc_trans']:.3f}  "
+                      f"drift {stats['drift_max_rel']:.2e}")
+            logger.write(dict(stats, block=block, phase="melt"))
+
+    for block in range(n_blocks):
+        state, stats = t.run_block(state, n_steps)
+        if block + 1 == discard:
+            t.reset_collection()
+        if not args.quiet:
+            print(f"blk {block:4d}  N [{stats['n_min']},"
+                  f"{stats['n_max']}]  <N> {stats['n_mean']:8.2f}  "
+                  f"visited {stats['visited_frac']:.2f}  "
+                  f"accI {stats['acc_insert']:.3f}  "
+                  f"accD {stats['acc_delete']:.3f}  "
+                  f"drift {stats['drift_max_rel']:.2e}")
+        logger.write(dict(stats, block=block,
+                          phase="burnin" if block < discard else "prod"))
+
+    lnpi = t.lnpi()
+    if out_dir:
+        fin = _np.isfinite(lnpi)
+        with open(os.path.join(out_dir, "lnpi.txt"), "w") as f:
+            f.write("# N  lnPi  (z0 = %g)\n" % t.activity)
+            for n_, v in zip(_np.where(fin)[0], lnpi[fin]):
+                f.write(f"{n_} {v:.8f}\n")
+    if ens.get("coexistence"):
+        try:
+            res = coexistence(lnpi, t.activity, box**3)
+            gamma = surface_tension(res["lnpi_coex"], box,
+                                    params.temperature)
+            if not args.quiet:
+                print(f"coexistence: z* = {res['z_coex']:.6g}  "
+                      f"rho_vap = {res['rho_vap']:.6g}  "
+                      f"rho_liq = {res['rho_liq']:.6g}  "
+                      f"gamma = {gamma:.6g}")
+            logger.write({"phase": "coexistence",
+                          "z_coex": res["z_coex"],
+                          "rho_vap": res["rho_vap"],
+                          "rho_liq": res["rho_liq"],
+                          "gamma": gamma})
+        except ValueError as err:
+            print(f"coexistence solve failed: {err}")
+    logger.close()
+    if not args.quiet:
+        print("done.")
+    return state
+
+
 def _run_semigrand(cfg, system, params, dtype, args):
     """Semigrand loop: `"ensemble": {"kind": "semigrand",
     "fugacity_ratio": xi, "box": L, "n_a": n, "n_b": m,
@@ -359,6 +484,8 @@ def main(argv=None):
     ens = run_cfg.get("ensemble")
     if ens and ens.get("kind") in ("gcmc", "osmotic"):
         return _run_gcmc(cfg, system, params, dtype, args)
+    if ens and ens.get("kind") == "tmmc":
+        return _run_tmmc(cfg, system, params, dtype, args)
     if ens and ens.get("kind") == "gibbs":
         return _run_gibbs(cfg, system, params, dtype, args)
     if ens and ens.get("kind") == "semigrand":

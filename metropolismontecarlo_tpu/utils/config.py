@@ -29,6 +29,12 @@ Schema (all sections optional except model):
                         // or {"kind": "gibbs", "boxes": [L1, L2],
                         //     "n_init": [n1, n2], "capacity": 256,
                         //     "dv_max": 0.03}  (two-box coexistence)
+                        // or {"kind": "tmmc", "activity": 0.03,
+                        //     "capacity": 192, "box": 6.0,
+                        //     "n_init": [2, 180],   // stratified
+                        //     "discard_blocks": 12, "melt_blocks": 8,
+                        //     "coexistence": true}  (flat-histogram
+                        //     muVT -> lnpi.txt + equal-weight solve)
                         // (omit section entirely for NVT/NPT)
             "start": {"kind": "lattice"|"nist"|"cnf", "path": "...",
                       "box": 20.0, "density": null},

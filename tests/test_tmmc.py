@@ -185,6 +185,39 @@ def test_reweight_and_bias_utilities():
     assert np.all(np.isfinite(eta))
 
 
+def test_cli_tmmc_end_to_end(tmp_path):
+    """CLI `"ensemble": {"kind": "tmmc"}`: stratified starts, burn-in
+    discard, lnpi.txt written, finite ln Pi over a contiguous range."""
+    import json
+
+    cfg = {
+        "model": {"kind": "lj", "n_mol": 1},
+        "params": {"strict_min_image": False, "temperature": 1.5,
+                   "r_cut": 2.5, "cutoff_mode": "site", "coulomb": "none",
+                   "p_translate": 0.3, "dr_max": 0.5, "use_lrc": False},
+        "run": {"n_chains": 16, "n_blocks": 4, "n_steps": 400, "seed": 2,
+                "dtype": "float64",
+                "ensemble": {"kind": "tmmc", "activity": 0.05,
+                             "capacity": 40, "box": 5.0,
+                             "n_init": [1, 30], "discard_blocks": 1},
+                "output": {"dir": str(tmp_path / "out")}},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    from metropolismontecarlo_tpu.run import main
+    main([str(cfg_path), "--quiet"])
+    lines = (tmp_path / "out" / "lnpi.txt").read_text().splitlines()
+    data = np.array([l.split() for l in lines[1:]], dtype=np.float64)
+    assert data.shape[0] >= 10
+    assert np.all(np.isfinite(data[:, 1]))
+    assert np.all(np.diff(data[:, 0]) == 1)      # contiguous N range
+    metrics = [json.loads(l) for l in
+               (tmp_path / "out" / "metrics.jsonl").read_text()
+               .splitlines()]
+    phases = [m["phase"] for m in metrics]
+    assert phases.count("burnin") == 1 and phases.count("prod") == 3
+
+
 def test_empty_cmat_raises():
     with pytest.raises(ValueError, match="no measured transitions"):
         lnpi_from_cmat(np.zeros((10, 3)))
