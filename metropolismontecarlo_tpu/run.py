@@ -85,6 +85,36 @@ def _run_gcmc(cfg, system, params, dtype, args):
     the trials to full poses (positional/cavity bias)."""
     run_cfg = cfg.get("run", {})
     ens = run_cfg["ensemble"]
+    if ens.get("kind") == "binary":
+        from metropolismontecarlo_tpu.mc.gcmc_binary import BinaryGCMC
+        g = BinaryGCMC(system, params,
+                       activities=tuple(float(z)
+                                        for z in ens["activities"]),
+                       p_exchange=float(ens.get("p_exchange", 0.4)),
+                       dtype=dtype, n_orient=int(ens.get("n_orient", 1)))
+        state = g.init(jax.random.PRNGKey(int(run_cfg.get("seed", 0))),
+                       box=float(ens["box"]),
+                       n_init=tuple(int(n) for n in ens["n_init"]),
+                       n_chains=int(run_cfg.get("n_chains", 8)))
+        out_cfg = run_cfg.get("output", {})
+        out_dir = out_cfg.get("dir")
+        logger = JsonlLogger(os.path.join(out_dir, "metrics.jsonl")
+                             if out_dir else None)
+        n_blocks = int(run_cfg.get("n_blocks", 10))
+        n_steps = int(run_cfg.get("n_steps", 1000))
+        for block in range(n_blocks):
+            state, stats = g.run_block(state, n_steps)
+            if not args.quiet:
+                print(f"blk {block:4d}  <N0> {stats['n0_mean']:8.2f}  "
+                      f"<N1> {stats['n1_mean']:8.2f}  "
+                      f"accX {stats['acc_insert0']:.3f}/"
+                      f"{stats['acc_insert1']:.3f}  "
+                      f"drift {stats['drift_max_rel']:.2e}")
+            logger.write(dict(stats, block=block))
+        logger.close()
+        if not args.quiet:
+            print("done.")
+        return state
     if ens.get("kind") == "osmotic":
         from metropolismontecarlo_tpu.mc.gcmc_osmotic import OsmoticGCMC
         if "bias" in ens:
@@ -482,7 +512,7 @@ def main(argv=None):
                     pressure_ladder=pressure_ladder)
 
     ens = run_cfg.get("ensemble")
-    if ens and ens.get("kind") in ("gcmc", "osmotic"):
+    if ens and ens.get("kind") in ("gcmc", "osmotic", "binary"):
         return _run_gcmc(cfg, system, params, dtype, args)
     if ens and ens.get("kind") == "tmmc":
         return _run_tmmc(cfg, system, params, dtype, args)

@@ -29,6 +29,9 @@ Schema (all sections optional except model):
                         // or {"kind": "gibbs", "boxes": [L1, L2],
                         //     "n_init": [n1, n2], "capacity": 256,
                         //     "dv_max": 0.03}  (two-box coexistence)
+                        // or {"kind": "binary",          // 2-species
+                        //     "activities": [z0, z1],    // muVT (both
+                        //     "box": 10.0, "n_init": [8, 8]}  // exch.)
                         // or {"kind": "tmmc", "activity": 0.03,
                         //     "capacity": 192, "box": 6.0,
                         //     "n_init": [2, 180],   // stratified

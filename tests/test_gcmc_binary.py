@@ -1,0 +1,171 @@
+"""Binary-mixture muVT (both species exchangeable): exact model
+consistency, independent-Poisson ideal species, the interacting COLOR
+symmetry (two identical species at (z, z) == one species at 2z), and
+the Ewald drift invariant through mixed exchanges."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metropolismontecarlo_tpu.mc.gcmc_binary import BinaryGCMC
+from metropolismontecarlo_tpu.models.system import RunParams, System
+from metropolismontecarlo_tpu.models.water import spce_system
+
+
+def lj_two_blocks(cap0, cap1, eps=1.0, sigma=1.0):
+    """Two MONATOMIC LJ species blocks with identical interactions —
+    the color-symmetry fixture."""
+    M = cap0 + cap1
+    body = np.zeros((M, 1, 3))
+    masses = np.ones((M, 1))
+    charges = np.zeros((M, 1))
+    type_ids = np.zeros((M, 1), np.int32)
+    type_ids[cap0:] = 1
+    eps_t = np.full((2, 2), eps)
+    sig_t = np.full((2, 2), sigma)
+    return System(n_mol=M, atoms_per_mol=1, body=body, masses=masses,
+                  charges=charges, type_ids=type_ids, eps_table=eps_t,
+                  sig_table=sig_t, name="lj2",
+                  species=(("A", cap0, 1), ("B", cap1, 1)))
+
+
+def water_two_blocks(cap0, cap1):
+    """SPC/E split into two exchangeable blocks (identical species,
+    full charges) — exercises carried structure factors through both
+    species' exchanges."""
+    w = spce_system(cap0 + cap1)
+    return System(n_mol=cap0 + cap1, atoms_per_mol=3, body=w.body,
+                  masses=w.masses, charges=w.charges,
+                  type_ids=w.type_ids, eps_table=w.eps_table,
+                  sig_table=w.sig_table, name="spce2x",
+                  species=(("wA", cap0, 3), ("wB", cap1, 3)))
+
+
+def _lj_params(**kw):
+    d = dict(strict_min_image=False, temperature=1.5, r_cut=2.5,
+             cutoff_mode="site", coulomb="none", p_translate=1.0,
+             dr_max=0.4, use_lrc=False)
+    d.update(kw)
+    return RunParams(**d)
+
+
+def test_binary_full_energy_matches_model():
+    """All slots of both species active: the app's recompute equals the
+    production energy model of the two-block system exactly (Ewald),
+    before and after a block of NVT-only moves."""
+    from metropolismontecarlo_tpu.models.energy import energy_breakdown
+    from metropolismontecarlo_tpu.ops.ewald import make_kvectors
+
+    sys2 = water_two_blocks(5, 4)
+    params = RunParams(temperature=400.0, r_cut=5.0, cutoff_mode="site",
+                       coulomb="ewald", use_lrc=False, p_translate=0.5,
+                       dr_max=0.5, dphi_max=0.5)
+    g = BinaryGCMC(sys2, params, activities=(1e-4, 1e-4),
+                   p_exchange=0.0)
+    st = g.init(jax.random.PRNGKey(0), box=12.0, n_init=(5, 4),
+                n_chains=2)
+    kv, kw = make_kvectors(params.nk, params.ksq_max)
+    A = sys2.n_atoms
+
+    def model_total(c):
+        out = energy_breakdown(sys2, params, st.coords[c, :, :A].T,
+                               st.com[c], st.box[c], kv, kw)
+        return float(out["total"])
+
+    for c in range(2):
+        assert float(st.energy[c]) == pytest.approx(model_total(c),
+                                                    rel=1e-9)
+    st, stats = g.run_block(st, 300, drift_tol=1e-9)
+    assert stats["acc_trans"] > 0.0
+    for c in range(2):
+        assert float(st.energy[c]) == pytest.approx(model_total(c),
+                                                    rel=1e-9)
+
+
+def test_binary_ideal_species_independent_poisson():
+    """eps = 0 for both species at different activities: N_A and N_B
+    are independent Poissons."""
+    z0, z1, box = 0.03, 0.06, 6.0
+    g = BinaryGCMC(lj_two_blocks(40, 60, eps=0.0), _lj_params(),
+                   activities=(z0, z1), p_exchange=0.8)
+    st = g.init(jax.random.PRNGKey(1), box=box, n_init=(5, 10),
+                n_chains=256)
+    st, _ = g.run_block(st, 1500)
+    m0, m1, v0, v1, cv = [], [], [], [], []
+    for _ in range(6):
+        st, stats = g.run_block(st, 500, drift_tol=1e-10)
+        m0.append(stats["n0_mean"])
+        m1.append(stats["n1_mean"])
+        v0.append(stats["n0_var"])
+        v1.append(stats["n1_var"])
+        cv.append(stats["cov01"])
+        assert stats["full_frac0"] == 0.0 and stats["full_frac1"] == 0.0
+    zv0, zv1 = z0 * box**3, z1 * box**3
+    assert np.mean(m0) == pytest.approx(zv0, rel=0.05), m0
+    assert np.mean(m1) == pytest.approx(zv1, rel=0.05), m1
+    assert np.mean(v0) == pytest.approx(zv0, rel=0.2), v0
+    assert np.mean(v1) == pytest.approx(zv1, rel=0.2), v1
+    assert abs(np.mean(cv)) < 0.15 * np.sqrt(zv0 * zv1), cv
+
+
+def test_binary_color_symmetry_vs_single_species():
+    """INTERACTING anchor: two identical LJ species at (z, z) have the
+    same total-N statistics as single-species muVT at activity 2z —
+    Xi_binary(z, z) = sum_N (2z)^N Q_N / N! term-by-term (the species
+    labels are colors)."""
+    from metropolismontecarlo_tpu.mc.gcmc import GCMC
+
+    z, box = 0.05, 5.0
+    params = _lj_params(p_translate=0.4)
+    g2 = BinaryGCMC(lj_two_blocks(48, 48), params, activities=(z, z),
+                    p_exchange=0.6)
+    st2 = g2.init(jax.random.PRNGKey(3), box=box, n_init=(6, 6),
+                  n_chains=192)
+    # the single-species app takes a uniform one-block system
+    from metropolismontecarlo_tpu.models.monatomic import lj_system
+    g1 = GCMC(lj_system(1), params, activity=2 * z, capacity=96)
+    st1 = g1.init(jax.random.PRNGKey(4), box=box, n_init=12,
+                  n_chains=192)
+    st2, _ = g2.run_block(st2, 2000)
+    st1, _ = g1.run_block(st1, 2000)
+    tot2, tot1 = [], []
+    for _ in range(6):
+        st2, s2 = g2.run_block(st2, 600, drift_tol=1e-10)
+        st1, s1 = g1.run_block(st1, 600, drift_tol=1e-10)
+        tot2.append(s2["n0_mean"] + s2["n1_mean"])
+        tot1.append(s1["n_mean"])
+        assert s2["full_frac0"] == 0.0 and s2["full_frac1"] == 0.0
+    m2, m1 = np.mean(tot2), np.mean(tot1)
+    sem = np.std(tot2) / np.sqrt(6) + np.std(tot1) / np.sqrt(6)
+    assert abs(m2 - m1) < max(4 * sem, 0.05 * m1), (m2, m1, sem)
+
+
+def test_binary_spce_ewald_drift_through_exchanges():
+    """Mixed two-species exchanges with full Ewald: carried energy and
+    structure factors vs dense recompute (f64)."""
+    params = RunParams(strict_min_image=False, temperature=600.0,
+                       r_cut=4.5, cutoff_mode="site", coulomb="ewald",
+                       use_lrc=False, p_translate=0.5, dr_max=1.0,
+                       dphi_max=0.8)
+    g = BinaryGCMC(water_two_blocks(7, 7), params,
+                   activities=(2e-4, 3e-4), p_exchange=0.5, n_orient=3)
+    st = g.init(jax.random.PRNGKey(5), box=10.0, n_init=(3, 2),
+                n_chains=6)
+    st, stats = g.run_block(st, 600, drift_tol=1e-9)
+    assert stats["sfac_err_max"] < 1e-8, stats
+    acc_x = (stats["acc_insert0"] + stats["acc_delete0"]
+             + stats["acc_insert1"] + stats["acc_delete1"])
+    assert acc_x > 0.0, stats
+
+
+def test_binary_validation_guards():
+    sys2 = lj_two_blocks(8, 8)
+    with pytest.raises(ValueError, match="use_lrc"):
+        BinaryGCMC(sys2, _lj_params(use_lrc=True),
+                   activities=(0.1, 0.1))
+    with pytest.raises(ValueError, match="two species"):
+        from metropolismontecarlo_tpu.models.monatomic import lj_system
+        BinaryGCMC(lj_system(8), _lj_params(), activities=(0.1, 0.1))
+    with pytest.raises(ValueError, match="pair"):
+        BinaryGCMC(sys2, _lj_params(), activities=(0.1,))
