@@ -93,6 +93,35 @@ def co2_system(n_mol):
                   sig_table=sig_t, name="co2")
 
 
+def co2_n2_system(n_co2, n_n2):
+    """TraPPE CO2 + N2 two-species-block mixture (both P = 3): the
+    flue-gas separation pair, with Lorentz-Berthelot cross terms over
+    the union type set [C, O(CO2), N, charge-site/pad].  Species blocks
+    (("co2", n_co2, 3), ("n2", n_n2, 3)) — directly usable by the
+    two-block ensembles (mc/gcmc_binary.py, mc/gcmc_osmotic.py)."""
+    M = n_co2 + n_n2
+    body = np.concatenate(
+        [np.broadcast_to(co2_body_frame(), (n_co2, 3, 3)),
+         np.broadcast_to(n2_body_frame(), (n_n2, 3, 3))])
+    masses = np.concatenate(
+        [np.broadcast_to(np.array([MASS_C, MASS_O, MASS_O]), (n_co2, 3)),
+         np.broadcast_to(np.array([MASS_N, MASS_N, 0.0]), (n_n2, 3))])
+    charges = np.concatenate(
+        [np.broadcast_to(np.array([CO2_Q_C, CO2_Q_O, CO2_Q_O]),
+                         (n_co2, 3)),
+         np.broadcast_to(np.array([N2_Q_N, N2_Q_N, N2_Q_M]), (n_n2, 3))])
+    type_ids = np.concatenate(
+        [np.broadcast_to(np.array([0, 1, 1], np.int32), (n_co2, 3)),
+         np.broadcast_to(np.array([2, 2, 3], np.int32), (n_n2, 3))])
+    eps_t, sig_t = _lb_tables([CO2_EPS_C, CO2_EPS_O, N2_EPS_N, 0.0],
+                              [CO2_SIG_C, CO2_SIG_O, N2_SIG_N, 1.0])
+    return System(n_mol=M, atoms_per_mol=3, body=body.copy(),
+                  masses=masses.copy(), charges=charges.copy(),
+                  type_ids=type_ids.copy(), eps_table=eps_t,
+                  sig_table=sig_t, name="co2+n2",
+                  species=(("co2", n_co2, 3), ("n2", n_n2, 3)))
+
+
 def n2_body_frame():
     """(3, 3) body template (N, N, M) along z; the M charge site is
     massless and sits exactly at the COM (bond midpoint)."""
