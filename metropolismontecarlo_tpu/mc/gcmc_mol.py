@@ -254,10 +254,12 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
 
     tmmc=True builds the TRANSITION-MATRIX variant (see mc/tmmc.py for
     the method): run_steps becomes run_steps(state, eta, n_steps) ->
-    (state, cmat) where eta is the (cap+1,) bias applied to exchange
-    acceptance only and cmat is the (C, cap+1, 3) per-call collection
-    matrix of Rao-Blackwellized unbiased acceptance probabilities
-    ([stay, up, down] columns, move-type probabilities folded in).
+    (state, cmat, uhist) where eta is the (cap+1,) bias applied to
+    exchange acceptance only, cmat is the (C, cap+1, 3) per-call
+    collection matrix of Rao-Blackwellized unbiased acceptance
+    probabilities ([stay, up, down] columns, move-type probabilities
+    folded in), and uhist the (C, cap+1, 3) per-slice canonical energy
+    moments [count, sum E, sum E^2] for temperature extension.
     With eta = 0 the sampled trajectories are BIT-IDENTICAL to the
     tmmc=False build (gated in tests) — the bias enters acceptance
     thresholds only, never the proposal stream or the bookkeeping.
@@ -316,7 +318,7 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
     def _one_step(carry, _):
         if tmmc:
             (com, quat, coords, active, box, sfac, e, key, acc, att,
-             cmat, eta) = carry
+             cmat, uhist, eta) = carry
         else:
             com, quat, coords, active, box, sfac, e, key, acc, att = carry
         key, k = jax.random.split(key)
@@ -445,6 +447,10 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
             row = (jnp.arange(cap + 1) == n).astype(dtype)
             cmat = cmat + row[:, None] * jnp.stack(
                 [1.0 - up_v - dn_v, up_v, dn_v])
+            # per-slice canonical energy moments for temperature
+            # extension (see tmmc.reweight_lnpi_temperature)
+            uhist = uhist + row[:, None] * jnp.stack(
+                [jnp.ones((), dtype), e, e * e])
             # bias enters the ACCEPTANCE THRESHOLD only (clamped index
             # reads are guarded by full / n==0 rejects)
             eta_n = eta[n]
@@ -473,7 +479,7 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
         t_row = (jnp.arange(4) == mt).astype(jnp.int32)
         if tmmc:
             carry = (com, quat, coords, active, box, sfac, e, key,
-                     acc + a_row, att + t_row, cmat, eta)
+                     acc + a_row, att + t_row, cmat, uhist, eta)
         else:
             carry = (com, quat, coords, active, box, sfac, e, key,
                      acc + a_row, att + t_row)
@@ -483,8 +489,9 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
                    n_steps, eta=None):
         if tmmc:
             cmat = jnp.zeros((cap + 1, 3), dtype)
+            uhist = jnp.zeros((cap + 1, 3), dtype)
             carry = (com, quat, coords, active, box, sfac, e, key, acc,
-                     att, cmat, eta)
+                     att, cmat, uhist, eta)
         else:
             carry = (com, quat, coords, active, box, sfac, e, key, acc,
                      att)
@@ -503,7 +510,7 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
                 state.com, state.quat, state.coords, state.active,
                 state.box, state.sfac, state.energy, state.key,
                 state.acc, state.att, n_steps, jnp.asarray(eta, dtype))
-            return MolGCMCState(*out[:10]), out[10]
+            return MolGCMCState(*out[:10]), out[10], out[11]
     else:
         @partial(jax.jit, static_argnums=1)
         def run_steps(state, n_steps):

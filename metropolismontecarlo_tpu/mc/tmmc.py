@@ -54,11 +54,12 @@ def make_tmmc(system, params, activity, capacity, dtype=jnp.float64):
 
     Returns (init, run_steps, full_energy):
       init(key, box, n_init, n_chains) -> GCMCState;
-      run_steps(state, eta, n_steps) -> (GCMCState, cmat) where eta is
-          the (cap+1,) bias table applied to exchange acceptance and
+      run_steps(state, eta, n_steps) -> (GCMCState, cmat, uhist) where
+          eta is the (cap+1,) bias table applied to exchange acceptance,
           cmat is the (C, cap+1, 3) per-chain collection matrix of this
-          call — columns [stay, up, down] — freshly zeroed each call so
-          the host can accumulate in f64;
+          call — columns [stay, up, down] — and uhist the (C, cap+1, 3)
+          per-slice canonical energy moments [count, sum E, sum E^2];
+          both freshly zeroed each call so the host accumulates in f64;
       full_energy(state) -> (C,) dense masked recompute.
 
     Sampling distribution: pi_biased(x) ~ pi_muVT(x) exp(eta(N(x))), so
@@ -76,7 +77,7 @@ def make_tmmc(system, params, activity, capacity, dtype=jnp.float64):
         system, params, cap, dtype)
 
     def _one_step(carry, _):
-        com, active, box, e, key, acc, att, cmat, eta = carry
+        com, active, box, e, key, acc, att, cmat, uhist, eta = carry
         key, k = jax.random.split(key)
         k_move, k_sel, k_pos, k_acc = jax.random.split(k, 4)
         n = jnp.sum(active.astype(jnp.int32))
@@ -144,15 +145,21 @@ def make_tmmc(system, params, activity, capacity, dtype=jnp.float64):
         stay_v = 1.0 - up_v - dn_v
         row = (jnp.arange(cap + 1) == n).astype(dtype)
         cmat = cmat + row[:, None] * jnp.stack([stay_v, up_v, dn_v])
+        # per-slice canonical energy moments (pre-move state, same row
+        # convention as cmat): d ln Q_N / d beta = -<U>_N makes these
+        # the temperature-extension data (see reweight_lnpi_temperature)
+        uhist = uhist + row[:, None] * jnp.stack(
+            [jnp.ones((), dtype), e, e * e])
 
         return (com, active, box, e, key, acc + a_row, att + t_row,
-                cmat, eta), None
+                cmat, uhist, eta), None
 
     def _run_chain(com, active, box, e, key, acc, att, eta, n_steps):
         cmat = jnp.zeros((cap + 1, 3), dtype)
-        carry = (com, active, box, e, key, acc, att, cmat, eta)
+        uhist = jnp.zeros((cap + 1, 3), dtype)
+        carry = (com, active, box, e, key, acc, att, cmat, uhist, eta)
         carry, _ = jax.lax.scan(_one_step, carry, None, length=n_steps)
-        return carry[:8]
+        return carry[:9]          # (..., cmat, uhist), eta dropped
 
     @jax.jit
     def full_energy(state):
@@ -169,7 +176,7 @@ def make_tmmc(system, params, activity, capacity, dtype=jnp.float64):
             state.acc, state.att, jnp.asarray(eta, dtype), n_steps)
         new = GCMCState(out[0], out[1], out[2], out[3], out[4],
                         out[5], out[6])
-        return new, out[7]
+        return new, out[7], out[8]
 
     def init(key, box, n_init, n_chains):
         """n_init: scalar, or (n_chains,) per-chain STRATIFIED starts —
@@ -438,6 +445,7 @@ class TMMC:
         self._init, self._run_steps, self.full_energy = make_tmmc(
             system, params, activity, capacity, dtype)
         self.cmat = np.zeros((self.capacity + 1, 3), np.float64)
+        self.uhist = np.zeros((self.capacity + 1, 3), np.float64)
         self.eta = np.zeros(self.capacity + 1, np.float64)
 
     def init(self, key, box, n_init, n_chains):
@@ -445,8 +453,9 @@ class TMMC:
 
     def run_block(self, state, n_steps, drift_tol=None, update_bias=True):
         att0, acc0 = state.att, state.acc
-        state, cmat = self._run_steps(state, self.eta, n_steps)
+        state, cmat, uhist = self._run_steps(state, self.eta, n_steps)
         self.cmat += np.asarray(cmat, np.float64).sum(axis=0)
+        self.uhist += np.asarray(uhist, np.float64).sum(axis=0)
         e = self.full_energy(state)
         scale = jnp.maximum(jnp.abs(e), 1.0)
         drift = jnp.max(jnp.abs(e - state.energy) / scale)
@@ -486,10 +495,65 @@ class TMMC:
         T = 1.0 coexistence solve).  Call after the equilibration blocks
         to restart accumulation; the current bias eta is kept."""
         self.cmat[:] = 0.0
+        if hasattr(self, "uhist"):
+            self.uhist[:] = 0.0
 
     def lnpi(self):
         lnpi, _ = lnpi_from_cmat(self.cmat)
         return lnpi
+
+    def u_moments(self):
+        """Per-slice canonical energy moments: (<U>(N), var U(N)) over
+        the sampled within-slice distribution; NaN where unvisited."""
+        return u_moments(self.uhist)
+
+
+def u_moments(uhist):
+    uhist = np.asarray(uhist, np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cnt = uhist[:, 0]
+        mean = np.where(cnt > 0, uhist[:, 1] / np.maximum(cnt, 1), np.nan)
+        var = np.where(cnt > 1,
+                       uhist[:, 2] / np.maximum(cnt, 1) - mean**2,
+                       np.nan)
+    return mean, np.maximum(var, 0.0)
+
+
+def reweight_lnpi_temperature(lnpi, uhist, t_from, t_to,
+                              second_order=True):
+    """Extend ln Pi(N) to a nearby temperature from one run's per-slice
+    energy moments.
+
+    At fixed activity z, Pi(N) ~ z^N Q_N(beta) / N!, and
+    d ln Q_N / d beta = -<U>_N,  d^2 ln Q_N / d beta^2 = var(U)_N, so
+
+      ln Pi(N; b') = ln Pi(N; b) - db <U>_N + db^2/2 var(U)_N + O(db^3)
+
+    with db = b' - b.  The same z label carries over (reweight_lnpi /
+    coexistence then re-solve the new saturation activity), i.e. z is
+    held FIXED across the extrapolation — mu shifts with T accordingly.
+
+    Accuracy: exact for the ideal gas (moments vanish); for interacting
+    systems the truncation error is O(db^3 <dU^3>) per slice — good for
+    |dT|/T of a few percent (gated against a direct run in tests).
+    var(U) needs f64 sampling (f32 E^2 accumulation loses the
+    cancellation); pass second_order=False for f32-collected moments.
+
+    Returns the extrapolated ln Pi, -inf where moments are missing.
+    """
+    lnpi = np.asarray(lnpi, np.float64)
+    u_mean, u_var = u_moments(uhist)
+    db = 1.0 / float(t_to) - 1.0 / float(t_from)
+    out = lnpi - db * u_mean
+    if second_order:
+        # slices visited <= 1 time have no variance estimate — use 0
+        # (first order) there rather than poisoning the state with NaN
+        out = out + 0.5 * db * db * np.where(np.isfinite(u_var),
+                                             u_var, 0.0)
+    out = np.where(np.isfinite(lnpi) & np.isfinite(u_mean), out,
+                   -np.inf)
+    fin = np.isfinite(out)
+    return out - out[fin].max() if fin.any() else out
 
 
 class TMMCMol:
@@ -521,6 +585,7 @@ class TMMCMol:
             system, params, activity, p_exchange, dtype, chunk, n_orient,
             bias, tmmc=True)
         self.cmat = np.zeros((self.capacity + 1, 3), np.float64)
+        self.uhist = np.zeros((self.capacity + 1, 3), np.float64)
         self.eta = np.zeros(self.capacity + 1, np.float64)
 
     def init(self, key, box, n_init, n_chains):
@@ -529,8 +594,9 @@ class TMMCMol:
     def run_block(self, state, n_steps, drift_tol=None, update_bias=True):
         att0, acc0 = state.att, state.acc
         e0 = state.energy
-        state, cmat = self._run_steps(state, self.eta, n_steps)
+        state, cmat, uhist = self._run_steps(state, self.eta, n_steps)
         self.cmat += np.asarray(cmat, np.float64).sum(axis=0)
+        self.uhist += np.asarray(uhist, np.float64).sum(axis=0)
         e, sf = self.full_energy(state)
         # drift scale: BOTH block endpoints — a biased walker can travel
         # the whole N range in one block (e.g. 70 waters -> 2), and the
@@ -568,3 +634,4 @@ class TMMCMol:
 
     reset_collection = TMMC.reset_collection
     lnpi = TMMC.lnpi
+    u_moments = TMMC.u_moments

@@ -24,8 +24,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: repeated pytest runs skip recompiling the
-# big dense-energy graphs.
-_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+# big dense-energy graphs.  MMC_TEST_CACHE overrides the location —
+# CONCURRENT pytest processes must NOT share one cache dir (racing
+# writers corrupt entries whose later reads/writes segfault inside
+# jax's zstd (de)serialization; observed three times on this box).
+_cache_dir = os.environ.get(
+    "MMC_TEST_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -185,6 +185,65 @@ def test_reweight_and_bias_utilities():
     assert np.all(np.isfinite(eta))
 
 
+def test_temperature_reweight_ideal_gas_exact():
+    """Ideal gas: every configuration has U = 0, so the per-slice
+    moments vanish and the temperature extension must return ln Pi
+    unchanged (up to the common gauge max)."""
+    from metropolismontecarlo_tpu.mc.tmmc import (TMMC,
+                                                  reweight_lnpi_temperature)
+    params = RunParams(strict_min_image=False, temperature=1.5, r_cut=2.5,
+                       cutoff_mode="site", coulomb="none",
+                       p_translate=0.3, dr_max=0.5, use_lrc=False)
+    t = TMMC(lj_system(1, eps=0.0), params, activity=0.05, capacity=40)
+    st = t.init(jax.random.PRNGKey(0), box=5.0, n_init=10, n_chains=32)
+    st, _ = t.run_block(st, 1500, drift_tol=1e-10)
+    lnpi = t.lnpi()
+    out = reweight_lnpi_temperature(lnpi, t.uhist, 1.5, 1.2)
+    fin = np.isfinite(lnpi)
+    d = (out[fin] - out[fin][0]) - (lnpi[fin] - lnpi[fin][0])
+    assert np.max(np.abs(d)) < 1e-12, np.max(np.abs(d))
+
+
+def test_temperature_reweight_matches_direct_run():
+    """Interacting LJ: ln Pi extrapolated from T = 1.30 to T = 1.40 via
+    the per-slice energy moments must match a DIRECT T = 1.40 run on
+    the shared visited range (supercritical, single-basin — shape
+    comparison after a least-squares gauge shift)."""
+    from metropolismontecarlo_tpu.mc.tmmc import (TMMC,
+                                                  reweight_lnpi_temperature)
+
+    def sample(temp, seed):
+        params = RunParams(strict_min_image=False, temperature=temp,
+                           r_cut=2.5, cutoff_mode="site", coulomb="none",
+                           p_translate=0.4, dr_max=0.4, use_lrc=False)
+        t = TMMC(lj_system(1), params, activity=0.08, capacity=48)
+        st = t.init(jax.random.PRNGKey(seed), box=4.5,
+                    n_init=np.linspace(2, 40, 64).astype(np.int32),
+                    n_chains=64)
+        for b in range(8):
+            st, _ = t.run_block(st, 1200, drift_tol=1e-9)
+            if b == 1:
+                t.reset_collection()
+        return t
+
+    t_lo = sample(1.30, 11)
+    t_hi = sample(1.40, 12)
+    lnpi_ex = reweight_lnpi_temperature(t_lo.lnpi(), t_lo.uhist,
+                                        1.30, 1.40)
+    lnpi_dir = t_hi.lnpi()
+    both = np.isfinite(lnpi_ex) & np.isfinite(lnpi_dir)
+    assert both.sum() >= 25
+    d = lnpi_ex[both] - lnpi_dir[both]
+    d -= d.mean()                      # gauge
+    # bound calibrated against pure sampling noise: two DIRECT runs at
+    # the same T and this protocol differ by max|d| ~ 0.28 (edge noise
+    # accumulates as a random walk along N); extrapolation-vs-direct
+    # combines two such independent walks plus O(db^3) truncation
+    span = lnpi_dir[both].max() - lnpi_dir[both].min()
+    assert span > 5.0
+    assert np.max(np.abs(d)) < 0.6, (np.max(np.abs(d)), span)
+
+
 def test_cli_tmmc_end_to_end(tmp_path):
     """CLI `"ensemble": {"kind": "tmmc"}`: stratified starts, burn-in
     discard, lnpi.txt written, finite ln Pi over a contiguous range."""

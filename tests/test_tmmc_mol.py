@@ -42,7 +42,7 @@ def test_tmmc_mol_zero_bias_bit_identical_to_gcmc():
     st_g = init_g(jax.random.PRNGKey(7), box=6.0, n_init=10, n_chains=4)
     st_t = init_t(jax.random.PRNGKey(7), box=6.0, n_init=10, n_chains=4)
     st_g = run_g(st_g, 300)
-    st_t, cmat = run_t(st_t, np.zeros(33), 300)
+    st_t, cmat, _ = run_t(st_t, np.zeros(33), 300)
     for a, b, name in zip(st_g, st_t, st_g._fields):
         assert jnp.array_equal(a, b), name
     # every step deposits exactly one unit of row mass per chain
