@@ -45,7 +45,7 @@ CHAINS, STEPS = 256, 5000
 BETA_ISING = 0.326
 
 
-def run_one(temp, seed):
+def run_one(temp, seed, keep=False):
     params = RunParams(strict_min_image=False, temperature=temp, r_cut=2.5,
                        cutoff_mode="site", coulomb="none", p_translate=0.4,
                        dr_max=0.35, use_lrc=False)
@@ -71,6 +71,8 @@ def run_one(temp, seed):
     res = coexistence(t.lnpi(), Z0, BOX**3)
     res["visited"] = stats["visited_frac"]
     res["gamma"] = surface_tension(res["lnpi_coex"], BOX, temp)
+    if keep:
+        res["tmmc"] = t
     return res
 
 
@@ -99,7 +101,7 @@ def main():
     t0 = time.time()
     results = []
     for i, temp in enumerate(TEMPS):
-        r = run_one(temp, 100 + i)
+        r = run_one(temp, 100 + i, keep=(temp == 0.95))
         results.append(r)
         print(f"  T={temp}: z* {r['z_coex']:.5f} rho_v {r['rho_vap']:.4f} "
               f"rho_l {r['rho_liq']:.4f} visited {r['visited']:.2f} "
@@ -121,7 +123,22 @@ def main():
     # 0.84, cut-shifted ~0.3; the cut-unshifted model sits between)
     gamma_ok = (np.all(gam > 0) and np.all(np.diff(gam) < 0)
                 and 0.1 < gam[0] < 1.5)
-    ok = mono and resid_ok and cover_ok and tc_ok and gamma_ok
+
+    # temperature extension: extrapolate the T = 0.95 run's ln Pi to
+    # T = 1.00 via its per-slice energy moments (first order — f32
+    # collection has no usable var(U)) and re-solve coexistence; must
+    # land near the DIRECT T = 1.00 row
+    from metropolismontecarlo_tpu.mc.tmmc import reweight_lnpi_temperature
+    t95 = results[TEMPS.index(0.95)]["tmmc"]
+    lnpi_ex = reweight_lnpi_temperature(t95.lnpi(), t95.uhist, 0.95,
+                                        1.00, second_order=False)
+    rex = coexistence(lnpi_ex, Z0, BOX**3)
+    r10 = results[TEMPS.index(1.00)]
+    ex_ok = (abs(rex["rho_liq"] - r10["rho_liq"]) < 0.05
+             and abs(rex["rho_vap"] - r10["rho_vap"]) < 0.02
+             and abs(np.log(rex["z_coex"] / r10["z_coex"])) < 0.15)
+
+    ok = mono and resid_ok and cover_ok and tc_ok and gamma_ok and ex_ok
 
     lines = [
         "LJ vapor-liquid phase diagram from TMMC (TPU)",
@@ -139,6 +156,11 @@ def main():
         f"{resid_ok}; coverage > 0.85: {cover_ok}",
         f"surface tension (Binder, single box): positive, decreasing, "
         f"gamma(0.85) in 0.1-1.5: {gamma_ok}",
+        f"T-extension 0.95 -> 1.00 (per-slice <U>, 1st order): "
+        f"z* {rex['z_coex']:.5f} rho_v {rex['rho_vap']:.4f} "
+        f"rho_l {rex['rho_liq']:.4f} vs direct "
+        f"{r10['z_coex']:.5f}/{r10['rho_vap']:.4f}/{r10['rho_liq']:.4f}"
+        f": {ex_ok}",
         f"rectilinear-diameter + Ising-0.326 fit: T_c = {tc:.3f}, "
         f"rho_c = {rc:.3f} (bands 1.05-1.35 / 0.25-0.40; "
         f"truncated-shifted LJ ~1.09, full LJ ~1.31)",
