@@ -113,12 +113,28 @@ def main():
     rho_l = res["rho_liq"] * G_CC
     cover = stats["visited_frac"]
 
+    # temperature extension: the SAME run's per-slice energy moments
+    # extrapolate ln Pi to 480 K and 520 K (first order, f32) and the
+    # re-solved binodal must widen on cooling and narrow on heating
+    from metropolismontecarlo_tpu.mc.tmmc import reweight_lnpi_temperature
+    ext = {}
+    for t_to in (480.0, 520.0):
+        lp = reweight_lnpi_temperature(t.lnpi(), t.uhist, T, t_to,
+                                       second_order=False)
+        r = coexistence(lp, Z0, BOX**3)
+        ext[t_to] = (r["z_coex"], r["rho_vap"] * G_CC,
+                     r["rho_liq"] * G_CC)
+    ok_ext = (ext[480.0][2] > rho_l > ext[520.0][2]
+              and ext[480.0][1] < rho_v < ext[520.0][1]
+              and ext[480.0][0] < res["z_coex"] < ext[520.0][0])
+
     ok_rho = 0.45 < rho_l < 1.0 and rho_v < 0.05 and rho_v < rho_l / 5.0
     ok_gamma = 2.0 < gamma_mnm < 60.0
     ok_resid = abs(res["dlnw"]) < 1e-6
     ok_cover = cover > 0.80
     ok_drift = max_drift < 0.05 and max_sfac < 1e-3
-    ok = ok_rho and ok_gamma and ok_resid and ok_cover and ok_drift
+    ok = (ok_rho and ok_gamma and ok_resid and ok_cover and ok_drift
+          and ok_ext)
 
     lines = [
         "SPC/E water vapor-liquid coexistence from molecular TMMC (TPU)",
@@ -137,9 +153,13 @@ def main():
         f"max block drift {max_drift:.1e}, max sfac err {max_sfac:.1e} "
         f"(f32; acceptance reads fresh pose energies + carried sfac, "
         f"never the carried E)",
+        f"T-extension (per-slice <U>, 1st order, same run): "
+        f"480 K -> rho_v {ext[480.0][1]:.4f} rho_l {ext[480.0][2]:.4f}; "
+        f"520 K -> rho_v {ext[520.0][1]:.4f} rho_l {ext[520.0][2]:.4f} "
+        f"g/cc; binodal widens on cooling: {ok_ext}",
         f"gates: rho bands {ok_rho}, gamma 2-60 mN/m {ok_gamma}, "
         f"residual {ok_resid}, coverage>0.8 {ok_cover}, "
-        f"drift/sfac {ok_drift}",
+        f"drift/sfac {ok_drift}, T-extension {ok_ext}",
         f"wall: {time.time() - t0:.0f} s",
         f"RESULT: {'PASS' if ok else 'FAIL'}",
     ]
