@@ -71,29 +71,42 @@ class BinaryGCMCState(NamedTuple):
     att: jnp.ndarray      # (C, 6)
 
 
-def make_gcmc_binary(system, params, activities, p_exchange=0.4,
-                     dtype=jnp.float64, chunk=8, n_orient=1):
-    """Build the binary-muVT step/energy functions.
+def make_binary_slots(system, params, dtype=jnp.float64):
+    """Shared two-species slot machinery for the binary ensembles
+    (muVT here, two-box Gibbs in mc/gibbs_binary.py) — the two-species
+    analogue of `make_mol_slots`.
 
-    system: a System with EXACTLY two species blocks, each internally
-    uniform; activities = (z0, z1).  Returns (init, run_steps,
-    full_energy); full_energy(state) -> (energy (C,), sfac (C, K, 2)).
-    Exchange attempts split px equally over the four exchange types
-    (insert/delete x species).
+    Validates the system/params combination, then returns a namespace:
+      evs — one `widom.make_pose_eval` per species;
+      caps, m0s, a0s, Ps — per-species slot counts / molecule / atom /
+          width offsets;
+      atom_ok_of(active0, active1) -> (A_pad,) per-atom activity mask;
+      write_pose(coords, a0, width, ra, keep) — conditional dynamic
+          write of one molecule's atom columns;
+      exchange_const(box, n0, n1, s, dn) — position-independent energy
+          delta of changing species s by dn (self + intra, the
+          reference-Wolf c*Q_tot^2 tracking BOTH species' charges);
+      pose_batch(s, ...) — species-s Rosenbluth trial evaluator;
+      full_one(com, quat, coords, active0, active1, box) -> (e, sfac);
+      pose_lattice_init(key, box, n_chains) -> (com, quat, coords);
+      trial_quats, rosenbluth, plus fields M, A, A_pad, K, kv, kw,
+      use_ewald.
     """
+    from types import SimpleNamespace
+
     slices = system.species_slices
     if len(slices) != 2:
-        raise ValueError("binary GCMC requires exactly two species "
+        raise ValueError("binary ensembles require exactly two species "
                          f"blocks; got {[s[0] for s in slices]}")
     if not system.species_uniform:
         raise ValueError("each species block must be internally uniform")
     if params.use_lrc:
-        raise ValueError("binary GCMC requires use_lrc=False (the "
+        raise ValueError("binary ensembles require use_lrc=False (the "
                          "N-dependent tail would enter the exchange "
                          "rules)")
     if params.ewald_surface or params.nlist_width != 0:
         raise ValueError("ewald_surface / neighbor lists are not "
-                         "supported in binary GCMC")
+                         "supported in binary ensembles")
     use_ewald = params.coulomb == "ewald"
     if use_ewald:
         kvecs, kweights = ewald_ops.make_kvectors(params.nk,
@@ -109,8 +122,8 @@ def make_gcmc_binary(system, params, activities, p_exchange=0.4,
         for s, ev in enumerate(evs):
             if abs(ev.q_t_tot) > 1e-5:
                 raise ValueError(
-                    "ewald binary GCMC requires charge-neutral species "
-                    f"(species {s} net charge {ev.q_t_tot})")
+                    "ewald binary ensembles require charge-neutral "
+                    f"species (species {s} net charge {ev.q_t_tot})")
     _, m0_a, m1_a, P0, a0_a = slices[0]
     _, m0_b, m1_b, P1, a0_b = slices[1]
     caps = (m1_a - m0_a, m1_b - m0_b)
@@ -125,18 +138,6 @@ def make_gcmc_binary(system, params, activities, p_exchange=0.4,
     mol_of_atom = jnp.asarray(system.mol_of_atom_padded)
     real = mol_of_atom >= 0
     col_b = (mol_of_atom >= m0_b) & real           # species-1 columns
-
-    beta = jnp.asarray(1.0 / params.temperature, dtype)
-    zs = tuple(jnp.asarray(float(z), dtype) for z in activities)
-    if len(zs) != 2:
-        raise ValueError("activities must be a (z0, z1) pair")
-    px = float(p_exchange)
-    n_or = int(n_orient)
-    if n_or < 1:
-        raise ValueError("n_orient must be >= 1")
-    p_disp = (1.0 - px) * float(params.p_translate)
-    p_rot = (1.0 - px) * (1.0 - float(params.p_translate))
-    neg_inf = jnp.asarray(-jnp.inf, dtype)
     trial_quats = tuple(make_trial_quats(P, dtype) for P in Ps)
 
     def atom_ok_of(active0, active1):
@@ -176,6 +177,98 @@ def make_gcmc_binary(system, params, activities, p_exchange=0.4,
             return e_p, ovr, sf
 
         return jax.vmap(one)(quats)
+
+    def full_one(com, quat, coords, active0, active1, box):
+        a_ok = atom_ok_of(active0, active1)
+        actives = (active0, active1)
+
+        def block_e(s):
+            def pose_e(j):
+                m = m0s[s] + j
+                ra = evs[s].pose_atoms(com[m], quat[m])
+                e_m, _ = evs[s].pair_energy(com[m], ra, coords, com,
+                                            box, a_ok, m)
+                return jnp.where(actives[s][j], e_m, 0.0)
+
+            return jnp.sum(jax.vmap(pose_e)(jnp.arange(caps[s])))
+
+        e = 0.5 * (block_e(0) + block_e(1))
+        nf = tuple(jnp.sum(a.astype(dtype)) for a in actives)
+        e = e + nf[0] * evs[0].self_intra(box) \
+            + nf[1] * evs[1].self_intra(box)
+        q_tot = nf[0] * evs[0].q_t_tot + nf[1] * evs[1].q_t_tot
+        e = e + evs[0].wolf_const_coeff(box) * q_tot * q_tot
+        if use_ewald:
+            kappa = jnp.asarray(params.kappa_L, dtype) / box
+            cf = ewald_ops.cfac_coeffs(kv, kw, kappa, box, dtype)
+            q_eff = jnp.where(a_ok, evs[0].charges_flat, 0.0)
+            sf = ewald_ops.structure_factor(coords.T, q_eff, kv, box)
+            e = e + ewald_ops.recip_energy(sf, cf)
+        else:
+            sf = jnp.zeros((K, 2), dtype)
+        return e, sf
+
+    def pose_lattice_init(key, box, n_chains):
+        from metropolismontecarlo_tpu.io.configs import cubic_lattice
+        lat = jnp.asarray(cubic_lattice(M, float(box)), dtype)
+        com = jnp.broadcast_to(lat[None], (n_chains, M, 3))
+        quat = random_quaternion(key, (n_chains, M), dtype) \
+            if max(Ps) > 1 else \
+            jnp.zeros((n_chains, M, 4), dtype).at[..., 0].set(1.0)
+        ra0 = jax.vmap(jax.vmap(evs[0].pose_atoms))(
+            com[:, m0_a:m1_a], quat[:, m0_a:m1_a])
+        ra1 = jax.vmap(jax.vmap(evs[1].pose_atoms))(
+            com[:, m0_b:m1_b], quat[:, m0_b:m1_b])
+        flat = jnp.concatenate(
+            [ra0.reshape(n_chains, caps[0] * P0, 3),
+             ra1.reshape(n_chains, caps[1] * P1, 3)], 1)
+        coords = jnp.swapaxes(flat, 1, 2)
+        coords = jnp.pad(coords, ((0, 0), (0, 0), (0, A_pad - A)))
+        return com, quat, coords
+
+    return SimpleNamespace(
+        evs=evs, caps=caps, m0s=m0s, a0s=a0s, Ps=Ps, M=M, A=A,
+        A_pad=A_pad, K=K, kv=kv, kw=kw, use_ewald=use_ewald,
+        atom_ok_of=atom_ok_of, write_pose=write_pose,
+        exchange_const=exchange_const, pose_batch=pose_batch,
+        full_one=full_one, pose_lattice_init=pose_lattice_init,
+        trial_quats=trial_quats, rosenbluth=rosenbluth)
+
+
+def make_gcmc_binary(system, params, activities, p_exchange=0.4,
+                     dtype=jnp.float64, chunk=8, n_orient=1):
+    """Build the binary-muVT step/energy functions.
+
+    system: a System with EXACTLY two species blocks, each internally
+    uniform; activities = (z0, z1).  Returns (init, run_steps,
+    full_energy); full_energy(state) -> (energy (C,), sfac (C, K, 2)).
+    Exchange attempts split px equally over the four exchange types
+    (insert/delete x species).
+    """
+    ms = make_binary_slots(system, params, dtype)
+    evs, caps, m0s, a0s, Ps = ms.evs, ms.caps, ms.m0s, ms.a0s, ms.Ps
+    M, A, A_pad, K = ms.M, ms.A, ms.A_pad, ms.K
+    kv, kw, use_ewald = ms.kv, ms.kw, ms.use_ewald
+    m0_a, m0_b = m0s
+    m1_a = m0_a + caps[0]
+    m1_b = m0_b + caps[1]
+    a0_a, a0_b = a0s
+    P0, P1 = Ps
+    atom_ok_of, write_pose = ms.atom_ok_of, ms.write_pose
+    exchange_const, pose_batch = ms.exchange_const, ms.pose_batch
+    trial_quats = ms.trial_quats
+
+    beta = jnp.asarray(1.0 / params.temperature, dtype)
+    zs = tuple(jnp.asarray(float(z), dtype) for z in activities)
+    if len(zs) != 2:
+        raise ValueError("activities must be a (z0, z1) pair")
+    px = float(p_exchange)
+    n_or = int(n_orient)
+    if n_or < 1:
+        raise ValueError("n_orient must be >= 1")
+    p_disp = (1.0 - px) * float(params.p_translate)
+    p_rot = (1.0 - px) * (1.0 - float(params.p_translate))
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
 
     def _one_step(carry, _):
         (com, quat, coords, active0, active1, box, sfac, e, key,
@@ -366,39 +459,9 @@ def make_gcmc_binary(system, params, activities, p_exchange=0.4,
         carry, _ = jax.lax.scan(_one_step, carry, None, length=n_steps)
         return carry
 
-    def _full_one(com, quat, coords, active0, active1, box):
-        a_ok = atom_ok_of(active0, active1)
-        actives = (active0, active1)
-
-        def block_e(s):
-            def pose_e(j):
-                m = m0s[s] + j
-                ra = evs[s].pose_atoms(com[m], quat[m])
-                e_m, _ = evs[s].pair_energy(com[m], ra, coords, com,
-                                            box, a_ok, m)
-                return jnp.where(actives[s][j], e_m, 0.0)
-
-            return jnp.sum(jax.vmap(pose_e)(jnp.arange(caps[s])))
-
-        e = 0.5 * (block_e(0) + block_e(1))
-        nf = tuple(jnp.sum(a.astype(dtype)) for a in actives)
-        e = e + nf[0] * evs[0].self_intra(box) \
-            + nf[1] * evs[1].self_intra(box)
-        q_tot = nf[0] * evs[0].q_t_tot + nf[1] * evs[1].q_t_tot
-        e = e + evs[0].wolf_const_coeff(box) * q_tot * q_tot
-        if use_ewald:
-            kappa = jnp.asarray(params.kappa_L, dtype) / box
-            cf = ewald_ops.cfac_coeffs(kv, kw, kappa, box, dtype)
-            q_eff = jnp.where(a_ok, evs[0].charges_flat, 0.0)
-            sf = ewald_ops.structure_factor(coords.T, q_eff, kv, box)
-            e = e + ewald_ops.recip_energy(sf, cf)
-        else:
-            sf = jnp.zeros((K, 2), dtype)
-        return e, sf
-
     @jax.jit
     def full_energy(state):
-        return chunked_vmap(_full_one, chunk, state.com, state.quat,
+        return chunked_vmap(ms.full_one, chunk, state.com, state.quat,
                             state.coords, state.active0, state.active1,
                             state.box)
 
@@ -424,21 +487,7 @@ def make_gcmc_binary(system, params, activities, p_exchange=0.4,
                              "sample the truncated model)")
         k_chain, k_quat = jax.random.split(jnp.asarray(key))
         keys = jax.random.split(k_chain, n_chains)
-        from metropolismontecarlo_tpu.io.configs import cubic_lattice
-        lat = jnp.asarray(cubic_lattice(M, box), dtype)
-        com = jnp.broadcast_to(lat[None], (n_chains, M, 3))
-        quat = random_quaternion(k_quat, (n_chains, M), dtype) \
-            if max(Ps) > 1 else \
-            jnp.zeros((n_chains, M, 4), dtype).at[..., 0].set(1.0)
-        ra0 = jax.vmap(jax.vmap(evs[0].pose_atoms))(
-            com[:, m0_a:m1_a], quat[:, m0_a:m1_a])
-        ra1 = jax.vmap(jax.vmap(evs[1].pose_atoms))(
-            com[:, m0_b:m1_b], quat[:, m0_b:m1_b])
-        flat = jnp.concatenate(
-            [ra0.reshape(n_chains, caps[0] * P0, 3),
-             ra1.reshape(n_chains, caps[1] * P1, 3)], 1)
-        coords = jnp.swapaxes(flat, 1, 2)
-        coords = jnp.pad(coords, ((0, 0), (0, 0), (0, A_pad - A)))
+        com, quat, coords = ms.pose_lattice_init(k_quat, box, n_chains)
         state = BinaryGCMCState(
             com=com, quat=quat, coords=coords,
             active0=jnp.broadcast_to(jnp.arange(caps[0]) < n0,

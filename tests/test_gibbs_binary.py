@@ -1,0 +1,138 @@
+"""Binary Gibbs ensemble (two-box mixture coexistence): exact model
+consistency, ideal per-species Binomial partitioning, the interacting
+color symmetry vs single-species molecular Gibbs, and the Ewald drift
+invariant through mixed transfers and volume exchanges."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metropolismontecarlo_tpu.mc.gibbs_binary import BinaryGibbsEnsemble
+from metropolismontecarlo_tpu.models.system import RunParams
+from tests.test_gcmc_binary import lj_two_blocks, water_two_blocks
+
+
+def _lj_params(**kw):
+    d = dict(strict_min_image=False, temperature=1.5, r_cut=2.5,
+             cutoff_mode="site", coulomb="none", p_translate=1.0,
+             dr_max=0.4, use_lrc=False, p_volume=0.0)
+    d.update(kw)
+    return RunParams(**d)
+
+
+def test_gibbs_binary_full_energy_matches_model():
+    """All slots of both species active in both boxes: the recompute
+    equals the production model per box (Ewald), before and after
+    NVT-only moves."""
+    from metropolismontecarlo_tpu.models.energy import energy_breakdown
+    from metropolismontecarlo_tpu.ops.ewald import make_kvectors
+
+    sys2 = water_two_blocks(4, 3)
+    params = RunParams(temperature=400.0, r_cut=5.0, cutoff_mode="site",
+                       coulomb="ewald", use_lrc=False, p_translate=0.5,
+                       dr_max=0.5, dphi_max=0.5, p_volume=0.0)
+    g = BinaryGibbsEnsemble(sys2, params, p_transfer=0.0)
+    st = g.init(jax.random.PRNGKey(0), boxes=(12.0, 14.0),
+                n_init=[[4, 4], [3, 3]], n_chains=2)
+    kv, kw = make_kvectors(params.nk, params.ksq_max)
+    A = sys2.n_atoms
+
+    def model_total(c, b):
+        out = energy_breakdown(sys2, params, st.coords[c, b, :, :A].T,
+                               st.com[c, b], st.box[c, b], kv, kw)
+        return float(out["total"])
+
+    for c in range(2):
+        for b in range(2):
+            assert float(st.energy[c, b]) == pytest.approx(
+                model_total(c, b), rel=1e-9)
+    st, stats = g.run_block(st, 200, drift_tol=1e-9)
+    assert stats["acc_disp"] > 0.0
+    for c in range(2):
+        for b in range(2):
+            assert float(st.energy[c, b]) == pytest.approx(
+                model_total(c, b), rel=1e-9)
+
+
+def test_gibbs_binary_ideal_species_binomial():
+    """eps = 0 both species, fixed volumes: each molecule sits in box 1
+    with probability V1/(V1+V2) independently, so each species'
+    box-1 count averages N_s V1/(V1+V2)."""
+    g = BinaryGibbsEnsemble(lj_two_blocks(24, 36, eps=0.0),
+                            _lj_params(), p_transfer=0.7)
+    b1, b2 = 5.0, 6.5
+    n0, n1 = 16, 24
+    st = g.init(jax.random.PRNGKey(1), boxes=(b1, b2),
+                n_init=[[8, 8], [12, 12]], n_chains=256)
+    st, _ = g.run_block(st, 1200)
+    f1 = b1**3 / (b1**3 + b2**3)
+    m0, m1 = [], []
+    for _ in range(5):
+        st, stats = g.run_block(st, 500, drift_tol=1e-10)
+        m0.append(stats["n0_mean"][0])
+        m1.append(stats["n1_mean"][0])
+    assert np.mean(m0) == pytest.approx(n0 * f1, rel=0.06), m0
+    assert np.mean(m1) == pytest.approx(n1 * f1, rel=0.06), m1
+
+
+def test_gibbs_binary_color_symmetry_vs_single_species():
+    """Two identical interacting LJ species: the binary app's TOTAL
+    per-box counts must match the single-species molecular Gibbs
+    ensemble at the same total N (labels are colors)."""
+    from metropolismontecarlo_tpu.mc.gibbs_mol import MolGibbsEnsemble
+    from metropolismontecarlo_tpu.models.monatomic import lj_system
+
+    params = _lj_params(p_translate=0.6, p_volume=0.02)
+    g2 = BinaryGibbsEnsemble(lj_two_blocks(40, 40), params,
+                             dv_max=0.05, p_transfer=0.5)
+    st2 = g2.init(jax.random.PRNGKey(3), boxes=(5.0, 5.5),
+                  n_init=[[14, 6], [6, 14]], n_chains=128)
+    g1 = MolGibbsEnsemble(lj_system(80), params, dv_max=0.05,
+                          p_transfer=0.5)
+    st1 = g1.init(jax.random.PRNGKey(4), boxes=(5.0, 5.5),
+                  n_init=(20, 20), n_chains=128)
+    st2, _ = g2.run_block(st2, 2500)
+    st1, _ = g1.run_block(st1, 2500)
+    tot2, tot1 = [], []
+    for _ in range(5):
+        st2, s2 = g2.run_block(st2, 800, drift_tol=1e-10)
+        st1, s1 = g1.run_block(st1, 800, drift_tol=1e-10)
+        tot2.append(s2["rho_liq"])
+        tot1.append(s1["rho_liq"])
+    m2, m1 = np.mean(tot2), np.mean(tot1)
+    sem = np.std(tot2) / np.sqrt(5) + np.std(tot1) / np.sqrt(5)
+    assert abs(m2 - m1) < max(4 * sem, 0.06 * m1), (m2, m1, sem)
+
+
+def test_gibbs_binary_spce_ewald_drift():
+    """Mixed-species transfers + volume exchanges with full Ewald:
+    carried energies and per-box structure factors vs dense recompute
+    (f64).  Uses tuned Ewald parameters so both boxes sample one
+    converged model (the gibbs_mol lesson)."""
+    from metropolismontecarlo_tpu.ops.ewald import tune_parameters
+
+    kappa_l, nk, ksq = tune_parameters(12.0, 4.5, 5e-3)
+    params = RunParams(strict_min_image=False, temperature=600.0,
+                       r_cut=4.5, cutoff_mode="site", coulomb="ewald",
+                       use_lrc=False, p_translate=0.5, dr_max=1.0,
+                       dphi_max=0.8, p_volume=0.02, kappa_L=kappa_l,
+                       nk=nk, ksq_max=ksq)
+    g = BinaryGibbsEnsemble(water_two_blocks(6, 6), params,
+                            dv_max=0.03, p_transfer=0.4, n_orient=3)
+    st = g.init(jax.random.PRNGKey(5), boxes=(10.0, 12.0),
+                n_init=[[4, 2], [2, 4]], n_chains=4)
+    st, stats = g.run_block(st, 600, drift_tol=1e-9)
+    assert stats["sfac_err_max"] < 1e-8, stats
+    assert (stats["acc_transfer0"] + stats["acc_transfer1"]) > 0.0, stats
+    assert stats["acc_vol"] > 0.0, stats
+
+
+def test_gibbs_binary_guards():
+    with pytest.raises(ValueError, match="two species"):
+        from metropolismontecarlo_tpu.models.monatomic import lj_system
+        BinaryGibbsEnsemble(lj_system(8), _lj_params())
+    g = BinaryGibbsEnsemble(lj_two_blocks(8, 8), _lj_params())
+    with pytest.raises(ValueError, match="2 species, 2 boxes"):
+        g.init(jax.random.PRNGKey(0), boxes=(5.0, 5.0), n_init=[4, 4],
+               n_chains=2)
