@@ -381,7 +381,24 @@ def _run_gibbs(cfg, system, params, dtype, args):
     `"p_transfer"` sets the transfer-attempt probability."""
     run_cfg = cfg.get("run", {})
     ens = run_cfg["ensemble"]
-    if system.atoms_per_mol > 1:
+    binary = ens.get("kind") == "gibbs_binary"
+    if binary:
+        # two-species two-box coexistence: `{"kind": "gibbs_binary",
+        # "boxes": [L1, L2], "n_init": [[nA1, nA2], [nB1, nB2]]}` on a
+        # two-species-block model (e.g. a 2-molecule-type topology)
+        from metropolismontecarlo_tpu.mc.gibbs_binary import (
+            BinaryGibbsEnsemble,
+        )
+        g = BinaryGibbsEnsemble(
+            system, params, dv_max=float(ens.get("dv_max", 0.03)),
+            p_transfer=float(ens.get("p_transfer", 0.3)), dtype=dtype,
+            n_orient=int(ens.get("n_orient", 1)))
+        state = g.init(jax.random.PRNGKey(int(run_cfg.get("seed", 0))),
+                       boxes=tuple(float(b) for b in ens["boxes"]),
+                       n_init=[[int(n) for n in row]
+                               for row in ens["n_init"]],
+                       n_chains=int(run_cfg.get("n_chains", 8)))
+    elif system.atoms_per_mol > 1:
         from metropolismontecarlo_tpu.mc.gibbs_mol import MolGibbsEnsemble
         if int(ens["capacity"]) != system.n_mol:
             raise ValueError(
@@ -404,10 +421,11 @@ def _run_gibbs(cfg, system, params, dtype, args):
         g = GibbsEnsemble(system, params, capacity=int(ens["capacity"]),
                           dv_max=float(ens.get("dv_max", 0.03)),
                           dtype=dtype)
-    state = g.init(jax.random.PRNGKey(int(run_cfg.get("seed", 0))),
-                   boxes=tuple(float(b) for b in ens["boxes"]),
-                   n_init=tuple(int(n) for n in ens["n_init"]),
-                   n_chains=int(run_cfg.get("n_chains", 8)))
+    if not binary:
+        state = g.init(jax.random.PRNGKey(int(run_cfg.get("seed", 0))),
+                       boxes=tuple(float(b) for b in ens["boxes"]),
+                       n_init=tuple(int(n) for n in ens["n_init"]),
+                       n_chains=int(run_cfg.get("n_chains", 8)))
     out_cfg = run_cfg.get("output", {})
     out_dir = out_cfg.get("dir")
     logger = JsonlLogger(os.path.join(out_dir, "metrics.jsonl")
@@ -418,7 +436,16 @@ def _run_gibbs(cfg, system, params, dtype, args):
     equil = int(run_cfg.get("equil_blocks", 0))
     for block in range(n_blocks):
         state, stats = g.run_block(state, n_steps)
-        if not args.quiet:
+        if not args.quiet and binary:
+            print(f"blk {block:4d}  rho_l {stats['rho_liq']:.4f}  "
+                  f"rho_v {stats['rho_vap']:.4f}  "
+                  f"x0_l {stats['x0_liq']:.3f}  "
+                  f"x0_v {stats['x0_vap']:.3f}  "
+                  f"accX {stats['acc_transfer0']:.3f}/"
+                  f"{stats['acc_transfer1']:.3f}  "
+                  f"accV {stats['acc_vol']:.3f}  "
+                  f"drift {stats['drift_max_rel']:.2e}")
+        elif not args.quiet:
             print(f"blk {block:4d}  rho_l {stats['rho_liq']:.4f}  "
                   f"rho_v {stats['rho_vap']:.4f}  "
                   f"accX {stats['acc_transfer']:.3f}  "
@@ -516,7 +543,7 @@ def main(argv=None):
         return _run_gcmc(cfg, system, params, dtype, args)
     if ens and ens.get("kind") == "tmmc":
         return _run_tmmc(cfg, system, params, dtype, args)
-    if ens and ens.get("kind") == "gibbs":
+    if ens and ens.get("kind") in ("gibbs", "gibbs_binary"):
         return _run_gibbs(cfg, system, params, dtype, args)
     if ens and ens.get("kind") == "semigrand":
         return _run_semigrand(cfg, system, params, dtype, args)

@@ -128,6 +128,47 @@ def test_gibbs_binary_spce_ewald_drift():
     assert stats["acc_vol"] > 0.0, stats
 
 
+def test_cli_gibbs_binary_end_to_end(tmp_path):
+    """CLI `"kind": "gibbs_binary"` on a two-type topology-free model:
+    runs, logs per-phase compositions, finite stats."""
+    import json
+
+    # the CLI builds systems from config models; a two-block model needs
+    # a topology, so drive the ensemble branch via a monkeypatched
+    # builder instead of inventing a new model kind
+    import metropolismontecarlo_tpu.utils.config as cfgmod
+    orig = cfgmod.build_system
+    cfgmod.build_system = lambda cfg, base_dir=".": lj_two_blocks(16, 16)
+    try:
+        cfg = {
+            "model": {"kind": "lj", "n_mol": 1},
+            "params": {"strict_min_image": False, "temperature": 1.5,
+                       "r_cut": 2.5, "cutoff_mode": "site",
+                       "coulomb": "none", "p_translate": 1.0,
+                       "dr_max": 0.4, "use_lrc": False,
+                       "p_volume": 0.02},
+            "run": {"n_chains": 8, "n_blocks": 2, "n_steps": 300,
+                    "seed": 1, "dtype": "float64",
+                    "ensemble": {"kind": "gibbs_binary",
+                                 "boxes": [5.0, 6.0],
+                                 "n_init": [[6, 4], [4, 6]],
+                                 "dv_max": 0.05, "p_transfer": 0.4},
+                    "output": {"dir": str(tmp_path / "out")}},
+        }
+        cfg_path = tmp_path / "cfg.json"
+        cfg_path.write_text(json.dumps(cfg))
+        from metropolismontecarlo_tpu.run import main
+        main([str(cfg_path), "--quiet"])
+    finally:
+        cfgmod.build_system = orig
+    metrics = [json.loads(l) for l in
+               (tmp_path / "out" / "metrics.jsonl").read_text()
+               .splitlines()]
+    assert len(metrics) == 2
+    assert all(np.isfinite(m["rho_liq"]) and np.isfinite(m["x0_liq"])
+               for m in metrics)
+
+
 def test_gibbs_binary_guards():
     with pytest.raises(ValueError, match="two species"):
         from metropolismontecarlo_tpu.models.monatomic import lj_system
