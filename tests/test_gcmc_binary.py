@@ -159,6 +159,36 @@ def test_binary_spce_ewald_drift_through_exchanges():
     assert acc_x > 0.0, stats
 
 
+def test_binary_ragged_species_widths():
+    """RAGGED two-block system (1-site LJ solvent + 3-site triatomic,
+    different atoms-per-molecule): exact full-energy consistency and
+    drift through both species' exchanges — the layout the CLI's
+    topology-driven binary runs (e.g. water + MEA) rely on."""
+    from tests.test_gcmc_osmotic import lj_plus_trimer
+
+    sys2 = lj_plus_trimer(24, 16)
+    params = _lj_params(p_translate=0.5, dphi_max=0.8)
+    g = BinaryGCMC(sys2, params, activities=(0.05, 0.02),
+                   p_exchange=0.5, n_orient=3)
+    st = g.init(jax.random.PRNGKey(9), box=6.0, n_init=(10, 5),
+                n_chains=8)
+    # all-active check against the production model (LJ-only)
+    from metropolismontecarlo_tpu.models.energy import energy_breakdown
+    st_full = g.init(jax.random.PRNGKey(10), box=6.0, n_init=(24, 16),
+                     n_chains=2)
+    A = sys2.n_atoms
+    for c in range(2):
+        out = energy_breakdown(sys2, params, st_full.coords[c, :, :A].T,
+                               st_full.com[c], st_full.box[c], None,
+                               None)
+        assert float(st_full.energy[c]) == pytest.approx(
+            float(out["total"]), rel=1e-9)
+    st, stats = g.run_block(st, 800, drift_tol=1e-10)
+    acc_x = (stats["acc_insert0"] + stats["acc_delete0"]
+             + stats["acc_insert1"] + stats["acc_delete1"])
+    assert acc_x > 0.0, stats
+
+
 def test_binary_validation_guards():
     sys2 = lj_two_blocks(8, 8)
     with pytest.raises(ValueError, match="use_lrc"):

@@ -128,6 +128,22 @@ def test_gibbs_binary_spce_ewald_drift():
     assert stats["acc_vol"] > 0.0, stats
 
 
+def test_gibbs_binary_ragged_species_widths():
+    """RAGGED two-block Gibbs (1-site + 3-site species): drift through
+    per-species transfers AND volume exchanges (the rebuild path
+    reshapes each species block separately)."""
+    from tests.test_gcmc_osmotic import lj_plus_trimer
+
+    params = _lj_params(p_translate=0.5, dphi_max=0.8, p_volume=0.02)
+    g = BinaryGibbsEnsemble(lj_plus_trimer(20, 12), params,
+                            dv_max=0.05, p_transfer=0.4, n_orient=3)
+    st = g.init(jax.random.PRNGKey(13), boxes=(5.5, 6.5),
+                n_init=[[10, 6], [4, 6]], n_chains=6)
+    st, stats = g.run_block(st, 800, drift_tol=1e-10)
+    assert stats["acc_vol"] > 0.0, stats
+    assert (stats["acc_transfer0"] + stats["acc_transfer1"]) > 0.0, stats
+
+
 def test_cli_gibbs_binary_end_to_end(tmp_path):
     """CLI `"kind": "gibbs_binary"` on a two-type topology-free model:
     runs, logs per-phase compositions, finite stats."""
