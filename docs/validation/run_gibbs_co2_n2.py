@@ -1,18 +1,19 @@
 """Binary Gibbs-ensemble validation on real TPU: CO2/N2 vapor-liquid
-equilibrium at 273 K.
+equilibrium at 240 K.
 
 The two-component Gibbs ensemble (mc/gibbs_binary.py) on the TraPPE
 CO2 + N2 mixture: fixed totals (90 CO2, 10 N2) in two boxes exchanging
-volume and molecules of either species.  At 273 K (CO2 saturation
-~35 bar, liquid ~0.93 g/cc) the boxes must phase-split into a dense
-CO2-rich liquid and a vapor in which the supercritical N2
+volume and molecules of either species.  At 240 K (pure-CO2
+saturation 12.8 bar, liquid 1.09 g/cc) the boxes phase-split into a
+dense CO2-rich liquid and a vapor in which the supercritical N2
 (T_c = 126 K) strongly concentrates — the K-factor
 K_N2 = y_N2 / x_N2 >> 1 is the defining physics of flue-gas
 liquefaction.
 
 Gates: mass densities band (liquid 0.6-1.15, vapor < half liquid),
-N2 vapor enrichment K_N2 > 1.5, drift/structure-factor invariants, and
-no capacity saturation.  Ewald parameters are TUNED for the largest
+N2 vapor enrichment K_N2 > 1.5, box pressure agreement (pressure_fd:
+the exact dU/dV of the sampled model per box; the vapor box's value is
+the mixture bubble pressure), and drift/structure-factor invariants.  Ewald parameters are TUNED for the largest
 box (the gibbs_mol lesson: the reference kappa = 5.6/box convention
 makes the truncated model box-dependent and transfers drain into the
 softer box; the init/block guard enforces this).
@@ -92,7 +93,8 @@ def main():
     g = BinaryGibbsEnsemble(sys_, params, dv_max=0.04, p_transfer=0.35,
                             dtype=jnp.float32, n_orient=N_ORIENT)
     prod_from = BLOCKS // 3
-    acc = {"rho_liq": [], "rho_vap": [], "x": []}
+    acc = {"rho_liq": [], "rho_vap": [], "x": [], "p_liq": [],
+           "p_vap": []}
     for b in range(BLOCKS):
         st, stats = g.run_block(st, STEPS)
         assert stats["sfac_err_max"] < 1e-3, stats
@@ -109,6 +111,9 @@ def main():
             acc["rho_vap"].append(rho_m[ch, 1 - liq].mean())
             acc["x"].append((xn2[ch, liq].mean(),
                              xn2[ch, 1 - liq].mean()))
+            p = np.asarray(g.pressure_fd(st), np.float64) * 138.065
+            acc["p_liq"].append(p[ch, liq].mean())
+            acc["p_vap"].append(p[ch, 1 - liq].mean())
         if b % 4 == 0 or b == BLOCKS - 1:
             print(f"blk {b}: rho_l {rho_m[ch, liq].mean():.3f} "
                   f"rho_v {rho_m[ch, 1 - liq].mean():.3f} g/cc  "
@@ -125,9 +130,22 @@ def main():
     x_l = float(np.mean([a[0] for a in acc["x"]]))
     y_v = float(np.mean([a[1] for a in acc["x"]]))
     k_n2 = y_v / max(x_l, 1e-6)
+
+    # coexistence pressure: exact dU/dV of the sampled model per box
+    # (K/A^3 -> bar), block-averaged over production; both boxes must
+    # agree at the Gibbs fixed point, and the vapor box's value is the
+    # mixture's bubble pressure
+    nb = len(acc["p_liq"])
+    p_liq = float(np.mean(acc["p_liq"]))
+    p_vap = float(np.mean(acc["p_vap"]))
+    p_liq_sem = float(np.std(acc["p_liq"]) / np.sqrt(nb))
+    p_vap_sem = float(np.std(acc["p_vap"]) / np.sqrt(nb))
+    ok_p = (abs(p_liq - p_vap) < 4 * (p_liq_sem + p_vap_sem)
+            and 2.0 < p_vap < 60.0)
+
     ok_rho = 0.6 < rho_l < 1.15 and rho_v < 0.5 * rho_l
     ok_k = k_n2 > 1.5 and y_v > x_l
-    ok = ok_rho and ok_k
+    ok = ok_rho and ok_k and ok_p
 
     out += [
         f"production ({BLOCKS - prod_from} blocks): rho_liq = "
@@ -136,8 +154,12 @@ def main():
         f"N2 mole fractions: liquid x = {x_l:.4f}, vapor y = {y_v:.4f}"
         f"; K_N2 = y/x = {k_n2:.1f} (supercritical N2 concentrates in "
         f"the vapor)",
+        f"coexistence pressure (dU/dV per box, production-averaged): liquid "
+        f"{p_liq:.1f} +- {p_liq_sem:.1f} bar, vapor {p_vap:.1f} +- "
+        f"{p_vap_sem:.1f} bar (pure-CO2 expt P_sat(240 K) = 12.8; the "
+        f"N2 raises the bubble pressure, truncation lowers it)",
         f"gates: density bands {ok_rho}; N2 vapor enrichment K > 1.5 "
-        f"{ok_k}",
+        f"{ok_k}; box pressure agreement + 2-60 bar {ok_p}",
         f"wall: {time.time() - t0:.0f} s",
         f"RESULT: {'PASS' if ok else 'FAIL'}",
     ]

@@ -305,6 +305,24 @@ def make_gibbs_binary(system, params, dv_max=0.05, p_transfer=0.3,
                  box, sfac, e, key, acc + a_row, att + t_row)
         return carry, None
 
+    def rebuild(c_one, q_one):
+        """Atoms (3, A_pad) for one box from (M, 3)/(M, 4) slot poses,
+        each species block reshaped at its own width."""
+        ra0 = jax.vmap(evs[0].pose_atoms)(
+            c_one[m0s[0]:m0s[0] + caps[0]],
+            q_one[m0s[0]:m0s[0] + caps[0]])
+        ra1 = jax.vmap(evs[1].pose_atoms)(
+            c_one[m0s[1]:m0s[1] + caps[1]],
+            q_one[m0s[1]:m0s[1] + caps[1]])
+        flat = jnp.concatenate(
+            [ra0.reshape(caps[0] * Ps[0], 3),
+             ra1.reshape(caps[1] * Ps[1], 3)], 0)
+        out = jnp.swapaxes(flat, 0, 1)
+        pad = ms.A_pad - ms.A
+        if pad:
+            out = jnp.pad(out, ((0, 0), (0, pad)))
+        return out
+
     def _vol_step(carry):
         (com, quat, coords, active0, active1, box, sfac, e, key,
          acc, att) = carry
@@ -322,24 +340,6 @@ def make_gibbs_binary(system, params, dv_max=0.05, p_transfer=0.3,
         box_t = jnp.where(legal, box_new, box)
         scale = jnp.where(legal, box_new / box, 1.0)
         com_v = com * scale[:, None, None]
-
-        def rebuild(c_one, q_one):
-            """Atoms for one box from (M,3)/(M,4) via both species."""
-            ra0 = jax.vmap(evs[0].pose_atoms)(
-                c_one[m0s[0]:m0s[0] + caps[0]],
-                q_one[m0s[0]:m0s[0] + caps[0]])
-            ra1 = jax.vmap(evs[1].pose_atoms)(
-                c_one[m0s[1]:m0s[1] + caps[1]],
-                q_one[m0s[1]:m0s[1] + caps[1]])
-            flat = jnp.concatenate(
-                [ra0.reshape(caps[0] * Ps[0], 3),
-                 ra1.reshape(caps[1] * Ps[1], 3)], 0)
-            out = jnp.swapaxes(flat, 0, 1)
-            pad = ms.A_pad - ms.A
-            if pad:
-                out = jnp.pad(out, ((0, 0), (0, pad)))
-            return out
-
         coords_v = jax.vmap(rebuild)(com_v, quat)
         e_v, sf_v = jax.vmap(ms.full_one)(com_v, quat, coords_v,
                                           active0, active1, box_t)
@@ -437,7 +437,41 @@ def make_gibbs_binary(system, params, dv_max=0.05, p_transfer=0.3,
         e, sf = full_energy(state)
         return state._replace(energy=e, sfac=sf)
 
-    return init, run_steps, full_energy, check_ewald_consistency
+    @jax.jit
+    def pressure_fd(state, rel=1e-4):
+        """(C, 2) exact pressure of the sampled model per box, K/A^3:
+        P = N_tot k T / V - dU/dV by central finite difference on the
+        COM-rescaled (rigid-molecule) energy — the same dU/dV route as
+        the NPT driver's pressure_fd (mc/driver.py), applied per box.
+        At Gibbs coexistence the two boxes' pressures must agree (the
+        ensemble's fixed point), and the vapor box's value IS the
+        saturation pressure of the sampled model."""
+        def one_box(com_b, quat_b, a0_b, a1_b, box_b):
+            v = box_b**3
+
+            def e_at(s):
+                com_s = com_b * s
+                coords_s = rebuild(com_s, quat_b)
+                e, _ = ms.full_one(com_s, quat_b, coords_s, a0_b, a1_b,
+                                   box_b * s)
+                return e
+
+            s_hi = jnp.asarray((1.0 + rel) ** (1.0 / 3.0), dtype)
+            s_lo = jnp.asarray((1.0 - rel) ** (1.0 / 3.0), dtype)
+            dudv = (e_at(s_hi) - e_at(s_lo)) / (2.0 * rel * v)
+            n_tot = (jnp.sum(a0_b.astype(dtype))
+                     + jnp.sum(a1_b.astype(dtype)))
+            return n_tot * jnp.asarray(params.temperature, dtype) / v \
+                - dudv
+
+        def both(com, quat, active0, active1, box):
+            return jax.vmap(one_box)(com, quat, active0, active1, box)
+
+        return chunked_vmap(both, chunk, state.com, state.quat,
+                            state.active0, state.active1, state.box)
+
+    return (init, run_steps, full_energy, check_ewald_consistency,
+            pressure_fd)
 
 
 class BinaryGibbsEnsemble:
@@ -454,9 +488,8 @@ class BinaryGibbsEnsemble:
                  dtype=jnp.float64, n_orient=1, chunk=8):
         self.params = params
         (self._init, self.run_steps, self.full_energy,
-         self._check_ewald) = make_gibbs_binary(system, params, dv_max,
-                                                p_transfer, dtype,
-                                                n_orient, chunk)
+         self._check_ewald, self.pressure_fd) = make_gibbs_binary(
+            system, params, dv_max, p_transfer, dtype, n_orient, chunk)
         sl = system.species_slices
         self.capacities = (sl[0][2] - sl[0][1], sl[1][2] - sl[1][1])
 

@@ -128,6 +128,37 @@ def test_gibbs_binary_spce_ewald_drift():
     assert stats["acc_vol"] > 0.0, stats
 
 
+def test_gibbs_binary_pressure_ideal_and_equality():
+    """pressure_fd: exact N_tot T / V for ideal species; for an
+    interacting equilibrated supercritical pair, the two boxes'
+    pressures must agree (the Gibbs fixed point)."""
+    g0 = BinaryGibbsEnsemble(lj_two_blocks(16, 24, eps=0.0),
+                             _lj_params(), p_transfer=0.5)
+    st = g0.init(jax.random.PRNGKey(2), boxes=(5.0, 7.0),
+                 n_init=[[8, 8], [12, 12]], n_chains=4)
+    p = np.asarray(g0.pressure_fd(st), np.float64)          # (C, 2)
+    n_tot = np.asarray(jnp.sum(st.active0, 2) + jnp.sum(st.active1, 2),
+                       np.float64)
+    v = np.asarray(st.box, np.float64) ** 3
+    assert np.allclose(p, n_tot * 1.5 / v, rtol=1e-9), p
+
+    params = _lj_params(temperature=2.0, p_translate=0.6, p_volume=0.02)
+    g = BinaryGibbsEnsemble(lj_two_blocks(32, 32), params, dv_max=0.05,
+                            p_transfer=0.5)
+    st = g.init(jax.random.PRNGKey(6), boxes=(5.0, 6.0),
+                n_init=[[10, 6], [6, 10]], n_chains=128)
+    st, _ = g.run_block(st, 2000)
+    p1, p2 = [], []
+    for _ in range(4):
+        st, _ = g.run_block(st, 500, drift_tol=1e-10)
+        p = np.asarray(g.pressure_fd(st), np.float64)
+        p1.append(p[:, 0].mean())
+        p2.append(p[:, 1].mean())
+    m1, m2 = np.mean(p1), np.mean(p2)
+    sem = np.std(p1) / 2 + np.std(p2) / 2
+    assert abs(m1 - m2) < max(4 * sem, 0.05 * abs(m1)), (m1, m2, sem)
+
+
 def test_gibbs_binary_ragged_species_widths():
     """RAGGED two-block Gibbs (1-site + 3-site species): drift through
     per-species transfers AND volume exchanges (the rebuild path
