@@ -62,7 +62,8 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
 
     system: uniform single-species System; its n_mol is the PER-BOX slot
     capacity.  dv_max: volume-transfer half-width as a fraction of the
-    total volume.  Returns (init, run_steps, full_energy, widom_boltzmann).
+    total volume.  Returns (init, run_steps, full_energy,
+    widom_boltzmann, check_ewald_consistency, pressure_fd).
 
     n_orient > 1 enables orientational-bias transfers (Rosenbluth
     k-trial insertion in the destination box, existing orientation +
@@ -262,6 +263,17 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
                  acc + a_row, att + t_row)
         return carry, None
 
+    def rebuild_two(com_v, quat):
+        """(2, 3, A_pad) atom planes for both boxes from slot poses."""
+        ra_v = jax.vmap(ev.pose_atoms)(com_v.reshape(2 * cap, 3),
+                                       quat.reshape(2 * cap, 4))
+        coords_v = jnp.swapaxes(
+            ra_v.reshape(2, cap * P, 3), 1, 2)        # (2, 3, A)
+        pad = ms.A_pad - ms.A
+        if pad:
+            coords_v = jnp.pad(coords_v, ((0, 0), (0, 0), (0, pad)))
+        return coords_v
+
     def _vol_step(carry):
         """Volume transfer: rescale COMs (orientations fixed), rebuild
         atoms, dense recompute of BOTH boxes (energy + sfac)."""
@@ -279,13 +291,7 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
         box_t = jnp.where(legal, box_new, box)
         scale = jnp.where(legal, box_new / box, 1.0)
         com_v = com * scale[:, None, None]
-        ra_v = jax.vmap(ev.pose_atoms)(com_v.reshape(2 * cap, 3),
-                                       quat.reshape(2 * cap, 4))
-        coords_v = jnp.swapaxes(
-            ra_v.reshape(2, cap * P, 3), 1, 2)        # (2, 3, A)
-        pad = ms.A_pad - ms.A
-        if pad:
-            coords_v = jnp.pad(coords_v, ((0, 0), (0, 0), (0, pad)))
+        coords_v = rebuild_two(com_v, quat)
         e_v, sf_v = jax.vmap(ms.full_one)(com_v, quat, coords_v, active,
                                           box_t)
         log_a = jnp.sum(nf * jnp.log(jnp.where(legal, v_new / v, 1.0))) \
@@ -407,8 +413,35 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
                                        state.coords, state.active,
                                        state.box, state.sfac, ks)
 
+    @jax.jit
+    def pressure_fd(state, rel=1e-4):
+        """(C, 2) exact pressure per box, K/A^3: P = N k T / V - dU/dV
+        by central FD on the COM-rescaled rigid-molecule energy (the
+        NPT driver's exact route per Gibbs box; the two boxes must
+        agree at coexistence and the vapor box's value is the
+        saturation pressure of the sampled model)."""
+        def one_chain(com, quat, active, box):
+            v = box**3
+
+            def e_at(s):
+                com_s = com * s[:, None, None]
+                coords_s = rebuild_two(com_s, quat)
+                e, _ = jax.vmap(ms.full_one)(com_s, quat, coords_s,
+                                             active, box * s)
+                return e
+
+            s_hi = jnp.full((2,), (1.0 + rel) ** (1.0 / 3.0), dtype)
+            s_lo = jnp.full((2,), (1.0 - rel) ** (1.0 / 3.0), dtype)
+            dudv = (e_at(s_hi) - e_at(s_lo)) / (2.0 * rel * v)
+            nf = jnp.sum(active.astype(dtype), axis=1)
+            return nf * jnp.asarray(params.temperature, dtype) / v \
+                - dudv
+
+        return chunked_vmap(one_chain, chunk, state.com, state.quat,
+                            state.active, state.box)
+
     return (init, run_steps, full_energy, widom_boltzmann,
-            check_ewald_consistency)
+            check_ewald_consistency, pressure_fd)
 
 
 class MolGibbsEnsemble:
@@ -424,10 +457,10 @@ class MolGibbsEnsemble:
         self.params = params
         self.capacity = system.n_mol
         (self._init, self.run_steps, self.full_energy,
-         self.widom_boltzmann,
-         self._check_ewald) = make_gibbs_mol(system, params, dv_max,
-                                             p_transfer, dtype,
-                                             n_orient, chunk)
+         self.widom_boltzmann, self._check_ewald,
+         self.pressure_fd) = make_gibbs_mol(system, params, dv_max,
+                                            p_transfer, dtype,
+                                            n_orient, chunk)
 
     def init(self, key, boxes, n_init, n_chains):
         return self._init(key, boxes, n_init, n_chains)

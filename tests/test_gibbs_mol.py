@@ -190,3 +190,26 @@ def test_gibbs_mol_ewald_consistency_guard():
                  n_init=(8, 8), n_chains=2)
     st, stats = g2.run_block(st, 50, drift_tol=1e-9)
     assert stats["acc_disp"] >= 0.0
+
+
+def test_gibbs_mol_pressure_ideal_gas_exact():
+    """pressure_fd: with eps = q = 0, P = N T / V exactly per box."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from metropolismontecarlo_tpu.mc.gibbs_mol import MolGibbsEnsemble
+    from metropolismontecarlo_tpu.models.polyatomic import triatomic_system
+    from metropolismontecarlo_tpu.models.system import RunParams
+
+    params = RunParams(strict_min_image=False, temperature=1.4,
+                       r_cut=2.5, cutoff_mode="site", coulomb="none",
+                       p_translate=0.5, dr_max=0.5, dphi_max=0.5,
+                       use_lrc=False, p_volume=0.0)
+    g = MolGibbsEnsemble(triatomic_system(24, eps=0.0), params)
+    st = g.init(jax.random.PRNGKey(0), boxes=(5.0, 7.0),
+                n_init=(12, 18), n_chains=3)
+    p = np.asarray(g.pressure_fd(st), np.float64)
+    n = np.asarray(jnp.sum(st.active, axis=2), np.float64)
+    v = np.asarray(st.box, np.float64) ** 3
+    assert np.allclose(p, n * 1.4 / v, rtol=1e-9), p
