@@ -114,6 +114,21 @@ def main():
             p = np.asarray(g.pressure_fd(st), np.float64) * 138.065
             acc["p_liq"].append(p[ch, liq].mean())
             acc["p_vap"].append(p[ch, 1 - liq].mean())
+            # per-species Widom ghosts: number density and <e^-b dU>
+            # per (box, species), phase-sorted — the mu-equality data
+            for s, nsp in ((0, n0), (1, n1)):
+                w = np.asarray(g.widom_boltzmann(
+                    st, jax.random.PRNGKey(7000 + 10 * b + s), 128, s),
+                    np.float64)
+                rho_s = np.asarray(nsp) / v
+                acc.setdefault(("w", s, "liq"), []).append(
+                    w[ch, liq].mean())
+                acc.setdefault(("w", s, "vap"), []).append(
+                    w[ch, 1 - liq].mean())
+                acc.setdefault(("rho", s, "liq"), []).append(
+                    rho_s[ch, liq].mean())
+                acc.setdefault(("rho", s, "vap"), []).append(
+                    rho_s[ch, 1 - liq].mean())
         if b % 4 == 0 or b == BLOCKS - 1:
             print(f"blk {b}: rho_l {rho_m[ch, liq].mean():.3f} "
                   f"rho_v {rho_m[ch, 1 - liq].mean():.3f} g/cc  "
@@ -143,9 +158,21 @@ def main():
     ok_p = (abs(p_liq - p_vap) < 4 * (p_liq_sem + p_vap_sem)
             and 2.0 < p_vap < 60.0)
 
+    # per-species mu-equality: beta mu_s = ln rho_s - ln<e^-b dU> must
+    # match between the phases (the mixture-coexistence fixed point).
+    # N2 ghosts into liquid CO2 converge well (small molecule); CO2
+    # ghosts into its own dense liquid are fat-tailed, so CO2 is
+    # reported with a looser bound
+    def bmu(s, ph):
+        return float(np.log(np.mean(acc[("rho", s, ph)]))
+                     - np.log(np.mean(acc[("w", s, ph)])))
+
+    dmu = [bmu(s, "liq") - bmu(s, "vap") for s in (0, 1)]
+    ok_mu = abs(dmu[1]) < 0.4 and abs(dmu[0]) < 1.0
+
     ok_rho = 0.6 < rho_l < 1.15 and rho_v < 0.5 * rho_l
     ok_k = k_n2 > 1.5 and y_v > x_l
-    ok = ok_rho and ok_k and ok_p
+    ok = ok_rho and ok_k and ok_p and ok_mu
 
     out += [
         f"production ({BLOCKS - prod_from} blocks): rho_liq = "
@@ -158,8 +185,13 @@ def main():
         f"{p_liq:.1f} +- {p_liq_sem:.1f} bar, vapor {p_vap:.1f} +- "
         f"{p_vap_sem:.1f} bar (pure-CO2 expt P_sat(240 K) = 12.8; the "
         f"N2 raises the bubble pressure, truncation lowers it)",
+        f"per-species mu-equality (Widom, liq - vap): CO2 "
+        f"{dmu[0]:+.3f} kT (fat-tailed liquid ghosts, bound 1.0), N2 "
+        f"{dmu[1]:+.3f} kT (bound 0.4) — the mixture-coexistence fixed "
+        f"point",
         f"gates: density bands {ok_rho}; N2 vapor enrichment K > 1.5 "
-        f"{ok_k}; box pressure agreement + 2-60 bar {ok_p}",
+        f"{ok_k}; box pressure agreement + 2-60 bar {ok_p}; "
+        f"mu-equality {ok_mu}",
         f"wall: {time.time() - t0:.0f} s",
         f"RESULT: {'PASS' if ok else 'FAIL'}",
     ]

@@ -470,8 +470,46 @@ def make_gibbs_binary(system, params, dv_max=0.05, p_transfer=0.3,
         return chunked_vmap(both, chunk, state.com, state.quat,
                             state.active0, state.active1, state.box)
 
+    @partial(jax.jit, static_argnums=(2, 3))
+    def widom_boltzmann(state, key, n_insertions, species):
+        """(C, 2) mean exp(-beta dU_test) per box for ghost insertions
+        of the given species, dU with the full exchange energetics —
+        beta mu_s = ln rho_s - ln(this) in the same convention for both
+        boxes, so PER-SPECIES equality is the mixture-coexistence
+        diagnostic (see mc/gibbs_mol.widom_boltzmann)."""
+        s = int(species)
+
+        def one(com, quat, coords, active0, active1, box, sfac, k):
+            kp, kq = jax.random.split(k)
+            pos = jax.random.uniform(kp, (n_insertions, 3),
+                                     dtype) * box
+            quats = ms.trial_quats[s](kq, n_insertions)
+            n0 = jnp.sum(active0.astype(jnp.int32))
+            n1 = jnp.sum(active1.astype(jnp.int32))
+            a_ok = ms.atom_ok_of(active0, active1)
+            cf = cf_of(box)
+            ec = ms.exchange_const(box, n0, n1, s, +1.0)
+
+            def du_one(p, q):
+                ra = evs[s].pose_atoms(p, q)
+                e_p, ovr = evs[s].pair_energy(p, ra, coords, com, box,
+                                              a_ok, -1)
+                if use_ewald:
+                    e_p = e_p + ewald_ops.recip_energy_delta(
+                        sfac, evs[s].pose_sfac(ra, box), cf)
+                return jnp.where(ovr, 0.0, jnp.exp(-beta * (e_p + ec)))
+
+            return jnp.mean(jax.vmap(du_one)(pos, quats))
+
+        C = state.com.shape[0]
+        ks = jax.random.split(jnp.asarray(key), C * 2).reshape(C, 2, 2)
+        return jax.vmap(jax.vmap(one))(state.com, state.quat,
+                                       state.coords, state.active0,
+                                       state.active1, state.box,
+                                       state.sfac, ks)
+
     return (init, run_steps, full_energy, check_ewald_consistency,
-            pressure_fd)
+            pressure_fd, widom_boltzmann)
 
 
 class BinaryGibbsEnsemble:
@@ -488,7 +526,8 @@ class BinaryGibbsEnsemble:
                  dtype=jnp.float64, n_orient=1, chunk=8):
         self.params = params
         (self._init, self.run_steps, self.full_energy,
-         self._check_ewald, self.pressure_fd) = make_gibbs_binary(
+         self._check_ewald, self.pressure_fd,
+         self.widom_boltzmann) = make_gibbs_binary(
             system, params, dv_max, p_transfer, dtype, n_orient, chunk)
         sl = system.species_slices
         self.capacities = (sl[0][2] - sl[0][1], sl[1][2] - sl[1][1])

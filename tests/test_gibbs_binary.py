@@ -159,6 +159,19 @@ def test_gibbs_binary_pressure_ideal_and_equality():
     assert abs(m1 - m2) < max(4 * sem, 0.05 * abs(m1)), (m1, m2, sem)
 
 
+def test_gibbs_binary_widom_ideal_unity():
+    """Ghost insertions of an ideal species see dU = 0 everywhere:
+    <exp(-beta dU)> = 1 exactly, per box and species."""
+    g = BinaryGibbsEnsemble(lj_two_blocks(12, 12, eps=0.0),
+                            _lj_params())
+    st = g.init(jax.random.PRNGKey(8), boxes=(5.0, 6.0),
+                n_init=[[6, 6], [6, 6]], n_chains=3)
+    for s in (0, 1):
+        w = np.asarray(g.widom_boltzmann(st, jax.random.PRNGKey(9),
+                                         32, s), np.float64)
+        assert np.allclose(w, 1.0, atol=1e-12), (s, w)
+
+
 def test_gibbs_binary_ragged_species_widths():
     """RAGGED two-block Gibbs (1-site + 3-site species): drift through
     per-species transfers AND volume exchanges (the rebuild path
