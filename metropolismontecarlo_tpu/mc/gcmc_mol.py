@@ -265,7 +265,10 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
     thresholds only, never the proposal stream or the bookkeeping.
 
     system: a uniform single-species System whose n_mol IS the slot
-    capacity (e.g. models/water.spce_system(64)).  Returns
+    capacity (e.g. models/water.spce_system(64)).  activity: scalar,
+    or a (n_chains,) ACTIVITY LADDER — each chain samples its own muVT
+    state so one compiled run covers a whole adsorption isotherm /
+    z-scan (see mc/gcmc.py; MBAR pooling applies unchanged).  Returns
     (init, run_steps, full_energy) with the same shapes as mc/gcmc.py;
     full_energy(state) -> (energy (C,), sfac (C, K, 2)).
 
@@ -300,7 +303,10 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
     exchange_const = ms.exchange_const
 
     beta = jnp.asarray(1.0 / params.temperature, dtype)
-    z = jnp.asarray(activity, dtype)
+    z_arr = jnp.asarray(activity, dtype)
+    if z_arr.ndim not in (0, 1):
+        raise ValueError("activity must be a scalar or a (n_chains,) "
+                         "ladder")
     px = float(p_exchange)
     n_or = int(n_orient)
     if n_or < 1:
@@ -318,9 +324,10 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
     def _one_step(carry, _):
         if tmmc:
             (com, quat, coords, active, box, sfac, e, key, acc, att,
-             cmat, uhist, eta) = carry
+             cmat, uhist, eta, z) = carry
         else:
-            com, quat, coords, active, box, sfac, e, key, acc, att = carry
+            (com, quat, coords, active, box, sfac, e, key, acc, att,
+             z) = carry
         key, k = jax.random.split(key)
         (k_move, k_sel, k_pos, k_rot, k_insq, k_delq, k_pick,
          k_acc, k_inspos, k_delpos) = jax.random.split(k, 10)
@@ -479,22 +486,22 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
         t_row = (jnp.arange(4) == mt).astype(jnp.int32)
         if tmmc:
             carry = (com, quat, coords, active, box, sfac, e, key,
-                     acc + a_row, att + t_row, cmat, uhist, eta)
+                     acc + a_row, att + t_row, cmat, uhist, eta, z)
         else:
             carry = (com, quat, coords, active, box, sfac, e, key,
-                     acc + a_row, att + t_row)
+                     acc + a_row, att + t_row, z)
         return carry, None
 
     def _run_chain(com, quat, coords, active, box, sfac, e, key, acc, att,
-                   n_steps, eta=None):
+                   z, n_steps, eta=None):
         if tmmc:
             cmat = jnp.zeros((cap + 1, 3), dtype)
             uhist = jnp.zeros((cap + 1, 3), dtype)
             carry = (com, quat, coords, active, box, sfac, e, key, acc,
-                     att, cmat, uhist, eta)
+                     att, cmat, uhist, eta, z)
         else:
             carry = (com, quat, coords, active, box, sfac, e, key, acc,
-                     att)
+                     att, z)
         carry, _ = jax.lax.scan(_one_step, carry, None, length=n_steps)
         return carry
 
@@ -503,22 +510,28 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
         return chunked_vmap(ms.full_one, chunk, state.com, state.quat,
                             state.coords, state.active, state.box)
 
+    def _z_of(state):
+        """(C,) per-chain activity (ladder broadcast)."""
+        return jnp.broadcast_to(z_arr, (state.com.shape[0],))
+
     if tmmc:
         @partial(jax.jit, static_argnums=2)
         def run_steps(state, eta, n_steps):
-            out = jax.vmap(_run_chain, in_axes=(0,) * 10 + (None, None))(
+            out = jax.vmap(_run_chain,
+                           in_axes=(0,) * 11 + (None, None))(
                 state.com, state.quat, state.coords, state.active,
                 state.box, state.sfac, state.energy, state.key,
-                state.acc, state.att, n_steps, jnp.asarray(eta, dtype))
+                state.acc, state.att, _z_of(state), n_steps,
+                jnp.asarray(eta, dtype))
             return MolGCMCState(*out[:10]), out[10], out[11]
     else:
         @partial(jax.jit, static_argnums=1)
         def run_steps(state, n_steps):
-            out = jax.vmap(_run_chain, in_axes=(0,) * 10 + (None,))(
+            out = jax.vmap(_run_chain, in_axes=(0,) * 11 + (None,))(
                 state.com, state.quat, state.coords, state.active,
                 state.box, state.sfac, state.energy, state.key,
-                state.acc, state.att, n_steps)
-            return MolGCMCState(*out)
+                state.acc, state.att, _z_of(state), n_steps)
+            return MolGCMCState(*out[:10])
 
     def init(key, box, n_init, n_chains):
         """n_init: scalar, or (n_chains,) per-chain STRATIFIED starts
@@ -529,6 +542,10 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
             raise ValueError("n_init exceeds capacity")
         if n0.ndim == 1 and n0.shape[0] != n_chains:
             raise ValueError("per-chain n_init must have n_chains entries")
+        if z_arr.ndim == 1 and z_arr.shape[0] != n_chains:
+            raise ValueError(
+                f"activity ladder has {z_arr.shape[0]} rungs but "
+                f"n_chains={n_chains} (one activity per chain)")
         if params.strict_min_image and box < 2.0 * max(params.r_cut,
                                                        params.qq_cut):
             raise ValueError(f"box {box} < 2*cutoff violates minimum-"

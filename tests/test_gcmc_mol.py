@@ -76,7 +76,46 @@ def test_gcmc_mol_ideal_rigid_rotor_poisson():
     assert np.mean(varis) == pytest.approx(zv, rel=0.12), varis
 
 
-def test_gcmc_mol_widom_chemical_potential_consistency():
+def test_gcmc_mol_activity_ladder():
+    """Per-chain ACTIVITY LADDERS for molecular muVT: (a) a ladder with
+    identical entries is bit-identical to the scalar build; (b) ideal
+    rigid rotors at an 8-rung ladder hit N ~ Poisson(z_i V) per rung."""
+    from metropolismontecarlo_tpu.mc.gcmc_mol import make_gcmc_mol
+
+    params = RunParams(strict_min_image=False, temperature=1.5,
+                       r_cut=2.5, cutoff_mode="site", coulomb="none",
+                       p_translate=0.5, dr_max=1.0, dphi_max=1.0,
+                       use_lrc=False)
+    sys_ = triatomic_system(32)
+    init_s, run_s, _ = make_gcmc_mol(sys_, params, activity=0.05,
+                                     p_exchange=0.5)
+    init_l, run_l, _ = make_gcmc_mol(sys_, params,
+                                     activity=np.full(4, 0.05),
+                                     p_exchange=0.5)
+    st_s = init_s(jax.random.PRNGKey(7), box=6.0, n_init=10, n_chains=4)
+    st_l = init_l(jax.random.PRNGKey(7), box=6.0, n_init=10, n_chains=4)
+    st_s = run_s(st_s, 300)
+    st_l = run_l(st_l, 300)
+    for a, b, name in zip(st_s, st_l, st_s._fields):
+        assert jnp.array_equal(a, b), name
+
+    # 8-rung ideal-rotor isotherm in ONE run: 32 chains per rung
+    box = 10.0
+    zs = np.geomspace(0.005, 0.04, 8)
+    ladder = np.repeat(zs, 32)
+    g = MolGCMC(triatomic_system(64, eps=0.0), params, activity=ladder,
+                p_exchange=0.6)
+    st = g.init(jax.random.PRNGKey(1), box=box,
+                n_init=np.minimum((zs[None, :] * box**3)
+                                  .astype(np.int32), 60)
+                .repeat(32).reshape(-1),
+                n_chains=256)
+    st, _ = g.run_block(st, 2000)
+    st, stats = g.run_block(st, 2500, drift_tol=1e-10)
+    n = np.asarray(jnp.sum(st.active, axis=1), np.float64).reshape(8, 32)
+    for i, z in enumerate(zs):
+        assert n[i].mean() == pytest.approx(z * box**3, rel=0.12), \
+            (i, z, n[i].mean())
     """Interacting LJ triatomic at supercritical T: beta mu_ex =
     ln(z / <rho>) from molecular GCMC must agree with the Widom
     machinery on an NVT run of the main driver at the sampled density
