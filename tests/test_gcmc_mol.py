@@ -116,6 +116,9 @@ def test_gcmc_mol_activity_ladder():
     for i, z in enumerate(zs):
         assert n[i].mean() == pytest.approx(z * box**3, rel=0.12), \
             (i, z, n[i].mean())
+
+
+def test_gcmc_mol_widom_chemical_potential_consistency():
     """Interacting LJ triatomic at supercritical T: beta mu_ex =
     ln(z / <rho>) from molecular GCMC must agree with the Widom
     machinery on an NVT run of the main driver at the sampled density
