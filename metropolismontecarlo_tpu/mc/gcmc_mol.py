@@ -249,7 +249,7 @@ def make_mol_slots(system, params, dtype=jnp.float64):
 
 def make_gcmc_mol(system, params, activity, p_exchange=0.3,
                   dtype=jnp.float64, chunk=8, n_orient=1,
-                  bias="orientation", tmmc=False):
+                  bias="orientation", tmmc=False, mega=None):
     """Build the molecular-muVT step/energy functions.
 
     tmmc=True builds the TRANSITION-MATRIX variant (see mc/tmmc.py for
@@ -294,6 +294,26 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
     and orientation bias perform identically there; k-trial averaging
     of either kind only raises acceptance where single-trial Boltzmann
     factors saturate the Metropolis cap (Jensen on the concave min).
+
+    mega (True or "interpret"): route the displacement/rotation
+    fraction of the sampling through the whole-sweep Pallas mega
+    kernel (`mc/moves.make_mega_sweep_fn(with_activity=True)`) — the
+    same kernel that gives the NVT flagship its throughput — keeping
+    exchanges on the jnp path.  run_steps keeps its signature and its
+    n_steps ≈ attempts budget, but executes it as CYCLES of [one
+    activity-masked kernel sweep (cap displacement/rotation attempts,
+    inactive slots are null moves) + x_per jnp exchange-only attempts]
+    with x_per sized so the exchange : move mix matches p_exchange.
+    Deterministic alternation of two reversible kernels samples the
+    same muVT distribution; the kernel path requires dtype=float32, a
+    uniform system, site cutoff, and p_translate < 1 semantics as in
+    the NVT mega path.  "interpret" runs the kernel in the Pallas
+    interpreter (CPU tests; note interpret-mode PRNG returns zeros, so
+    only the energy/structure-factor bookkeeping — the drift gate — is
+    meaningful there).  TMMC composes the same way: the exchange-only
+    steps deposit the collection matrix with the exchange-type
+    probability 0.5 folded in; a constant proposal-mix factor cancels
+    in every lnPi ratio, so the TM estimate is unchanged (gated).
     """
     ms = make_mol_slots(system, params, dtype)
     ev, P, cap = ms.ev, ms.P, ms.cap
@@ -533,6 +553,75 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
                 state.acc, state.att, _z_of(state), n_steps)
             return MolGCMCState(*out[:10])
 
+    if mega:
+        if dtype != jnp.float32:
+            raise ValueError("mega GCMC requires dtype=float32 (the "
+                             "whole-sweep kernel is f32)")
+        from metropolismontecarlo_tpu.mc.moves import make_mega_sweep_fn
+
+        sweep_act = make_mega_sweep_fn(
+            system, params, kv, kw, interpret=(mega == "interpret"),
+            with_activity=True)
+        # exchange-only jnp sampler (same machinery, p_exchange=1), and
+        # the cycle mix: one kernel sweep = cap displacement/rotation
+        # attempts, so x_per exchanges per sweep keeps the attempt mix
+        # at p_exchange : (1 - p_exchange)
+        if px >= 1.0:
+            raise ValueError("mega GCMC needs p_exchange < 1 (otherwise "
+                             "there is no displacement work to kernelize)")
+        _, run_x, _ = make_gcmc_mol(system, params, activity, 1.0, dtype,
+                                    chunk, n_orient, bias, tmmc)
+        x_per = max(1, int(round(cap * px / (1.0 - px))))
+
+        def _sweep_state(state):
+            """One activity-masked kernel sweep folded into the state:
+            fresh per-chain subkeys drive the kernel's counter PRNG (a
+            different-but-deterministic stream vs the jnp path, same
+            contract as the NVT mega kernel)."""
+            keys2 = jax.vmap(jax.random.split)(state.key)    # (C, 2, 2)
+            knext, sub = keys2[:, 0], keys2[:, 1]
+            ck = jax.lax.bitcast_convert_type(sub[:, 0], jnp.int32)
+            com, quat, coords, sfac, d_e, acc2, att2 = sweep_act(
+                state.com, state.quat, state.coords, state.active,
+                state.box, state.sfac, ck, jnp.zeros((), jnp.int32))
+            pad24 = ((0, 0), (0, 2))
+            return state._replace(
+                com=com, quat=quat, coords=coords,
+                sfac=sfac if use_ewald else state.sfac,
+                energy=state.energy + d_e, key=knext,
+                acc=state.acc + jnp.pad(acc2.astype(jnp.int32), pad24),
+                att=state.att + jnp.pad(att2.astype(jnp.int32), pad24))
+
+        if tmmc:
+            @partial(jax.jit, static_argnums=2)
+            def run_steps(state, eta, n_steps):   # noqa: F811
+                n_cyc = max(1, int(round(n_steps / (cap + x_per))))
+                eta = jnp.asarray(eta, dtype)
+
+                def cycle(carry, _):
+                    st, cmat, uhist = carry
+                    st = _sweep_state(st)
+                    st, cm, uh = run_x(st, eta, x_per)
+                    return (st, cmat + cm, uhist + uh), None
+
+                zeros = jnp.zeros(
+                    (state.com.shape[0], cap + 1, 3), dtype)
+                (state, cmat, uhist), _ = jax.lax.scan(
+                    cycle, (state, zeros, zeros), None, length=n_cyc)
+                return state, cmat, uhist
+        else:
+            @partial(jax.jit, static_argnums=1)
+            def run_steps(state, n_steps):        # noqa: F811
+                n_cyc = max(1, int(round(n_steps / (cap + x_per))))
+
+                def cycle(st, _):
+                    st = _sweep_state(st)
+                    st = run_x(st, x_per)
+                    return st, None
+
+                state, _ = jax.lax.scan(cycle, state, None, length=n_cyc)
+                return state
+
     def init(key, box, n_init, n_chains):
         """n_init: scalar, or (n_chains,) per-chain STRATIFIED starts
         (see mc/tmmc.py — blanket the N axis so the collection matrix
@@ -580,13 +669,13 @@ class MolGCMC:
 
     def __init__(self, system, params, activity, p_exchange=0.3,
                  dtype=jnp.float64, chunk=8, n_orient=1,
-                 bias="orientation"):
+                 bias="orientation", mega=None):
         self.params = params
         self.capacity = system.n_mol
         self._system = system
         self._init, self.run_steps, self.full_energy = make_gcmc_mol(
             system, params, activity, p_exchange, dtype, chunk, n_orient,
-            bias)
+            bias, mega=mega)
 
     def init(self, key, box, n_init, n_chains):
         return self._init(key, box, n_init, n_chains)
@@ -601,9 +690,14 @@ class MolGCMC:
 
     def run_block(self, state, n_steps, drift_tol=None):
         att0, acc0 = state.att, state.acc
+        e_start = state.energy
         state = self.run_steps(state, n_steps)
         e, sf = self.full_energy(state)
-        scale = jnp.maximum(jnp.abs(e), 1.0)
+        # scale on BOTH block endpoints: a chain that traverses a large
+        # energy range and ends near zero carries its f32/f64
+        # cancellation residue relative to the traversal, not the
+        # endpoint (same discipline as mc/tmmc.TMMCMol)
+        scale = jnp.maximum(jnp.maximum(jnp.abs(e), jnp.abs(e_start)), 1.0)
         drift = jnp.max(jnp.abs(e - state.energy) / scale)
         sfac_err = jnp.max(jnp.abs(sf - state.sfac))
         n = jnp.sum(state.active, axis=1)

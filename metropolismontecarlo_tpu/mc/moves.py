@@ -683,8 +683,17 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
 
 
 def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
-                       box_hint=None, z_hint=None):
+                       box_hint=None, z_hint=None, with_activity=False):
     """Whole-sweep Pallas path: returns `sweep_full(state) -> state`.
+
+    with_activity=True returns instead the fluctuating-N variant
+    `sweep_act(com, quat, coords, active, box, sfac, chain_keys, seed)
+    -> (com, quat, coords, sfac, d_e, acc, att)` operating on the
+    molecular-GCMC state layout (mc/gcmc_mol.MolGCMCState fields,
+    batched over chains): inactive slots neither move nor contribute to
+    any pair energy, so one call is a valid fixed-N displacement/
+    rotation sweep between exchange steps.  Requires the dense path
+    (no sorted-slab windows) and a uniform system.
 
     Requires a species-uniform system (one body/charge/type template per
     species block — System.species_uniform), site cutoff, none/linear LJ
@@ -713,6 +722,13 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
                          "and site cutoff")
 
     cfg = slab_config(system, params, box_hint, z_hint)
+    if with_activity:
+        if cfg is not None:
+            raise ValueError("activity-masked mega sweeps do not support "
+                             "the sorted-slab window path")
+        if not system.is_uniform:
+            raise ValueError("activity-masked mega sweeps require a "
+                             "uniform system (mc/gcmc_mol slot layout)")
     if cfg is not None:
         A_plane = cfg["A_store"]
         a0w, Wc = cfg["a0"], cfg["W"]
@@ -788,7 +804,8 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
     # Auto chain-block size: the kernel's VMEM working set must fit the
     # ~16 MiB scoped limit.  Per chain: in+out atom/COM-quat/sfac planes
     # + cfac scratch; shared: tid/mol/q rows, k rows, per-row LJ scratch.
-    per_chain = 4 * (2 * 3 * A_plane + 2 * 7 * m_pad + (2 * 2 + 1) * K + 40)
+    per_chain = 4 * (2 * 3 * A_plane + 2 * 7 * m_pad + (2 * 2 + 1) * K + 40
+                     + (A_plane if with_activity else 0))
     lam_w = A_plane if params.lj_shift == "linear" else 128
     shared = 4 * (3 * A_plane + 4 * K
                   + max(P_max, 8) * (2 * A_plane + 2 * lam_w))
@@ -818,7 +835,7 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
             p_translate=float(params.p_translate),
             use_rot=(P > 1 and params.p_translate < 1.0),
             lj_shift=params.lj_shift, cb=cb, interpret=interpret,
-            m_start=m0, a_start=a0, slab=slab_b,
+            m_start=m0, a_start=a0, slab=slab_b, use_act=with_activity,
         )
         consts = (jnp.asarray(body_row), jnp.asarray(qp_row),
                   jnp.asarray(eps_pt), jnp.asarray(sig2_pt),
@@ -873,13 +890,14 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
                  state.temp.reshape(C, 1).astype(f32),
                  state.dr_max.reshape(C, 1).astype(f32),
                  state.dphi_max.reshape(C, 1).astype(f32))
+        act_dummy = jnp.zeros((C, 128), jnp.float32)
         moves_done = 0
         for statics, consts in blocks:
             # per-block seed = the global move counter at block start, so
             # RNG streams stay disjoint across blocks and sweeps
             seed = (state.step + moves_done).astype(jnp.int32)
-            out = sweep_pallas(*planes, *box_t, stats, seed, chain_keys,
-                               wstarts_j, *consts, **statics)
+            out = sweep_pallas(*planes, act_dummy, *box_t, stats, seed,
+                               chain_keys, wstarts_j, *consts, **statics)
             planes, stats = out[:12], out[12]
             moves_done += statics["M"]
         x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim = planes
@@ -909,5 +927,66 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
             acc=state.acc + acc_d,
             att=state.att + att_d,
         )
+
+    if with_activity:
+        P_u = system.species_slices[0][3]
+        statics_u, consts_u = blocks[0]
+
+        def sweep_act(com, quat, coords, active, box, sfac, chain_keys,
+                      seed):
+            """One activity-masked displacement/rotation sweep on the
+            molecular-GCMC state layout: com (C, M, 3), quat (C, M, 4),
+            coords (C, 3, A_pad) transposed planes, active (C, M) bool,
+            box (C,), sfac (C, K, 2), chain_keys (C,) int32, seed ()
+            int32 (a monotone counter — PRNG stream selector).
+            Returns (com, quat, coords, sfac, d_e, acc, att) in f32:
+            d_e (C,) the summed accepted pair+recip energy delta, acc/
+            att (C, 2) accepted/attempted [translate, rotate] counts
+            (attempts count ACTIVE slots only)."""
+            C = com.shape[0]
+            # same empirical device-fault envelope as sweep_full
+            if (not interpret and C * A_plane > 2048 * 2432
+                    and not os.environ.get("MMC_MEGA_UNSAFE")):
+                raise ValueError(
+                    f"mega sweep: C={C} x A_plane={A_plane} is outside "
+                    "the validated envelope (<= 2048x2432); see "
+                    "sweep_full / CLAUDE.md known issues.")
+            f32 = jnp.float32
+            act_a = jnp.repeat(active.astype(f32), P_u, axis=1)  # (C, A)
+            act_a = jnp.pad(act_a, ((0, 0), (0, A_plane - A)))
+
+            def mplane(arr):
+                return jnp.pad(arr.astype(f32), ((0, 0), (0, m_pad - M)))
+
+            planes = (
+                coords[:, 0, :].astype(f32), coords[:, 1, :].astype(f32),
+                coords[:, 2, :].astype(f32),
+                mplane(com[:, :, 0]), mplane(com[:, :, 1]),
+                mplane(com[:, :, 2]),
+                mplane(quat[:, :, 0]), mplane(quat[:, :, 1]),
+                mplane(quat[:, :, 2]), mplane(quat[:, :, 3]),
+                sfac[:, :, 0].astype(f32), sfac[:, :, 1].astype(f32),
+            )
+            ones = jnp.ones((C, 1), f32)
+            box_t = (box.reshape(C, 1).astype(f32),
+                     float(params.temperature) * ones,
+                     float(params.dr_max) * ones,
+                     float(params.dphi_max) * ones)
+            stats = jnp.zeros((C, 8), f32)
+            out = sweep_pallas(*planes, act_a, *box_t, stats,
+                               jnp.asarray(seed, jnp.int32),
+                               chain_keys.astype(jnp.int32), wstarts_j,
+                               *consts_u, **statics_u)
+            x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim = out[:12]
+            stats = out[12]
+            com_o = jnp.stack([cx[:, :M], cy[:, :M], cz[:, :M]], axis=-1)
+            quat_o = jnp.stack([qw[:, :M], qx[:, :M], qy[:, :M],
+                                qz[:, :M]], axis=-1)
+            coords_o = jnp.stack([x, y, z], axis=1)
+            sfac_o = jnp.stack([sre, sim], axis=-1)
+            return (com_o, quat_o, coords_o, sfac_o, stats[:, 0],
+                    stats[:, 1:3], stats[:, 3:5])
+
+        return sweep_act
 
     return sweep_full

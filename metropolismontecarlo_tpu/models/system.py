@@ -58,6 +58,17 @@ class System:
     name: str = "system"
     species: Optional[tuple] = None   # ((name, count, p), ...) or None
 
+    def __post_init__(self):
+        # Systems are shared freely (lru_cached constructors, tests that
+        # alias one System's arrays into another), so any in-place write
+        # to a field array corrupts every holder.  Freeze them: NumPy
+        # raises at the exact mutating line instead of silently leaking
+        # state across tests/runs.
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if isinstance(v, np.ndarray):
+                v.setflags(write=False)
+
     @property
     def species_slices(self):
         """((name, m0, m1, p, a0), ...): molecule range [m0, m1), atoms

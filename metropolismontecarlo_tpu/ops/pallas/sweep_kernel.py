@@ -72,7 +72,7 @@ def _uniform(bits):
 
 def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                  kappa_l, d2_overlap, p_translate, use_rot, K, lj_shift,
-                 m_start, a_start, slab):
+                 m_start, a_start, slab, use_act):
     """Builds the kernel body (all sizes/flags static).
 
     M molecules are swept starting at global molecule index `m_start`,
@@ -91,13 +91,22 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
     last real atom); accepted moves of windowed-block head molecules
     write their ghost twin too.  Own-molecule exclusion is by column
     range (storage is species-blocked, so a molecule's atoms are
-    contiguous)."""
+    contiguous).
+
+    use_act: per-chain ACTIVITY masking for fluctuating-N ensembles
+    (muVT/Gibbs displacement sweeps): act_in is a (cb, A_pad) f32 plane,
+    1.0 on atoms of active molecules, 0.0 on inactive slots and lane
+    pads.  Inactive molecules are force-rejected (null moves — the sweep
+    stays a valid fixed-N kernel between exchange steps) and inactive
+    NEIGHBOR lanes contribute exactly zero to pair energies (the dense
+    path's `atom_ok_of` mask, mc/gcmc_mol.py).  Activity never changes
+    inside a sweep; exchanges run on the jnp path between sweeps."""
 
     def kernel(seed_ref, ckey_ref, wst_ref, body_ref, qp_ref, eps_pt_ref,
                sig2_pt_ref, lam1_pt_ref, lam2_pt_ref,
                tid_ref, molid_ref, qrow_ref, kx_ref, ky_ref, kz_ref, kw_ref,
                x_in, y_in, z_in, cx_in, cy_in, cz_in,
-               qw_in, qx_in, qy_in, qz_in, sre_in, sim_in,
+               qw_in, qx_in, qy_in, qz_in, sre_in, sim_in, act_in,
                box_ref, temp_ref, drmax_ref, dphi_ref, stats_in,
                x_o, y_o, z_o, cx_o, cy_o, cz_o,
                qw_o, qx_o, qy_o, qz_o, sre_o, sim_o, stats_o,
@@ -276,6 +285,13 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
             xwin = x_o[:, pl.ds(abase, W_a)]
             ywin = y_o[:, pl.ds(abase, W_a)]
             zwin = z_o[:, pl.ds(abase, W_a)]
+            if use_act:
+                # own-molecule activity gate: 1.0 iff molecule m's first
+                # atom column is active (columns of one molecule share
+                # the activity value)
+                actwin = act_in[:, pl.ds(abase, W_a)]
+                gate = jnp.sum(jnp.where(wiota_a == aoff, actwin, 0.0),
+                               axis=1, keepdims=True)      # (cb, 1)
 
             d_e = jnp.zeros((cb, 1), jnp.float32)
             olds = []
@@ -335,6 +351,8 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                 pys = y_o[:, csl]
                 pzs = z_o[:, csl]
                 q_sub = qrow_ref[0:1, csl]
+                if use_act:
+                    act_sub = act_in[:, csl]   # (cb, w) neighbor activity
                 for p in range(P):   # p outer: hoist per-site row constants
                     use_q = coulomb != "none" and has_q[p]
                     if use_q:
@@ -401,6 +419,8 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                             contrib = qpart if contrib is None \
                                 else contrib + qpart
                         if contrib is not None:
+                            if use_act:
+                                contrib = contrib * act_sub
                             d_e += sign * jnp.sum(contrib, axis=1,
                                                   keepdims=True)
 
@@ -431,6 +451,8 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
             # the overlap veto rides d_e as a +1e30 penalty: beta_de is
             # then hugely positive, exp(-beta_de) == 0, u_acc >= 0 fails
             accept = (beta_de < 0.0) | (u_acc < jnp.exp(-beta_de))  # (cb, 1)
+            if use_act:
+                accept = accept & (gate > 0.0)   # inactive slot: null move
             asel = accept.astype(jnp.float32)
 
             # ---- state updates: masked writes within aligned windows ----
@@ -485,9 +507,11 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
             # where-select, NOT asel*d_e: a rejected move can carry an
             # f32-overflowed (inf) delta, and inf * 0 = NaN
             d_e_taken = jnp.where(accept, d_e, jnp.zeros_like(d_e))
+            gsel = gate if use_act else 1.0  # attempts count active slots
             upd = jnp.concatenate(
-                [d_e_taken, asel * tsel, asel * (1.0 - tsel), tsel,
-                 1.0 - tsel, jnp.zeros((cb, 3), jnp.float32)], axis=1)
+                [d_e_taken, asel * tsel, asel * (1.0 - tsel), gsel * tsel,
+                 gsel * (1.0 - tsel), jnp.zeros((cb, 3), jnp.float32)],
+                axis=1)
             return stats + upd
 
         stats = jax.lax.fori_loop(
@@ -502,24 +526,27 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
     static_argnames=("M", "P", "coulomb", "n_types", "has_lj", "has_q",
                      "rc2", "qrc2", "kappa_l", "d2_overlap", "p_translate",
                      "use_rot", "cb", "interpret", "lj_shift", "m_start",
-                     "a_start", "slab"),
+                     "a_start", "slab", "use_act"),
 )
-def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
+def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act,
                  box, temp, drmax, dphi, stats,
                  seed, chain_keys, wstarts, body, qp, eps_pt, sig2_pt,
                  lam1_pt, lam2_pt, tid_row, molid_row, q_row,
                  kx, ky, kz, kw, *, M, P, coulomb, n_types, has_lj, has_q,
                  rc2, qrc2, kappa_l, d2_overlap, p_translate, use_rot,
                  lj_shift="none", cb=64, interpret=False, m_start=0,
-                 a_start=0, slab=None):
+                 a_start=0, slab=None, use_act=False):
     """One MC sweep of a species block: molecules [m_start, m_start+M)
     whose atoms start at column a_start (0/0/n_mol = whole uniform
     system).  Planes (C, A_pad)/(C, M_pad)/(C, K); box/temp/drmax/dphi
     (C, 1); stats (C, 8); wstarts (1, n_mol) int32 static window bases
-    (zeros when slab is None — see _make_kernel).
+    (zeros when slab is None — see _make_kernel).  act: (C, A_pad) f32
+    activity plane when use_act (see _make_kernel), else a (C, 128)
+    dummy the kernel never reads.
     Returns updated (x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, stats).
     """
     C, A = x.shape
+    A_act = act.shape[1]
     K = sre.shape[1]
     assert A % 128 == 0, "atom planes must be 128-aligned"
     assert P <= 128, "molecule wider than the aligned atom window"
@@ -531,7 +558,7 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
 
     kern = _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                         kappa_l, d2_overlap, p_translate, use_rot, K,
-                        lj_shift, m_start, a_start, slab)
+                        lj_shift, m_start, a_start, slab, use_act)
 
     cell = lambda n: pl.BlockSpec((cb, n), lambda c: (c, 0),  # noqa: E731
                                   memory_space=pltpu.VMEM)
@@ -564,6 +591,7 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
             cell(MP), cell(MP), cell(MP),                   # com planes
             cell(MP), cell(MP), cell(MP), cell(MP),         # quat planes
             cell(K), cell(K),                               # sfac planes
+            cell(A_act),                                    # activity plane
             cell(1), cell(1), cell(1), cell(1),             # box/temp/dr/dphi
             cell(8),                                        # stats
         ],
@@ -590,6 +618,6 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
       body, qp, eps_pt, sig2_pt, lam1_pt, lam2_pt,
       tid_row.reshape(1, A), molid_row.reshape(1, A), q_row.reshape(1, A),
       kx.reshape(1, K), ky.reshape(1, K), kz.reshape(1, K), kw.reshape(1, K),
-      x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
+      x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act,
       box, temp, drmax, dphi, stats)
     return outs
