@@ -6,8 +6,13 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 Variants via BENCH_CONFIG: spce (default) | wolf | lj | triatomic |
-npt | mixture — the other BASELINE.json configurations.  BENCH_CHAINS
-and BENCH_STEPS control scale.
+npt | mixture — the other BASELINE.json configurations — plus gcmc and
+tmmc (molecular muVT water through the activity-masked mega kernel;
+sweep-equivalents/s = displacement+exchange attempts normalized by the
+slot capacity, comparable to the NVT sweeps/s).  BENCH_CHAINS and
+BENCH_STEPS control scale.  The JSON line records every knob that
+affects the number (config/chains/steps/dtype), so each record in
+docs/perf.md reproduces by copy-pasting one command.
 """
 
 import json
@@ -100,33 +105,91 @@ def _setup(config, n_chains):
     return mc, state, label
 
 
+def _setup_muvt(config, n_chains):
+    """Molecular muVT water through the activity-masked mega kernel
+    (gcmc) or its TMMC flat-histogram variant (tmmc).  One timed unit =
+    one CYCLE: cap kernel displacement/rotation attempts + x_per jnp
+    exchange attempts; sweep-equivalents = (cap + x_per) / cap per
+    cycle, so the number is comparable to the NVT sweeps/s records."""
+    from metropolismontecarlo_tpu.mc.gcmc_mol import make_gcmc_mol
+    from metropolismontecarlo_tpu.models.water import spce_system
+
+    cap, box, px = 128, 16.0, 0.3
+    system = spce_system(cap)
+    params = RunParams(temperature=500.0, r_cut=6.0, cutoff_mode="site",
+                       coulomb="ewald", nk=5, ksq_max=27, p_translate=0.5,
+                       dr_max=0.4, dphi_max=0.4, use_lrc=False,
+                       strict_min_image=False)
+    tmmc = config == "tmmc"
+    init, run_steps, _ = make_gcmc_mol(
+        system, params, activity=2.2e-4, p_exchange=px,
+        dtype=jnp.float32, mega=True, tmmc=tmmc)
+    state = init(jax.random.PRNGKey(0), box=box, n_init=cap // 2,
+                 n_chains=n_chains)
+    x_per = max(1, int(round(cap * px / (1.0 - px))))
+    sweeps_per_cycle = (cap + x_per) / cap
+    attempts_per_cycle = cap + x_per
+    label = (f"SPC/E muVT{' TMMC' if tmmc else ''} cap-{cap} mega-kernel, "
+             f"z=2.2e-4, p_exchange={px}")
+
+    if tmmc:
+        eta = jnp.zeros(cap + 1, jnp.float32)
+
+        def run(state, n_cycles):
+            state, cmat, uhist = run_steps(state, eta,
+                                           n_cycles * attempts_per_cycle)
+            return state
+    else:
+        def run(state, n_cycles):
+            return run_steps(state, n_cycles * attempts_per_cycle)
+
+    return run, state, label, sweeps_per_cycle
+
+
 def main():
     config = os.environ.get("BENCH_CONFIG", "spce")
-    default_chains = {"mixture": 256}.get(config, 2048)
+    default_chains = {"mixture": 256, "gcmc": 1024, "tmmc": 1024}.get(
+        config, 2048)
     n_chains = int(os.environ.get("BENCH_CHAINS", str(default_chains)))
     # npt: the timed window must cover one full volume-attempt period
     # (round(1/p_volume) = 20 sweeps) or the O(A^2) volume recompute is
-    # never paid and the number is NVT in disguise
-    default_steps = {"npt": 20}.get(config, 2)
+    # never paid and the number is NVT in disguise.  lj: per-call launch
+    # overhead dominates 2-step windows on a 70k+ sweeps/s config — time
+    # a 50-sweep window (the steady-state regime users actually run).
+    default_steps = {"npt": 20, "lj": 50, "gcmc": 4, "tmmc": 4}.get(
+        config, 2)
     n_steps = int(os.environ.get("BENCH_STEPS", str(default_steps)))
 
-    mc, state, label = _setup(config, n_chains)
+    if config in ("gcmc", "tmmc"):
+        run, state, label, sweeps_per_unit = _setup_muvt(config, n_chains)
+    else:
+        mc, state, label = _setup(config, n_chains)
+        sweeps_per_unit = 1.0
+
+        def run(state, n_steps):
+            return mc.run_steps(state, n_steps, False)
 
     # warmup & compile (same static n_steps as the timed call)
-    warm = mc.run_steps(state, n_steps, False)
+    warm = run(state, n_steps)
     jax.block_until_ready(warm.energy)
 
     t0 = time.perf_counter()
-    state = mc.run_steps(state, n_steps, False)
+    state = run(state, n_steps)
     jax.block_until_ready(state.energy)
     dt = time.perf_counter() - t0
 
-    sweeps_per_sec = n_chains * n_steps / dt
+    sweeps_per_sec = n_chains * n_steps * sweeps_per_unit / dt
     print(json.dumps({
         "metric": f"MC sweeps/sec/chip ({label}, {n_chains} chains, f32)",
         "value": round(sweeps_per_sec, 2),
         "unit": "sweeps/s",
         "vs_baseline": round(sweeps_per_sec / BASELINE_SWEEPS_PER_SEC, 1),
+        "config": config,
+        "chains": n_chains,
+        "steps": n_steps,
+        "dtype": "float32",
+        "command": (f"BENCH_CONFIG={config} BENCH_CHAINS={n_chains} "
+                    f"BENCH_STEPS={n_steps} python bench.py"),
     }))
 
 
