@@ -34,7 +34,10 @@ N_CHAINS = 128
 T = 298.15
 P_BAR = 1.0e5 / BOLTZMANN * 1e-30          # 1 bar in K/Angstrom^3
 M_WATER = 18.015268                         # g/mol
-EQUIL_BLOCKS, PROD_BLOCKS, SWEEPS_PER_BLOCK = 14, 20, 250
+# 50 equil blocks: 14 left a +1.6% relaxation tail (measured round 2 —
+# the lattice start relaxes density slowly through the first ~12.5k
+# sweeps; see CLAUDE.md)
+EQUIL_BLOCKS, PROD_BLOCKS, SWEEPS_PER_BLOCK = 50, 24, 250
 
 
 def g_per_cc(n_density):
@@ -55,9 +58,11 @@ def main():
                           cubic_lattice(N_MOL, box0), box=box0,
                           n_chains=N_CHAINS)
     t0 = time.time()
+    equil_trace = []
     for b in range(EQUIL_BLOCKS):
         state, stats = mc.run_block(state, SWEEPS_PER_BLOCK, adjust=True)
         rho = g_per_cc(N_MOL / float(jnp.mean(state.box ** 3)))
+        equil_trace.append(rho)
         print(f"equil {b:2d}: rho = {rho:.4f} g/cc  "
               f"drift {float(stats['drift_max_rel']):.1e}", flush=True)
     dens = []
@@ -80,6 +85,9 @@ def main():
         f"equil/production: {EQUIL_BLOCKS}/{PROD_BLOCKS} blocks x "
         f"{SWEEPS_PER_BLOCK} sweeps",
         f"density: {mean:.4f} +/- {sem:.4f} g/cc (block SEM over chains)",
+        "equilibration trace (every 5th block, chain-mean rho g/cc): "
+        + " ".join(f"{r:.4f}" for r in equil_trace[::5])
+        + f" ... {equil_trace[-1]:.4f}",
         "reference values: experiment 0.997; SPC/E literature ~0.994-1.00",
         f"worst block drift: {worst_drift:.2e}",
         f"wall: {time.time() - t0:.0f} s",

@@ -42,10 +42,14 @@ N_CHAINS = 2048
 T = 298.15
 RHO_G_CC = 0.998     # experimental ambient density
 M_WATER = 18.015268
-# the collective dipole relaxes over ~thousands of sweeps: a first run
-# with 30 equil blocks showed eps still climbing through production
-# (57.9 -> 62.1); 150 blocks (7500 sweeps) lets <M^2> plateau first
-EQUIL_BLOCKS, PROD_BLOCKS, SWEEPS_PER_BLOCK = 150, 150, 50
+# the collective dipole relaxes over ~thousands of sweeps PER CHAIN:
+# pooling 2048 chains shrinks the statistical error but NOT the shared
+# equilibration bias of the lattice/random-quat start (30 equil blocks:
+# eps climbing 57.9 -> 62.1 through production; 150 blocks: 64.6 ->
+# 65.6, still climbing ~ +1/7500 sweeps).  600 blocks (30k sweeps/
+# chain) lets each chain's collective dipole decorrelate from its
+# start before sampling opens.
+EQUIL_BLOCKS, PROD_BLOCKS, SWEEPS_PER_BLOCK = 600, 150, 50
 
 
 def main():
@@ -84,7 +88,10 @@ def main():
     # estimate uncertainty from the last-half vs full-run difference
     eps, g_k = res["epsilon"], res["g_kirkwood"]
     half = abs(trace[len(trace) // 2][1] - eps)
-    ok = 55.0 < eps < 90.0 and worst_drift < 5e-5
+    # PASS requires landing INSIDE the quoted literature band (with a
+    # +-0.5 statistical margin), not just a sane order of magnitude —
+    # a PASS stamp outside its own band is worthless
+    ok = 67.5 < eps < 73.5 and half < 0.5 and worst_drift < 5e-5
     lines = [
         "SPC/E static dielectric constant (tinfoil BC)",
         f"device: {dev.device_kind}, backend: {jax.default_backend()}",

@@ -20,9 +20,16 @@ from metropolismontecarlo_tpu.mc.driver import MonteCarlo
 from metropolismontecarlo_tpu.models.energy import pressure as pressure_fn
 from metropolismontecarlo_tpu.models.system import SimState
 from metropolismontecarlo_tpu.observables import BlockAverager, RDFAccumulator
+# NOTE: utils.config is imported as a MODULE and build_system is looked
+# up at call time (run.py:497) — tests monkeypatch
+# utils.config.build_system to drive ensemble branches with synthetic
+# systems, and a from-import taken while the patch was live would pin
+# the patched builder for the rest of the process (this exact leak
+# silently rewired every later CLI run in a shard to a zero-charge LJ
+# system; see tests/test_gibbs_binary.py::test_cli_gibbs_binary_end_to_end).
+from metropolismontecarlo_tpu.utils import config as _config
 from metropolismontecarlo_tpu.utils.config import (
     build_params,
-    build_system,
     load_config,
 )
 from metropolismontecarlo_tpu.utils.logging import JsonlLogger, banner, block_line
@@ -494,7 +501,7 @@ def main(argv=None):
     if not args.quiet:
         banner()
 
-    system = build_system(cfg, base_dir)
+    system = _config.build_system(cfg, base_dir)
     params = build_params(cfg)
     ewald_tol = cfg.get("params", {}).get("ewald_tol")
     if ewald_tol and params.coulomb == "ewald":
