@@ -51,7 +51,7 @@ CAP = int(os.environ.get("GIBBS_CAP", 256))
 M_WATER = 18.015268
 N_CHAINS = int(os.environ.get("GIBBS_CHAINS", 96))
 EQUIL_BLOCKS = int(os.environ.get("GIBBS_EQUIL", 3))
-PROD_BLOCKS = int(os.environ.get("GIBBS_PROD", 12))
+PROD_BLOCKS = int(os.environ.get("GIBBS_PROD", 24))
 BLOCK_STEPS = int(os.environ.get("GIBBS_STEPS", 6000))
 RHO_L_BAND = (0.68, 0.92)
 RHO_V_BAND = (0.0, 0.06)
@@ -146,7 +146,7 @@ def main():
         bw = np.mean([np.asarray(
             g.widom_boltzmann(st, jax.random.PRNGKey(900 + 16 * b + r),
                               256), np.float64)
-            for r in range(4)], axis=0)                         # (C, 2)
+            for r in range(12)], axis=0)                        # (C, 2)
         bws.append(np.take_along_axis(bw, order, 1).mean(axis=0))
         rls.append(g_per_cc(stats["rho_liq"]))
         rvs.append(g_per_cc(stats["rho_vap"]))
@@ -164,7 +164,10 @@ def main():
     bmu_blocks = np.log(np.maximum(bws, 1e-300))       # per-block ln B
     sem_mu = float(np.sqrt(np.sum(bmu_blocks.std(axis=0) ** 2
                                   / bmu_blocks.shape[0])))
-    mu_tol = max(0.35, 4.0 * sem_mu)
+    # round-3 tightening: 24 blocks x 12 x 256 ghost rounds drop the
+    # fat-tail SEM enough that the 4-sigma tolerance sits well under
+    # the old 0.58; the floor guards only against a lucky-zero SEM
+    mu_tol = max(0.15, 4.0 * sem_mu)
 
     ok = (RHO_L_BAND[0] < rho_l < RHO_L_BAND[1]
           and RHO_V_BAND[0] < rho_v < RHO_V_BAND[1]
