@@ -569,9 +569,14 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
         if px >= 1.0:
             raise ValueError("mega GCMC needs p_exchange < 1 (otherwise "
                              "there is no displacement work to kernelize)")
-        _, run_x, _ = make_gcmc_mol(system, params, activity, 1.0, dtype,
-                                    chunk, n_orient, bias, tmmc)
-        x_per = max(1, int(round(cap * px / (1.0 - px))))
+        if px > 0.0:
+            _, run_x, _ = make_gcmc_mol(system, params, activity, 1.0,
+                                        dtype, chunk, n_orient, bias, tmmc)
+            x_per = max(1, int(round(cap * px / (1.0 - px))))
+        else:
+            # p_exchange = 0: pure displacement/rotation sampling (the
+            # TMMC melt phase / pre-equilibration) — kernel sweeps only
+            run_x, x_per = None, 0
 
         def _sweep_state(state):
             """One activity-masked kernel sweep folded into the state:
@@ -593,6 +598,10 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
                 att=state.att + jnp.pad(att2.astype(jnp.int32), pad24))
 
         if tmmc:
+            if run_x is None:
+                raise ValueError("mega TMMC needs p_exchange > 0 (melt "
+                                 "phases use a tmmc=False build)")
+
             @partial(jax.jit, static_argnums=2)
             def run_steps(state, eta, n_steps):   # noqa: F811
                 n_cyc = max(1, int(round(n_steps / (cap + x_per))))
@@ -616,7 +625,8 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
 
                 def cycle(st, _):
                     st = _sweep_state(st)
-                    st = run_x(st, x_per)
+                    if run_x is not None:
+                        st = run_x(st, x_per)
                     return st, None
 
                 state, _ = jax.lax.scan(cycle, state, None, length=n_cyc)

@@ -57,7 +57,7 @@ class MolGibbsState(NamedTuple):
 
 
 def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
-                   dtype=jnp.float64, n_orient=1, chunk=8):
+                   dtype=jnp.float64, n_orient=1, chunk=8, mega=None):
     """Build the molecular Gibbs-ensemble step/energy functions.
 
     system: uniform single-species System; its n_mol is the PER-BOX slot
@@ -69,6 +69,16 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
     k-trial insertion in the destination box, existing orientation +
     k-1 trials at the molecule's COM in the source box; see
     mc/gcmc_mol.py).  Exact for every k; k = 1 is the unbiased rule.
+
+    mega (True or "interpret"): run the displacement/rotation fraction
+    through the activity-masked whole-sweep Pallas kernel — the TWO
+    boxes FOLD over the chain axis ((C, 2, ...) -> (2C, ...)), so one
+    kernel call sweeps both boxes of every chain; transfers and volume
+    exchanges stay on the jnp path (recursive p_transfer=1 build whose
+    p_volume is rescaled to keep the volume-attempt cadence).  Requires
+    dtype=float32 and p_transfer > 0; see mc/gcmc_mol.make_gcmc_mol for
+    the composition argument (deterministic alternation of reversible
+    kernels).
     """
     ms = make_mol_slots(system, params, dtype)
     ev, P, cap, K = ms.ev, ms.P, ms.cap, ms.K
@@ -349,6 +359,85 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
             n_steps)
         return MolGibbsState(*out)
 
+    if mega:
+        import dataclasses as _dc
+
+        if dtype != jnp.float32:
+            raise ValueError("mega Gibbs requires dtype=float32 (the "
+                             "whole-sweep kernel is f32)")
+        if px >= 1.0:
+            raise ValueError("mega Gibbs needs p_transfer < 1 (otherwise "
+                             "there is no displacement work to kernelize)")
+        if px == 0.0 and p_v > 0:
+            raise ValueError("mega Gibbs with p_transfer = 0 cannot "
+                             "schedule volume moves (set p_volume = 0 "
+                             "for a pure-displacement pre-equilibration)")
+        from metropolismontecarlo_tpu.mc.moves import make_mega_sweep_fn
+
+        sweep_act = make_mega_sweep_fn(
+            system, params, ms.kv, ms.kw,
+            interpret=(mega == "interpret"), with_activity=True)
+        A_pad = ms.A_pad
+        # one sweep = 2*cap displacement/rotation attempts (both boxes);
+        # x_per transfers keep the attempt mix at p_transfer, and the
+        # recursive build's p_volume is rescaled so volume attempts per
+        # plain-equivalent attempt stay at params.p_volume.  p_transfer
+        # = 0 (+ p_volume = 0) runs pure kernel sweeps — the Gibbs
+        # pre-equilibration phase.
+        if px > 0.0:
+            x_per = max(1, int(round(2 * cap * px / (1.0 - px))))
+            if p_v > 0:
+                p_v_x = min(1.0, p_v * (2 * cap + x_per) / x_per)
+                params_x = _dc.replace(params, p_volume=p_v_x)
+            else:
+                params_x = params
+            _, run_x, _, _, _, _ = make_gibbs_mol(
+                system, params_x, dv_max, 1.0, dtype, n_orient, chunk)
+        else:
+            run_x, x_per = None, 0
+
+        def _sweep_state(state):
+            C = state.com.shape[0]
+            keys3 = jax.vmap(lambda k: jax.random.split(k, 3))(state.key)
+            knext = keys3[:, 0]
+            # (C, 2) per-(chain, box) subkeys -> (2C,) kernel streams in
+            # the same box-fastest order as the reshape fold below
+            ck = jax.lax.bitcast_convert_type(
+                keys3[:, 1:, 0], jnp.int32).reshape(2 * C)
+            com, quat, coords, sfac, d_e, acc2, att2 = sweep_act(
+                state.com.reshape(2 * C, cap, 3),
+                state.quat.reshape(2 * C, cap, 4),
+                state.coords.reshape(2 * C, 3, A_pad),
+                state.active.reshape(2 * C, cap),
+                state.box.reshape(2 * C),
+                state.sfac.reshape(2 * C, K, 2),
+                ck, jnp.zeros((), jnp.int32))
+            pad = ((0, 0), (0, 2))            # [disp, rot] -> + vol, xfer
+            return state._replace(
+                com=com.reshape(C, 2, cap, 3),
+                quat=quat.reshape(C, 2, cap, 4),
+                coords=coords.reshape(C, 2, 3, A_pad),
+                sfac=sfac.reshape(C, 2, K, 2) if use_ewald else state.sfac,
+                energy=state.energy + d_e.reshape(C, 2),
+                key=knext,
+                acc=state.acc + jnp.pad(
+                    acc2.reshape(C, 2, 2).sum(1).astype(jnp.int32), pad),
+                att=state.att + jnp.pad(
+                    att2.reshape(C, 2, 2).sum(1).astype(jnp.int32), pad))
+
+        @partial(jax.jit, static_argnums=1)
+        def run_steps(state, n_steps):   # noqa: F811
+            n_cyc = max(1, int(round(n_steps / (2 * cap + x_per))))
+
+            def cycle(st, _):
+                st = _sweep_state(st)
+                if run_x is not None:
+                    st = run_x(st, x_per)
+                return st, None
+
+            state, _ = jax.lax.scan(cycle, state, None, length=n_cyc)
+            return state
+
     def init(key, boxes, n_init, n_chains):
         """boxes (2,) edge lengths; n_init (2,) active molecules per box."""
         n_init = np.asarray(n_init, np.int64)
@@ -453,26 +542,28 @@ class MolGibbsEnsemble:
     """
 
     def __init__(self, system, params, dv_max=0.05, p_transfer=0.3,
-                 dtype=jnp.float64, n_orient=1, chunk=8):
+                 dtype=jnp.float64, n_orient=1, chunk=8, mega=None):
         self.params = params
         self.capacity = system.n_mol
         (self._init, self.run_steps, self.full_energy,
          self.widom_boltzmann, self._check_ewald,
          self.pressure_fd) = make_gibbs_mol(system, params, dv_max,
                                             p_transfer, dtype,
-                                            n_orient, chunk)
+                                            n_orient, chunk, mega=mega)
 
     def init(self, key, boxes, n_init, n_chains):
         return self._init(key, boxes, n_init, n_chains)
 
     def run_block(self, state, n_steps, drift_tol=None):
         att0, acc0 = state.att, state.acc
+        e_start = state.energy
         state = self.run_steps(state, n_steps)
         # volume exchange can grow a box past the Ewald-consistency
         # envelope checked at init — re-check at block boundaries
         self._check_ewald(np.asarray(jnp.max(state.box))[None])
         e, sf = self.full_energy(state)
-        scale = jnp.maximum(jnp.abs(e), 1.0)
+        # both-endpoint drift scale (see mc/gcmc_mol.MolGCMC.run_block)
+        scale = jnp.maximum(jnp.maximum(jnp.abs(e), jnp.abs(e_start)), 1.0)
         drift = jnp.max(jnp.abs(e - state.energy) / scale)
         sfac_err = jnp.max(jnp.abs(sf - state.sfac))
         n = jnp.sum(state.active, axis=2)                    # (C, 2)

@@ -213,3 +213,42 @@ def test_gibbs_mol_pressure_ideal_gas_exact():
     n = np.asarray(jnp.sum(st.active, axis=2), np.float64)
     v = np.asarray(st.box, np.float64) ** 3
     assert np.allclose(p, n * 1.4 / v, rtol=1e-9), p
+
+
+def test_gibbs_mol_mega_kernel_drift_and_bookkeeping():
+    """mega="interpret": the two boxes fold over the chain axis into one
+    activity-masked kernel sweep; carried per-box energies/structure
+    factors stay consistent with the dense recompute through kernel
+    sweeps + jnp transfer/volume cycles, and total N is conserved.
+    (Interpret-mode PRNG is degenerate — this gates bookkeeping and
+    masking, not sampling statistics; see test_gcmc_mol.)"""
+    import jax.numpy as jnp
+    from metropolismontecarlo_tpu.ops.ewald import tune_parameters
+
+    kl, nk, ksq = tune_parameters(13.0, 4.5, 1e-3)
+    params = RunParams(temperature=700.0, r_cut=4.5, cutoff_mode="site",
+                       coulomb="ewald", kappa_L=kl, nk=nk, ksq_max=ksq,
+                       use_lrc=False, p_translate=0.5, p_volume=0.02,
+                       dr_max=0.3, dphi_max=0.3,
+                       strict_min_image=False)
+    g = MolGibbsEnsemble(spce_system(8), params, dv_max=0.02,
+                         p_transfer=0.4, dtype=jnp.float32,
+                         mega="interpret")
+    st = g.init(jax.random.PRNGKey(4), boxes=(11.0, 13.0),
+                n_init=(6, 2), n_chains=4)
+    for _ in range(2):
+        st, stats = g.run_block(st, 54, drift_tol=2e-3)
+        assert stats["sfac_err_max"] < 1e-4, stats
+    # kernel displacements and jnp transfers both ran
+    assert int(np.sum(np.asarray(st.att[:, 0]))) > 0
+    assert int(np.sum(np.asarray(st.att[:, 3]))) > 0
+    # transfers conserve total N
+    assert (np.asarray(st.active.sum(axis=(1, 2))) == 8).all()
+
+
+def test_gibbs_mol_mega_requires_f32():
+    params = RunParams(temperature=700.0, r_cut=4.5, cutoff_mode="site",
+                       coulomb="none", use_lrc=False, p_translate=0.5,
+                       dr_max=0.3, dphi_max=0.3, strict_min_image=False)
+    with pytest.raises(ValueError, match="float32"):
+        MolGibbsEnsemble(spce_system(8), params, mega="interpret")
