@@ -407,11 +407,11 @@ def make_gcmc_binary(system, params, activities, p_exchange=0.4,
             i_s, d_s = ins[s], dele[s]
             ln_acc_i = jnp.log(zs[s] * vol / (i_s["nf"] + 1.0)) \
                 + i_s["m"] + jnp.log(jnp.maximum(i_s["w_sum"], 1e-300)) \
-                - np.log(n_or) - beta * i_s["ec"]
+                - float(np.log(n_or)) - beta * i_s["ec"]
             ok_i.append((mt == 2 + 2 * s) & ~i_s["full"]
                         & (i_s["w_sum"] > 0.0) & (ln_u < ln_acc_i))
             ln_acc_d = jnp.log(jnp.maximum(d_s["nf"], 1.0)
-                               / (zs[s] * vol)) + np.log(n_or) \
+                               / (zs[s] * vol)) + float(np.log(n_or)) \
                 - d_s["m"] - jnp.log(jnp.maximum(d_s["w_sum"], 1e-300)) \
                 - beta * d_s["ec"]
             ok_d.append((mt == 3 + 2 * s) & (ns[s] > 0)

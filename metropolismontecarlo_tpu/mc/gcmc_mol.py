@@ -452,10 +452,10 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
         ok_m = (mt <= 1) & (n > 0) & ~ovr_new \
             & (u < jnp.exp(-beta * du_move))
         ln_acc_i = jnp.log(z * vol / (nf + 1.0)) + m_i \
-            + jnp.log(jnp.maximum(w_sum_i, 1e-300)) - np.log(n_or) \
+            + jnp.log(jnp.maximum(w_sum_i, 1e-300)) - float(np.log(n_or)) \
             - beta * ec_ins
         ln_acc_d = jnp.log(jnp.maximum(nf, 1.0) / (z * vol)) \
-            + np.log(n_or) - m_d \
+            + float(np.log(n_or)) - m_d \
             - jnp.log(jnp.maximum(w_sum_d, 1e-300)) - beta * ec_del
         if tmmc:
             # Rao-Blackwellized collection-matrix deposit of the

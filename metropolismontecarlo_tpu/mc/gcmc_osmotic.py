@@ -293,11 +293,11 @@ def make_gcmc_osmotic(system, params, activity, p_exchange=0.3,
         ln_u = jnp.log(jnp.maximum(u, jnp.asarray(1e-300, dtype)))
         ok_m = (mt <= 1) & ~ovr_new & (u < jnp.exp(-beta * du_move))
         ln_acc_i = jnp.log(z * vol / (nf + 1.0)) + m_i \
-            + jnp.log(jnp.maximum(w_sum_i, 1e-300)) - np.log(n_or) \
+            + jnp.log(jnp.maximum(w_sum_i, 1e-300)) - float(np.log(n_or)) \
             - beta * ec_ins
         ok_i = (mt == 2) & ~full & (w_sum_i > 0.0) & (ln_u < ln_acc_i)
         ln_acc_d = jnp.log(jnp.maximum(nf, 1.0) / (z * vol)) \
-            + np.log(n_or) - m_dd \
+            + float(np.log(n_or)) - m_dd \
             - jnp.log(jnp.maximum(w_sum_dd, 1e-300)) - beta * ec_del
         ok_d = (mt == 3) & (n_u > 0) & (ln_u < ln_acc_d)
 

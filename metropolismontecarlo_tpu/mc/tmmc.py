@@ -576,14 +576,14 @@ class TMMCMol:
 
     def __init__(self, system, params, activity, p_exchange=0.3,
                  dtype=jnp.float64, chunk=8, n_orient=1,
-                 bias="orientation"):
+                 bias="orientation", mega=None):
         from metropolismontecarlo_tpu.mc.gcmc_mol import make_gcmc_mol
         self.params = params
         self.activity = float(activity)
         self.capacity = int(system.n_mol)
         self._init, self._run_steps, self.full_energy = make_gcmc_mol(
             system, params, activity, p_exchange, dtype, chunk, n_orient,
-            bias, tmmc=True)
+            bias, tmmc=True, mega=mega)
         self.cmat = np.zeros((self.capacity + 1, 3), np.float64)
         self.uhist = np.zeros((self.capacity + 1, 3), np.float64)
         self.eta = np.zeros(self.capacity + 1, np.float64)

@@ -141,7 +141,8 @@ def _run_gcmc(cfg, system, params, dtype, args):
         g = MolGCMC(system, params, activity=float(ens["activity"]),
                     p_exchange=float(ens.get("p_exchange", 0.3)),
                     dtype=dtype, n_orient=int(ens.get("n_orient", 1)),
-                    bias=ens.get("bias", "orientation"))
+                    bias=ens.get("bias", "orientation"),
+                    mega=ens.get("mega"))
     else:
         from metropolismontecarlo_tpu.mc.gcmc import GCMC
         unsupported = {"p_exchange", "n_orient", "bias"} & set(ens)
@@ -240,7 +241,8 @@ def _run_tmmc(cfg, system, params, dtype, args):
                 f"equal ensemble capacity ({ens['capacity']})")
         t = TMMCMol(system, params, activity=float(ens["activity"]),
                     p_exchange=float(ens.get("p_exchange", 0.3)),
-                    dtype=dtype, n_orient=int(ens.get("n_orient", 1)))
+                    dtype=dtype, n_orient=int(ens.get("n_orient", 1)),
+                    mega=ens.get("mega"))
     else:
         if "melt_blocks" in ens:
             raise ValueError("melt_blocks applies only to molecular "
@@ -271,7 +273,7 @@ def _run_tmmc(cfg, system, params, dtype, args):
     if melt:
         from metropolismontecarlo_tpu.mc.gcmc_mol import MolGCMC
         g0 = MolGCMC(system, params, activity=float(ens["activity"]),
-                     p_exchange=0.0, dtype=dtype)
+                     p_exchange=0.0, dtype=dtype, mega=ens.get("mega"))
         for block in range(melt):
             state, stats = g0.run_block(state, n_steps)
             if not args.quiet:
@@ -416,7 +418,8 @@ def _run_gibbs(cfg, system, params, dtype, args):
                              dv_max=float(ens.get("dv_max", 0.03)),
                              p_transfer=float(ens.get("p_transfer", 0.3)),
                              dtype=dtype,
-                             n_orient=int(ens.get("n_orient", 1)))
+                             n_orient=int(ens.get("n_orient", 1)),
+                             mega=ens.get("mega"))
     else:
         from metropolismontecarlo_tpu.mc.gibbs import GibbsEnsemble
         unsupported = {"p_transfer", "n_orient"} & set(ens)

@@ -84,3 +84,31 @@ def test_tmmc_mol_spce_bias_drift_invariant():
     assert stats["sfac_err_max"] < 1e-8, stats
     assert stats["acc_insert"] > 0.0 or stats["acc_delete"] > 0.0, stats
     assert stats["n_max"] <= 12 and stats["n_min"] >= 0
+
+
+def test_tmmc_mol_mega_zero_bias_bit_identical_to_mega_gcmc():
+    """The mega (kernel-sweep) TMMC composition with eta = 0 must
+    reproduce the mega plain-GCMC composition bit-for-bit: identical
+    key-splitting, identical kernel streams, identical jnp exchange
+    steps; the bias enters acceptance thresholds only.  Interpret-mode
+    kernel (CPU) — degenerate proposals still exercise every branch of
+    the composition."""
+    sys_ = spce_system(8)
+    params = RunParams(temperature=700.0, r_cut=4.5, cutoff_mode="site",
+                       coulomb="ewald", nk=3, ksq_max=9, p_translate=0.5,
+                       dr_max=0.25, dphi_max=0.3, use_lrc=False,
+                       strict_min_image=False)
+    init_g, run_g, _ = make_gcmc_mol(sys_, params, activity=2e-4,
+                                     p_exchange=0.4, dtype=jnp.float32,
+                                     mega="interpret")
+    init_t, run_t, _ = make_gcmc_mol(sys_, params, activity=2e-4,
+                                     p_exchange=0.4, dtype=jnp.float32,
+                                     tmmc=True, mega="interpret")
+    st_g = init_g(jax.random.PRNGKey(9), box=10.0, n_init=4, n_chains=2)
+    st_t = init_t(jax.random.PRNGKey(9), box=10.0, n_init=4, n_chains=2)
+    st_g = run_g(st_g, 36)
+    st_t, cmat, _ = run_t(st_t, np.zeros(9), 36)
+    for a, b, name in zip(st_g, st_t, st_g._fields):
+        assert jnp.array_equal(a, b), name
+    # deposits come from the exchange-only jnp steps of each cycle
+    assert float(np.asarray(cmat).sum()) > 0.0
