@@ -156,8 +156,8 @@ def main():
     # never paid and the number is NVT in disguise.  lj: per-call launch
     # overhead dominates 2-step windows on a 70k+ sweeps/s config — time
     # a 50-sweep window (the steady-state regime users actually run).
-    default_steps = {"npt": 20, "lj": 50, "gcmc": 4, "tmmc": 4}.get(
-        config, 2)
+    default_steps = {"npt": 20, "lj": 50, "triatomic": 20, "gcmc": 4,
+                     "tmmc": 4}.get(config, 2)
     n_steps = int(os.environ.get("BENCH_STEPS", str(default_steps)))
 
     if config in ("gcmc", "tmmc"):

@@ -369,25 +369,34 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
         ra_old = ev.pose_atoms(com_i, quat_i)
         e_old, _ = ev.pair_energy(com_i, ra_old, coords, com, box, a_ok, idx)
 
-        # --- displaced / rotated pose
-        disp = (jax.random.uniform(k_pos, (3,), dtype) - 0.5) \
-            * params.dr_max
-        com_new = jnp.where(mt == 0, (com_i + disp) % box, com_i)
-        quat_new = jnp.where(mt == 1,
-                             random_rotate_quaternion(k_rot, quat_i,
-                                                      params.dphi_max),
-                             quat_i)
-        ra_new = ev.pose_atoms(com_new, quat_new)
-        e_new, ovr_new = ev.pair_energy(com_new, ra_new, coords, com, box,
-                                        a_ok, idx)
+        # --- displaced / rotated pose (statically skipped in exchange-
+        # only builds — the mega composition's jnp cycles; the second
+        # pair grid and second structure-factor row are pure waste when
+        # mt can never select 0/1)
+        move_on = p_disp + p_rot > 0.0
+        if move_on:
+            disp = (jax.random.uniform(k_pos, (3,), dtype) - 0.5) \
+                * params.dr_max
+            com_new = jnp.where(mt == 0, (com_i + disp) % box, com_i)
+            quat_new = jnp.where(mt == 1,
+                                 random_rotate_quaternion(k_rot, quat_i,
+                                                          params.dphi_max),
+                                 quat_i)
+            ra_new = ev.pose_atoms(com_new, quat_new)
+            e_new, ovr_new = ev.pair_energy(com_new, ra_new, coords, com,
+                                            box, a_ok, idx)
+        else:
+            com_new, quat_new, ra_new = com_i, quat_i, ra_old
+            e_new, ovr_new = e_old, jnp.asarray(False)
 
         # --- reciprocal prep for the move part -------------------------
         if use_ewald:
             kappa = jnp.asarray(params.kappa_L, dtype) / box
             cf = ewald_ops.cfac_coeffs(kv, kw, kappa, box, dtype)
             s_old = ev.pose_sfac(ra_old, box)
-            s_new = ev.pose_sfac(ra_new, box)
-            d_move = ewald_ops.recip_energy_delta(sfac, s_new - s_old, cf)
+            s_new = ev.pose_sfac(ra_new, box) if move_on else s_old
+            d_move = ewald_ops.recip_energy_delta(sfac, s_new - s_old, cf) \
+                if move_on else jnp.zeros((), dtype)
         else:
             cf = None
             s_old = s_new = jnp.zeros((K, 2), dtype)
@@ -487,20 +496,24 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
         ok_d = (mt == 3) & (n > 0) & (ln_u < ln_acc_d)
 
         # --- state updates (where-selects only)
-        com = com.at[idx].set(jnp.where(ok_m, com_new, com[idx]))
-        quat = quat.at[idx].set(jnp.where(ok_m, quat_new, quat[idx]))
-        coords = write_pose(coords, idx, ra_new, ok_m)
+        if move_on:
+            com = com.at[idx].set(jnp.where(ok_m, com_new, com[idx]))
+            quat = quat.at[idx].set(jnp.where(ok_m, quat_new, quat[idx]))
+            coords = write_pose(coords, idx, ra_new, ok_m)
         com = com.at[slot].set(jnp.where(ok_i, com_ins, com[slot]))
         quat = quat.at[slot].set(jnp.where(ok_i, quat_ins, quat[slot]))
         coords = write_pose(coords, slot, ra_ins, ok_i)
         active = active.at[slot].set(ok_i | active[slot])
         active = active.at[idx].set(active[idx] & ~ok_d)
-        sfac = sfac + jnp.where(ok_m, 1.0, 0.0) * (s_new - s_old) \
+        sfac = sfac \
             + jnp.where(ok_i, 1.0, 0.0) * s_ins \
             - jnp.where(ok_d, 1.0, 0.0) * s_old
-        e = e + jnp.where(ok_m, du_move, 0.0) \
-            + jnp.where(ok_i, du_ins, 0.0) \
+        if move_on:
+            sfac = sfac + jnp.where(ok_m, 1.0, 0.0) * (s_new - s_old)
+        e = e + jnp.where(ok_i, du_ins, 0.0) \
             + jnp.where(ok_d, du_del, 0.0)
+        if move_on:
+            e = e + jnp.where(ok_m, du_move, 0.0)
         a_row = jnp.stack([ok_m & (mt == 0), ok_m & (mt == 1),
                            ok_i, ok_d]).astype(jnp.int32)
         t_row = (jnp.arange(4) == mt).astype(jnp.int32)
