@@ -69,7 +69,7 @@ def main():
     # relaxes (the Gibbs-water lesson), draining every liquid slice and
     # leaving the collection matrix nothing to measure there
     g = MolGCMC(sys_, params, activity=Z0, p_exchange=0.0,
-                dtype=jnp.float32, n_orient=1)
+                dtype=jnp.float32, n_orient=1, mega=True)
     st = g.init(jax.random.PRNGKey(11), box=BOX, n_init=n_init,
                 n_chains=CHAINS)
     for b in range(EQUIL_BLOCKS):
@@ -82,7 +82,7 @@ def main():
 
     # Phase 1: transition-matrix blocks (same state pytree)
     t = TMMCMol(sys_, params, activity=Z0, p_exchange=0.4,
-                dtype=jnp.float32, n_orient=N_ORIENT)
+                dtype=jnp.float32, n_orient=N_ORIENT, mega=True)
     # drift gate note: acceptance never reads the carried energy — every
     # exchange uses FRESH pose energies plus the carried structure
     # factors (gated tight below); the carried-E drift is a pure f32

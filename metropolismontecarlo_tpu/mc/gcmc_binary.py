@@ -236,7 +236,7 @@ def make_binary_slots(system, params, dtype=jnp.float64):
 
 
 def make_gcmc_binary(system, params, activities, p_exchange=0.4,
-                     dtype=jnp.float64, chunk=8, n_orient=1):
+                     dtype=jnp.float64, chunk=8, n_orient=1, mega=None):
     """Build the binary-muVT step/energy functions.
 
     system: a System with EXACTLY two species blocks, each internally
@@ -244,6 +244,13 @@ def make_gcmc_binary(system, params, activities, p_exchange=0.4,
     full_energy); full_energy(state) -> (energy (C,), sfac (C, K, 2)).
     Exchange attempts split px equally over the four exchange types
     (insert/delete x species).
+
+    mega (True or "interpret"): displacement/rotation sweeps through
+    the activity-masked whole-sweep kernel — the species-blocked case
+    runs one kernel call per block, exactly like the NVT mixture path —
+    with the four exchange types on the jnp path (recursive
+    p_exchange=1 build).  Same composition contract as
+    mc/gcmc_mol.make_gcmc_mol; requires dtype=float32.
     """
     ms = make_binary_slots(system, params, dtype)
     evs, caps, m0s, a0s, Ps = ms.evs, ms.caps, ms.m0s, ms.a0s, ms.Ps
@@ -302,38 +309,44 @@ def make_gcmc_binary(system, params, activities, p_exchange=0.4,
             u_sel * n_tot.astype(dtype)).astype(jnp.int32) + 1)
         is_a = idx < caps[0]
         com_i, quat_i = com[idx], quat[idx]
-        disp = (jax.random.uniform(k_pos, (3,), dtype) - 0.5) \
-            * params.dr_max
-        com_new = jnp.where(mt == 0, (com_i + disp) % box, com_i)
-        quat_new = jnp.where(mt == 1,
-                             random_rotate_quaternion(k_rot, quat_i,
-                                                      params.dphi_max),
-                             quat_i)
+        # statically skipped in exchange-only builds (the mega
+        # composition's jnp cycles): four pair grids + four structure-
+        # factor rows of pure waste when mt can never select 0/1
+        move_on = p_disp + p_rot > 0.0
+        if move_on:
+            disp = (jax.random.uniform(k_pos, (3,), dtype) - 0.5) \
+                * params.dr_max
+            com_new = jnp.where(mt == 0, (com_i + disp) % box, com_i)
+            quat_new = jnp.where(mt == 1,
+                                 random_rotate_quaternion(
+                                     k_rot, quat_i, params.dphi_max),
+                                 quat_i)
 
-        def species_pair(ev_s):
-            ra_o = ev_s.pose_atoms(com_i, quat_i)
-            e_o, _ = ev_s.pair_energy(com_i, ra_o, coords, com, box,
-                                      a_ok, idx)
-            ra_n = ev_s.pose_atoms(com_new, quat_new)
-            e_n, ovr_n = ev_s.pair_energy(com_new, ra_n, coords, com,
-                                          box, a_ok, idx)
-            if use_ewald:
-                s_o = ev_s.pose_sfac(ra_o, box)
-                s_n = ev_s.pose_sfac(ra_n, box)
-            else:
-                s_o = s_n = jnp.zeros((K, 2), dtype)
-            return ra_n, e_o, e_n, ovr_n, s_o, s_n
+            def species_pair(ev_s):
+                ra_o = ev_s.pose_atoms(com_i, quat_i)
+                e_o, _ = ev_s.pair_energy(com_i, ra_o, coords, com, box,
+                                          a_ok, idx)
+                ra_n = ev_s.pose_atoms(com_new, quat_new)
+                e_n, ovr_n = ev_s.pair_energy(com_new, ra_n, coords, com,
+                                              box, a_ok, idx)
+                if use_ewald:
+                    s_o = ev_s.pose_sfac(ra_o, box)
+                    s_n = ev_s.pose_sfac(ra_n, box)
+                else:
+                    s_o = s_n = jnp.zeros((K, 2), dtype)
+                return ra_n, e_o, e_n, ovr_n, s_o, s_n
 
-        raA_n, eA_o, eA_n, ovrA, sA_o, sA_n = species_pair(evs[0])
-        raB_n, eB_o, eB_n, ovrB, sB_o, sB_n = species_pair(evs[1])
-        e_old = jnp.where(is_a, eA_o, eB_o)
-        e_new = jnp.where(is_a, eA_n, eB_n)
-        ovr_new = jnp.where(is_a, ovrA, ovrB)
-        s_old = jnp.where(is_a, sA_o, sB_o)
-        s_new = jnp.where(is_a, sA_n, sB_n)
-        d_move = ewald_ops.recip_energy_delta(sfac, s_new - s_old, cf) \
-            if use_ewald else jnp.zeros((), dtype)
-        du_move = e_new - e_old + d_move
+            raA_n, eA_o, eA_n, ovrA, sA_o, sA_n = species_pair(evs[0])
+            raB_n, eB_o, eB_n, ovrB, sB_o, sB_n = species_pair(evs[1])
+            e_old = jnp.where(is_a, eA_o, eB_o)
+            e_new = jnp.where(is_a, eA_n, eB_n)
+            ovr_new = jnp.where(is_a, ovrA, ovrB)
+            s_old = jnp.where(is_a, sA_o, sB_o)
+            s_new = jnp.where(is_a, sA_n, sB_n)
+            d_move = ewald_ops.recip_energy_delta(sfac, s_new - s_old,
+                                                  cf) \
+                if use_ewald else jnp.zeros((), dtype)
+            du_move = e_new - e_old + d_move
 
         # --- per-species insertion + deletion machinery ----------------
         k_ip, k_iq, k_pk = (k_ip0, k_ip1), (k_iq0, k_iq1), (k_pk0, k_pk1)
@@ -400,8 +413,11 @@ def make_gcmc_binary(system, params, activities, p_exchange=0.4,
         vol = box**3
         u = jax.random.uniform(k_acc, dtype=dtype)
         ln_u = jnp.log(jnp.maximum(u, jnp.asarray(1e-300, dtype)))
-        ok_m = (mt <= 1) & (n_tot > 0) & ~ovr_new \
-            & (u < jnp.exp(-beta * du_move))
+        if move_on:
+            ok_m = (mt <= 1) & (n_tot > 0) & ~ovr_new \
+                & (u < jnp.exp(-beta * du_move))
+        else:
+            ok_m = jnp.asarray(False)
         ok_i, ok_d = [], []
         for s in (0, 1):
             i_s, d_s = ins[s], dele[s]
@@ -418,12 +434,13 @@ def make_gcmc_binary(system, params, activities, p_exchange=0.4,
                         & (ln_u < ln_acc_d))
 
         # --- apply ------------------------------------------------------
-        com = com.at[idx].set(jnp.where(ok_m, com_new, com[idx]))
-        quat = quat.at[idx].set(jnp.where(ok_m, quat_new, quat[idx]))
-        a0_mA = jnp.where(is_a, a0_a + (idx - m0_a) * P0, 0)
-        coords = write_pose(coords, a0_mA, P0, raA_n, ok_m & is_a)
-        a0_mB = jnp.where(is_a, 0, a0_b + (idx - m0_b) * P1)
-        coords = write_pose(coords, a0_mB, P1, raB_n, ok_m & ~is_a)
+        if move_on:
+            com = com.at[idx].set(jnp.where(ok_m, com_new, com[idx]))
+            quat = quat.at[idx].set(jnp.where(ok_m, quat_new, quat[idx]))
+            a0_mA = jnp.where(is_a, a0_a + (idx - m0_a) * P0, 0)
+            coords = write_pose(coords, a0_mA, P0, raA_n, ok_m & is_a)
+            a0_mB = jnp.where(is_a, 0, a0_b + (idx - m0_b) * P1)
+            coords = write_pose(coords, a0_mB, P1, raB_n, ok_m & ~is_a)
         new_actives = []
         for s in (0, 1):
             i_s, d_s = ins[s], dele[s]
@@ -442,8 +459,9 @@ def make_gcmc_binary(system, params, activities, p_exchange=0.4,
                 - jnp.where(ok_d[s], 1.0, 0.0) * d_s["sfac"]
             e = e + jnp.where(ok_i[s], i_s["du"], 0.0) \
                 + jnp.where(ok_d[s], d_s["du"], 0.0)
-        sfac = sfac + jnp.where(ok_m, 1.0, 0.0) * (s_new - s_old)
-        e = e + jnp.where(ok_m, du_move, 0.0)
+        if move_on:
+            sfac = sfac + jnp.where(ok_m, 1.0, 0.0) * (s_new - s_old)
+            e = e + jnp.where(ok_m, du_move, 0.0)
         a_row = jnp.stack([ok_m & (mt == 0), ok_m & (mt == 1),
                            ok_i[0], ok_d[0], ok_i[1], ok_d[1]]) \
             .astype(jnp.int32)
@@ -472,6 +490,54 @@ def make_gcmc_binary(system, params, activities, p_exchange=0.4,
             state.active1, state.box, state.sfac, state.energy,
             state.key, state.acc, state.att, n_steps)
         return BinaryGCMCState(*out)
+
+    if mega:
+        if dtype != jnp.float32:
+            raise ValueError("mega binary GCMC requires dtype=float32 "
+                             "(the whole-sweep kernel is f32)")
+        if px >= 1.0:
+            raise ValueError("mega binary GCMC needs p_exchange < 1")
+        from metropolismontecarlo_tpu.mc.moves import make_mega_sweep_fn
+
+        sweep_act = make_mega_sweep_fn(
+            system, params, kv, kw, interpret=(mega == "interpret"),
+            with_activity=True)
+        if px > 0.0:
+            _, run_x, _ = make_gcmc_binary(system, params, activities,
+                                           1.0, dtype, chunk, n_orient)
+            x_per = max(1, int(round(M * px / (1.0 - px))))
+        else:
+            run_x, x_per = None, 0
+
+        def _sweep_state(state):
+            keys2 = jax.vmap(jax.random.split)(state.key)
+            knext, sub = keys2[:, 0], keys2[:, 1]
+            ck = jax.lax.bitcast_convert_type(sub[:, 0], jnp.int32)
+            active = jnp.concatenate([state.active0, state.active1],
+                                     axis=1)                  # (C, M)
+            com, quat, coords, sfac, d_e, acc2, att2 = sweep_act(
+                state.com, state.quat, state.coords, active,
+                state.box, state.sfac, ck, jnp.zeros((), jnp.int32))
+            pad = ((0, 0), (0, 4))   # [trans, rot] -> + 4 exchange cols
+            return state._replace(
+                com=com, quat=quat, coords=coords,
+                sfac=sfac if use_ewald else state.sfac,
+                energy=state.energy + d_e, key=knext,
+                acc=state.acc + jnp.pad(acc2.astype(jnp.int32), pad),
+                att=state.att + jnp.pad(att2.astype(jnp.int32), pad))
+
+        @partial(jax.jit, static_argnums=1)
+        def run_steps(state, n_steps):   # noqa: F811
+            n_cyc = max(1, int(round(n_steps / (M + x_per))))
+
+            def cycle(st, _):
+                st = _sweep_state(st)
+                if run_x is not None:
+                    st = run_x(st, x_per)
+                return st, None
+
+            state, _ = jax.lax.scan(cycle, state, None, length=n_cyc)
+            return state
 
     def init(key, box, n_init, n_chains):
         """Lattice placement of ALL M slots; n_init = (n0, n1) — the
@@ -516,11 +582,11 @@ class BinaryGCMC:
     """
 
     def __init__(self, system, params, activities, p_exchange=0.4,
-                 dtype=jnp.float64, chunk=8, n_orient=1):
+                 dtype=jnp.float64, chunk=8, n_orient=1, mega=None):
         self.params = params
         self._init, self.run_steps, self.full_energy = make_gcmc_binary(
             system, params, activities, p_exchange, dtype, chunk,
-            n_orient)
+            n_orient, mega=mega)
         sl = system.species_slices
         self.capacities = (sl[0][2] - sl[0][1], sl[1][2] - sl[1][1])
         self._system = system
@@ -544,9 +610,11 @@ class BinaryGCMC:
 
     def run_block(self, state, n_steps, drift_tol=None):
         att0, acc0 = state.att, state.acc
+        e_start = state.energy
         state = self.run_steps(state, n_steps)
         e, sf = self.full_energy(state)
-        scale = jnp.maximum(jnp.abs(e), 1.0)
+        # both-endpoint drift scale (see mc/gcmc_mol.MolGCMC.run_block)
+        scale = jnp.maximum(jnp.maximum(jnp.abs(e), jnp.abs(e_start)), 1.0)
         drift = jnp.max(jnp.abs(e - state.energy) / scale)
         sfac_err = jnp.max(jnp.abs(sf - state.sfac))
         n0 = jnp.sum(state.active0, axis=1).astype(jnp.float64)

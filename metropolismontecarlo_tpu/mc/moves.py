@@ -726,9 +726,6 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
         if cfg is not None:
             raise ValueError("activity-masked mega sweeps do not support "
                              "the sorted-slab window path")
-        if not system.is_uniform:
-            raise ValueError("activity-masked mega sweeps require a "
-                             "uniform system (mc/gcmc_mol slot layout)")
     if cfg is not None:
         A_plane = cfg["A_store"]
         a0w, Wc = cfg["a0"], cfg["W"]
@@ -929,9 +926,6 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
         )
 
     if with_activity:
-        P_u = system.species_slices[0][3]
-        statics_u, consts_u = blocks[0]
-
         def sweep_act(com, quat, coords, active, box, sfac, chain_keys,
                       seed):
             """One activity-masked displacement/rotation sweep on the
@@ -939,6 +933,8 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
             coords (C, 3, A_pad) transposed planes, active (C, M) bool,
             box (C,), sfac (C, K, 2), chain_keys (C,) int32, seed ()
             int32 (a monotone counter — PRNG stream selector).
+            Species-blocked systems (binary ensembles) run one kernel
+            call per block, exactly like sweep_full.
             Returns (com, quat, coords, sfac, d_e, acc, att) in f32:
             d_e (C,) the summed accepted pair+recip energy delta, acc/
             att (C, 2) accepted/attempted [translate, rotate] counts
@@ -952,7 +948,10 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
                     "the validated envelope (<= 2048x2432); see "
                     "sweep_full / CLAUDE.md known issues.")
             f32 = jnp.float32
-            act_a = jnp.repeat(active.astype(f32), P_u, axis=1)  # (C, A)
+            segs = [jnp.repeat(active[:, m0:m1].astype(f32), p, axis=1)
+                    for _, m0, m1, p, _ in system.species_slices]
+            act_a = segs[0] if len(segs) == 1 \
+                else jnp.concatenate(segs, axis=1)           # (C, A)
             act_a = jnp.pad(act_a, ((0, 0), (0, A_plane - A)))
 
             def mplane(arr):
@@ -973,12 +972,16 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
                      float(params.dr_max) * ones,
                      float(params.dphi_max) * ones)
             stats = jnp.zeros((C, 8), f32)
-            out = sweep_pallas(*planes, act_a, *box_t, stats,
-                               jnp.asarray(seed, jnp.int32),
-                               chain_keys.astype(jnp.int32), wstarts_j,
-                               *consts_u, **statics_u)
-            x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim = out[:12]
-            stats = out[12]
+            seed = jnp.asarray(seed, jnp.int32)
+            moves_done = 0
+            for statics, consts in blocks:
+                out = sweep_pallas(*planes, act_a, *box_t, stats,
+                                   seed + moves_done,
+                                   chain_keys.astype(jnp.int32),
+                                   wstarts_j, *consts, **statics)
+                planes, stats = out[:12], out[12]
+                moves_done += statics["M"]
+            x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim = planes
             com_o = jnp.stack([cx[:, :M], cy[:, :M], cz[:, :M]], axis=-1)
             quat_o = jnp.stack([qw[:, :M], qx[:, :M], qy[:, :M],
                                 qz[:, :M]], axis=-1)

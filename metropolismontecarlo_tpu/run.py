@@ -98,7 +98,8 @@ def _run_gcmc(cfg, system, params, dtype, args):
                        activities=tuple(float(z)
                                         for z in ens["activities"]),
                        p_exchange=float(ens.get("p_exchange", 0.4)),
-                       dtype=dtype, n_orient=int(ens.get("n_orient", 1)))
+                       dtype=dtype, n_orient=int(ens.get("n_orient", 1)),
+                       mega=ens.get("mega"))
         state = g.init(jax.random.PRNGKey(int(run_cfg.get("seed", 0))),
                        box=float(ens["box"]),
                        n_init=tuple(int(n) for n in ens["n_init"]),
