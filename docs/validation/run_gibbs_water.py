@@ -84,7 +84,8 @@ def main():
                        p_translate=0.5, p_volume=0.01, dr_max=0.4,
                        dphi_max=0.6)
     g = MolGibbsEnsemble(spce_system(CAP), params, dv_max=0.03,
-                         p_transfer=0.4, dtype=jnp.float32, n_orient=8)
+                         p_transfer=0.4, dtype=jnp.float32, n_orient=8,
+                         mega=True)
     st = g.init(jax.random.PRNGKey(3), boxes=(box_l, box_v),
                 n_init=(n_l, n_v), n_chains=N_CHAINS)
     print(f"boxes ({box_l:.2f}, {box_v:.2f}) A, {N_CHAINS} chains, "
@@ -100,7 +101,7 @@ def main():
     g_eq = MolGibbsEnsemble(spce_system(CAP),
                             dataclasses.replace(params, p_volume=0.0),
                             dv_max=0.03, p_transfer=0.0,
-                            dtype=jnp.float32, n_orient=8)
+                            dtype=jnp.float32, n_orient=8, mega=True)
     # ~2000 attempts/molecule: lattice water needs thousands of local
     # moves before its pressure is right — an under-relaxed liquid is
     # overpressured, expands through the volume exchange, and then

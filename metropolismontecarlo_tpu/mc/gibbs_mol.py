@@ -165,22 +165,28 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
                                   box[b], a_ok_b, idx)
         s_old = pose_sfac_or_zero(ra_old, box[b])
 
-        # --- displaced / rotated pose in box b --------------------------
-        disp = (jax.random.uniform(k_pos, (3,), dtype) - 0.5) \
-            * params.dr_max
-        com_new = jnp.where(mt == 0, (com_i + disp) % box[b], com_i)
-        quat_new = jnp.where(mt == 1,
-                             random_rotate_quaternion(k_rot, quat_i,
-                                                      params.dphi_max),
-                             quat_i)
-        ra_new = ev.pose_atoms(com_new, quat_new)
-        e_new, ovr_new = ev.pair_energy(com_new, ra_new, coords[b],
-                                        com[b], box[b], a_ok_b, idx)
-        s_new = pose_sfac_or_zero(ra_new, box[b])
-        du_move = e_new - e_old + recip_delta(sfac[b], s_new - s_old,
-                                              box[b])
-        ok_m = (mt <= 1) & (n[b] > 0) & ~ovr_new \
-            & (u < jnp.exp(-beta * du_move))
+        # --- displaced / rotated pose in box b (statically skipped in
+        # transfer-only builds — the mega composition's jnp cycles;
+        # e_old/ra_old/s_old stay: the transfer source needs them) ------
+        move_on = p_disp + p_rot > 0.0
+        if move_on:
+            disp = (jax.random.uniform(k_pos, (3,), dtype) - 0.5) \
+                * params.dr_max
+            com_new = jnp.where(mt == 0, (com_i + disp) % box[b], com_i)
+            quat_new = jnp.where(mt == 1,
+                                 random_rotate_quaternion(
+                                     k_rot, quat_i, params.dphi_max),
+                                 quat_i)
+            ra_new = ev.pose_atoms(com_new, quat_new)
+            e_new, ovr_new = ev.pair_energy(com_new, ra_new, coords[b],
+                                            com[b], box[b], a_ok_b, idx)
+            s_new = pose_sfac_or_zero(ra_new, box[b])
+            du_move = e_new - e_old + recip_delta(sfac[b], s_new - s_old,
+                                                  box[b])
+            ok_m = (mt <= 1) & (n[b] > 0) & ~ovr_new \
+                & (u < jnp.exp(-beta * du_move))
+        else:
+            ok_m = jnp.asarray(False)
 
         # --- transfer s -> d (s = b, same random bit) -------------------
         # Rosenbluth orientational bias: n_or trials in the destination,
@@ -244,11 +250,13 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
             & (w_sum_n > 0.0) & (ln_u < ln_acc_x)
 
         # --- apply (mutually exclusive branches) ------------------------
-        com = com.at[b, idx].set(jnp.where(ok_m, com_new, com[b, idx]))
-        quat = quat.at[b, idx].set(jnp.where(ok_m, quat_new,
-                                             quat[b, idx]))
-        coords = coords.at[b].set(
-            ms.write_pose(coords[b], idx, ra_new, ok_m))
+        if move_on:
+            com = com.at[b, idx].set(jnp.where(ok_m, com_new,
+                                               com[b, idx]))
+            quat = quat.at[b, idx].set(jnp.where(ok_m, quat_new,
+                                                 quat[b, idx]))
+            coords = coords.at[b].set(
+                ms.write_pose(coords[b], idx, ra_new, ok_m))
         com = com.at[d_box, slot_d].set(
             jnp.where(ok_x, pos_d, com[d_box, slot_d]))
         quat = quat.at[d_box, slot_d].set(
@@ -258,12 +266,13 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
         active = active.at[d_box, slot_d].set(ok_x
                                               | active[d_box, slot_d])
         active = active.at[s_box, idx].set(active[s_box, idx] & ~ok_x)
-        w_m = jnp.where(ok_m, 1.0, 0.0)
         w_x = jnp.where(ok_x, 1.0, 0.0)
-        sfac = sfac.at[b].add(w_m * (s_new - s_old))
+        if move_on:
+            w_m = jnp.where(ok_m, 1.0, 0.0)
+            sfac = sfac.at[b].add(w_m * (s_new - s_old))
+            e = e.at[b].add(jnp.where(ok_m, du_move, 0.0))
         sfac = sfac.at[s_box].add(-w_x * s_old)
         sfac = sfac.at[d_box].add(w_x * s_in)
-        e = e.at[b].add(jnp.where(ok_m, du_move, 0.0))
         e = e.at[s_box].add(jnp.where(ok_x, du_s, 0.0))
         e = e.at[d_box].add(jnp.where(ok_x, du_d, 0.0))
         a_row = jnp.stack([ok_m & (mt == 0), ok_m & (mt == 1),
