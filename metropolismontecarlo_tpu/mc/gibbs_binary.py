@@ -69,13 +69,20 @@ class BinaryGibbsState(NamedTuple):
 
 
 def make_gibbs_binary(system, params, dv_max=0.05, p_transfer=0.3,
-                      dtype=jnp.float64, n_orient=1, chunk=8):
+                      dtype=jnp.float64, n_orient=1, chunk=8, mega=None):
     """Build the binary Gibbs-ensemble step/energy functions.
 
     system: a two-species-block System; each block's molecule count is
     that species' PER-BOX slot capacity.  Returns (init, run_steps,
     full_energy, check_ewald_consistency).  Transfer attempts split
     p_transfer equally between the species.
+
+    mega (True or "interpret"): displacement/rotation sweeps through
+    the activity-masked kernel — the two boxes fold over the chain
+    axis AND the species-blocked system runs one kernel call per
+    block; per-species transfers + volume exchanges stay on the jnp
+    path (recursive p_transfer=1 build, p_volume rescaled).  Requires
+    dtype=float32; see mc/gibbs_mol.make_gibbs_mol.
     """
     ms = make_binary_slots(system, params, dtype)
     evs, caps, m0s, a0s, Ps = ms.evs, ms.caps, ms.m0s, ms.a0s, ms.Ps
@@ -155,6 +162,8 @@ def make_gibbs_binary(system, params, dv_max=0.05, p_transfer=0.3,
             u_sel * n_tot_b.astype(dtype)).astype(jnp.int32) + 1)
         is_a = idx < caps[0]
         com_i, quat_i = com[b, idx], quat[b, idx]
+        # statically skipped in transfer-only builds (mega composition)
+        move_on = p_disp + p_rot > 0.0
         disp = (jax.random.uniform(k_pos, (3,), dtype) - 0.5) \
             * params.dr_max
         com_new = jnp.where(mt == 0, (com_i + disp) % box[b], com_i)
@@ -177,17 +186,20 @@ def make_gibbs_binary(system, params, dv_max=0.05, p_transfer=0.3,
                 s_o = s_n = jnp.zeros((K, 2), dtype)
             return ra_n, e_o, e_n, ovr_n, s_o, s_n
 
-        raA_n, eA_o, eA_n, ovrA, sA_o, sA_n = species_pair(evs[0])
-        raB_n, eB_o, eB_n, ovrB, sB_o, sB_n = species_pair(evs[1])
-        e_new = jnp.where(is_a, eA_n, eB_n)
-        e_old = jnp.where(is_a, eA_o, eB_o)
-        ovr_new = jnp.where(is_a, ovrA, ovrB)
-        s_old = jnp.where(is_a, sA_o, sB_o)
-        s_new = jnp.where(is_a, sA_n, sB_n)
-        du_move = e_new - e_old + recip_delta(sfac[b], s_new - s_old,
-                                              cf_b)
-        ok_m = (mt <= 1) & (n_tot_b > 0) & ~ovr_new \
-            & (u < jnp.exp(-beta * du_move))
+        if move_on:
+            raA_n, eA_o, eA_n, ovrA, sA_o, sA_n = species_pair(evs[0])
+            raB_n, eB_o, eB_n, ovrB, sB_o, sB_n = species_pair(evs[1])
+            e_new = jnp.where(is_a, eA_n, eB_n)
+            e_old = jnp.where(is_a, eA_o, eB_o)
+            ovr_new = jnp.where(is_a, ovrA, ovrB)
+            s_old = jnp.where(is_a, sA_o, sB_o)
+            s_new = jnp.where(is_a, sA_n, sB_n)
+            du_move = e_new - e_old + recip_delta(sfac[b],
+                                                  s_new - s_old, cf_b)
+            ok_m = (mt <= 1) & (n_tot_b > 0) & ~ovr_new \
+                & (u < jnp.exp(-beta * du_move))
+        else:
+            ok_m = jnp.asarray(False)
 
         # --- per-species transfer b -> d machinery --------------------
         k_ip = jax.random.split(k_xpos, 2)
@@ -262,18 +274,20 @@ def make_gibbs_binary(system, params, dv_max=0.05, p_transfer=0.3,
                 du_d=u_i[j_sel] + ec_d, du_s=-u_exist + ec_s))
 
         # --- apply ----------------------------------------------------
-        com = com.at[b, idx].set(jnp.where(ok_m, com_new, com[b, idx]))
-        quat = quat.at[b, idx].set(jnp.where(ok_m, quat_new,
-                                             quat[b, idx]))
-        a0_mA = jnp.where(is_a, a0s[0] + (idx - m0s[0]) * Ps[0], 0)
-        coords = coords.at[b].set(ms.write_pose(
-            coords[b], a0_mA, Ps[0], raA_n, ok_m & is_a))
-        a0_mB = jnp.where(is_a, 0, a0s[1] + (idx - m0s[1]) * Ps[1])
-        coords = coords.at[b].set(ms.write_pose(
-            coords[b], a0_mB, Ps[1], raB_n, ok_m & ~is_a))
-        sfac = sfac.at[b].add(jnp.where(ok_m, 1.0, 0.0)
-                              * (s_new - s_old))
-        e = e.at[b].add(jnp.where(ok_m, du_move, 0.0))
+        if move_on:
+            com = com.at[b, idx].set(jnp.where(ok_m, com_new,
+                                               com[b, idx]))
+            quat = quat.at[b, idx].set(jnp.where(ok_m, quat_new,
+                                                 quat[b, idx]))
+            a0_mA = jnp.where(is_a, a0s[0] + (idx - m0s[0]) * Ps[0], 0)
+            coords = coords.at[b].set(ms.write_pose(
+                coords[b], a0_mA, Ps[0], raA_n, ok_m & is_a))
+            a0_mB = jnp.where(is_a, 0, a0s[1] + (idx - m0s[1]) * Ps[1])
+            coords = coords.at[b].set(ms.write_pose(
+                coords[b], a0_mB, Ps[1], raB_n, ok_m & ~is_a))
+            sfac = sfac.at[b].add(jnp.where(ok_m, 1.0, 0.0)
+                                  * (s_new - s_old))
+            e = e.at[b].add(jnp.where(ok_m, du_move, 0.0))
         new_actives = [active0, active1]
         for s in (0, 1):
             x = xfer[s]
@@ -397,6 +411,76 @@ def make_gibbs_binary(system, params, dv_max=0.05, p_transfer=0.3,
             state.active1, state.box, state.sfac, state.energy,
             state.key, state.acc, state.att, n_steps)
         return BinaryGibbsState(*out)
+
+    if mega:
+        import dataclasses as _dc
+
+        if dtype != jnp.float32:
+            raise ValueError("mega binary Gibbs requires dtype=float32 "
+                             "(the whole-sweep kernel is f32)")
+        if px >= 1.0:
+            raise ValueError("mega binary Gibbs needs p_transfer < 1")
+        if px == 0.0 and p_v > 0:
+            raise ValueError("mega binary Gibbs with p_transfer = 0 "
+                             "cannot schedule volume moves")
+        from metropolismontecarlo_tpu.mc.moves import make_mega_sweep_fn
+
+        sweep_act = make_mega_sweep_fn(
+            system, params, ms.kv, ms.kw,
+            interpret=(mega == "interpret"), with_activity=True)
+        M_tot, A_pad = ms.M, ms.A_pad
+        if px > 0.0:
+            x_per = max(1, int(round(2 * M_tot * px / (1.0 - px))))
+            params_x = _dc.replace(
+                params, p_volume=min(1.0, p_v * (2 * M_tot + x_per)
+                                     / x_per)) if p_v > 0 else params
+            run_x = make_gibbs_binary(system, params_x, dv_max, 1.0,
+                                      dtype, n_orient, chunk)[1]
+        else:
+            run_x, x_per = None, 0
+
+        def _sweep_state(state):
+            C = state.com.shape[0]
+            keys3 = jax.vmap(lambda k: jax.random.split(k, 3))(state.key)
+            knext = keys3[:, 0]
+            ck = jax.lax.bitcast_convert_type(
+                keys3[:, 1:, 0], jnp.int32).reshape(2 * C)
+            active = jnp.concatenate(
+                [state.active0, state.active1], axis=2)     # (C, 2, M)
+            com, quat, coords, sfac, d_e, acc2, att2 = sweep_act(
+                state.com.reshape(2 * C, M_tot, 3),
+                state.quat.reshape(2 * C, M_tot, 4),
+                state.coords.reshape(2 * C, 3, A_pad),
+                active.reshape(2 * C, M_tot),
+                state.box.reshape(2 * C),
+                state.sfac.reshape(2 * C, K, 2),
+                ck, jnp.zeros((), jnp.int32))
+            pad = ((0, 0), (0, 3))     # [disp, rot] -> + vol, xfer0/1
+            return state._replace(
+                com=com.reshape(C, 2, M_tot, 3),
+                quat=quat.reshape(C, 2, M_tot, 4),
+                coords=coords.reshape(C, 2, 3, A_pad),
+                sfac=sfac.reshape(C, 2, K, 2) if use_ewald
+                else state.sfac,
+                energy=state.energy + d_e.reshape(C, 2),
+                key=knext,
+                acc=state.acc + jnp.pad(
+                    acc2.reshape(C, 2, 2).sum(1).astype(jnp.int32), pad),
+                att=state.att + jnp.pad(
+                    att2.reshape(C, 2, 2).sum(1).astype(jnp.int32), pad))
+
+        @partial(jax.jit, static_argnums=1)
+        def run_steps(state, n_steps):   # noqa: F811
+            n_cyc = max(1, int(round(n_steps / (2 * M_tot + x_per))))
+
+            def cycle(st, _):
+                st = _sweep_state(st)
+                if run_x is not None:
+                    st = run_x(st, x_per)
+                return st, None
+
+            state, _ = jax.lax.scan(cycle, state, None, length=n_cyc)
+            return state
 
     def init(key, boxes, n_init, n_chains):
         """boxes (2,) edges; n_init (2, 2) = [species][box] counts."""
@@ -523,12 +607,13 @@ class BinaryGibbsEnsemble:
     """
 
     def __init__(self, system, params, dv_max=0.05, p_transfer=0.3,
-                 dtype=jnp.float64, n_orient=1, chunk=8):
+                 dtype=jnp.float64, n_orient=1, chunk=8, mega=None):
         self.params = params
         (self._init, self.run_steps, self.full_energy,
          self._check_ewald, self.pressure_fd,
          self.widom_boltzmann) = make_gibbs_binary(
-            system, params, dv_max, p_transfer, dtype, n_orient, chunk)
+            system, params, dv_max, p_transfer, dtype, n_orient, chunk,
+            mega=mega)
         sl = system.species_slices
         self.capacities = (sl[0][2] - sl[0][1], sl[1][2] - sl[1][1])
 
@@ -537,10 +622,12 @@ class BinaryGibbsEnsemble:
 
     def run_block(self, state, n_steps, drift_tol=None):
         att0, acc0 = state.att, state.acc
+        e_start = state.energy
         state = self.run_steps(state, n_steps)
         self._check_ewald(np.asarray(jnp.max(state.box))[None])
         e, sf = self.full_energy(state)
-        scale = jnp.maximum(jnp.abs(e), 1.0)
+        # both-endpoint drift scale (see mc/gcmc_mol.MolGCMC.run_block)
+        scale = jnp.maximum(jnp.maximum(jnp.abs(e), jnp.abs(e_start)), 1.0)
         drift = jnp.max(jnp.abs(e - state.energy) / scale)
         sfac_err = jnp.max(jnp.abs(sf - state.sfac))
         n0 = jnp.sum(state.active0, axis=2)          # (C, 2)

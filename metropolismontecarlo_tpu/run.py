@@ -402,7 +402,8 @@ def _run_gibbs(cfg, system, params, dtype, args):
         g = BinaryGibbsEnsemble(
             system, params, dv_max=float(ens.get("dv_max", 0.03)),
             p_transfer=float(ens.get("p_transfer", 0.3)), dtype=dtype,
-            n_orient=int(ens.get("n_orient", 1)))
+            n_orient=int(ens.get("n_orient", 1)),
+            mega=ens.get("mega"))
         state = g.init(jax.random.PRNGKey(int(run_cfg.get("seed", 0))),
                        boxes=tuple(float(b) for b in ens["boxes"]),
                        n_init=[[int(n) for n in row]

@@ -237,3 +237,32 @@ def test_gibbs_binary_guards():
     with pytest.raises(ValueError, match="2 species, 2 boxes"):
         g.init(jax.random.PRNGKey(0), boxes=(5.0, 5.0), n_init=[4, 4],
                n_chains=2)
+
+
+def test_gibbs_binary_mega_kernel_drift_and_bookkeeping():
+    """mega="interpret" on the two-box two-species ensemble: boxes fold
+    over the chain axis, species blocks run one kernel call each;
+    carried per-box energies/structure factors stay consistent with
+    the dense recompute through kernel sweeps + jnp transfer/volume
+    cycles, and per-species total N is conserved."""
+    from metropolismontecarlo_tpu.ops.ewald import tune_parameters
+    from tests.test_gcmc_binary import water_two_blocks as w2b
+
+    kappa_l, nk, ksq = tune_parameters(12.0, 4.5, 5e-3)
+    params = RunParams(strict_min_image=False, temperature=700.0,
+                       r_cut=4.5, cutoff_mode="site", coulomb="ewald",
+                       use_lrc=False, p_translate=0.5, dr_max=0.3,
+                       dphi_max=0.3, p_volume=0.02, kappa_L=kappa_l,
+                       nk=nk, ksq_max=ksq)
+    g = BinaryGibbsEnsemble(w2b(6, 6), params, dv_max=0.02,
+                            p_transfer=0.4, dtype=jnp.float32,
+                            mega="interpret")
+    st = g.init(jax.random.PRNGKey(6), boxes=(10.0, 12.0),
+                n_init=[[4, 2], [2, 4]], n_chains=2)
+    for _ in range(2):
+        st, stats = g.run_block(st, 56, drift_tol=2e-3)
+        assert stats["sfac_err_max"] < 1e-4, stats
+    assert int(np.sum(np.asarray(st.att[:, 0]))) > 0
+    assert int(np.sum(np.asarray(st.att[:, 3:]))) > 0
+    assert (np.asarray(st.active0.sum(axis=(1, 2))) == 6).all()
+    assert (np.asarray(st.active1.sum(axis=(1, 2))) == 6).all()
