@@ -64,7 +64,7 @@ class SemigrandState(NamedTuple):
 
 
 def make_semigrand(system, params, fugacity_ratio, p_flip=0.3,
-                   dtype=jnp.float64, chunk=8, n_orient=1):
+                   dtype=jnp.float64, chunk=8, n_orient=1, mega=None):
     """Build the semigrand step/energy functions.
 
     system: a System with EXACTLY two species blocks (A then B), each
@@ -72,6 +72,11 @@ def make_semigrand(system, params, fugacity_ratio, p_flip=0.3,
     each be >= the fixed total molecule count chosen at init.
     fugacity_ratio: xi = f_B/f_A.  Returns (init, run_steps,
     full_energy) shaped as the other ensemble apps.
+
+    mega (True or "interpret"): displacement/rotation sweeps through
+    the activity-masked whole-sweep kernel (one call per species
+    block), identity flips on the jnp path (recursive p_flip=1 build).
+    Same composition contract as mc/gcmc_mol; requires dtype=float32.
     """
     slices = system.species_slices
     if len(slices) != 2:
@@ -186,39 +191,50 @@ def make_semigrand(system, params, fugacity_ratio, p_flip=0.3,
         else:
             cf = None
 
-        # --- displacement / rotation (both species, where-select) -------
-        disp = (jax.random.uniform(k_pos, (3,), dtype) - 0.5) \
-            * params.dr_max
-        com_new = jnp.where(mt == 0, (com_i + disp) % box, com_i)
-        quat_new = jnp.where(mt == 1,
-                             random_rotate_quaternion(k_rot, quat_i,
-                                                      params.dphi_max),
-                             quat_i)
-
-        def species_pair(ev_s):
+        # --- old pose per species (the flip source needs these even in
+        # flip-only builds) ----------------------------------------------
+        def species_old(ev_s):
             ra_o = ev_s.pose_atoms(com_i, quat_i)
             e_o, _ = ev_s.pair_energy(com_i, ra_o, coords, com, box,
                                       a_ok, idx)
-            ra_n = ev_s.pose_atoms(com_new, quat_new)
-            e_n, ovr_n = ev_s.pair_energy(com_new, ra_n, coords, com,
-                                          box, a_ok, idx)
-            if use_ewald:
-                s_o = ev_s.pose_sfac(ra_o, box)
-                s_n = ev_s.pose_sfac(ra_n, box)
-            else:
-                s_o = s_n = jnp.zeros((K, 2), dtype)
-            return ra_o, ra_n, e_o, e_n, ovr_n, s_o, s_n
+            s_o = ev_s.pose_sfac(ra_o, box) if use_ewald \
+                else jnp.zeros((K, 2), dtype)
+            return e_o, s_o
 
-        ra0_o, ra0_n, e0_o, e0_n, ovr0, s0_o, s0_n = species_pair(ev0)
-        ra1_o, ra1_n, e1_o, e1_n, ovr1, s1_o, s1_n = species_pair(ev1)
+        e0_o, s0_o = species_old(ev0)
+        e1_o, s1_o = species_old(ev1)
         e_old = jnp.where(is_a, e0_o, e1_o)
-        e_new = jnp.where(is_a, e0_n, e1_n)
-        ovr_new = jnp.where(is_a, ovr0, ovr1)
         s_old = jnp.where(is_a, s0_o, s1_o)
-        s_new = jnp.where(is_a, s0_n, s1_n)
-        d_move = ewald_ops.recip_energy_delta(sfac, s_new - s_old, cf) \
-            if use_ewald else jnp.zeros((), dtype)
-        du_move = e_new - e_old + d_move
+
+        # --- displacement / rotation (both species, where-select;
+        # statically skipped in flip-only builds — mega composition) -----
+        move_on = p_disp + p_rot > 0.0
+        if move_on:
+            disp = (jax.random.uniform(k_pos, (3,), dtype) - 0.5) \
+                * params.dr_max
+            com_new = jnp.where(mt == 0, (com_i + disp) % box, com_i)
+            quat_new = jnp.where(mt == 1,
+                                 random_rotate_quaternion(
+                                     k_rot, quat_i, params.dphi_max),
+                                 quat_i)
+
+            def species_new(ev_s):
+                ra_n = ev_s.pose_atoms(com_new, quat_new)
+                e_n, ovr_n = ev_s.pair_energy(com_new, ra_n, coords,
+                                              com, box, a_ok, idx)
+                s_n = ev_s.pose_sfac(ra_n, box) if use_ewald \
+                    else jnp.zeros((K, 2), dtype)
+                return ra_n, e_n, ovr_n, s_n
+
+            ra0_n, e0_n, ovr0, s0_n = species_new(ev0)
+            ra1_n, e1_n, ovr1, s1_n = species_new(ev1)
+            e_new = jnp.where(is_a, e0_n, e1_n)
+            ovr_new = jnp.where(is_a, ovr0, ovr1)
+            s_new = jnp.where(is_a, s0_n, s1_n)
+            d_move = ewald_ops.recip_energy_delta(sfac, s_new - s_old,
+                                                  cf) \
+                if use_ewald else jnp.zeros((), dtype)
+            du_move = e_new - e_old + d_move
 
         # --- identity flip at the same COM -------------------------------
         # old identity: existing orientation + k-1 trials (excl = idx,
@@ -279,7 +295,10 @@ def make_semigrand(system, params, fugacity_ratio, p_flip=0.3,
         # --- acceptance ---------------------------------------------------
         u = jax.random.uniform(k_acc, dtype=dtype)
         ln_u = jnp.log(jnp.maximum(u, jnp.asarray(1e-300, dtype)))
-        ok_m = (mt <= 1) & ~ovr_new & (u < jnp.exp(-beta * du_move))
+        if move_on:
+            ok_m = (mt <= 1) & ~ovr_new & (u < jnp.exp(-beta * du_move))
+        else:
+            ok_m = jnp.asarray(False)
         ln_acc_f = jnp.where(is_a, ln_xi, -ln_xi) \
             + m_n + jnp.log(jnp.maximum(w_sum_n, 1e-300)) \
             - m_o - jnp.log(jnp.maximum(w_sum_o, 1e-300)) \
@@ -287,12 +306,14 @@ def make_semigrand(system, params, fugacity_ratio, p_flip=0.3,
         ok_f = (mt == 2) & room & (w_sum_n > 0.0) & (ln_u < ln_acc_f)
 
         # --- apply ---------------------------------------------------------
-        com = com.at[idx].set(jnp.where(ok_m, com_new, com[idx]))
-        quat = quat.at[idx].set(jnp.where(ok_m, quat_new, quat[idx]))
-        m_in_a = jnp.clip(idx, 0, cap_a - 1)
-        m_in_b = jnp.clip(idx - cap_a, 0, cap_b - 1)
-        coords = write_pose0(coords, m_in_a, ra0_n, ok_m & is_a)
-        coords = write_pose1(coords, m_in_b, ra1_n, ok_m & ~is_a)
+        if move_on:
+            com = com.at[idx].set(jnp.where(ok_m, com_new, com[idx]))
+            quat = quat.at[idx].set(jnp.where(ok_m, quat_new,
+                                              quat[idx]))
+            m_in_a = jnp.clip(idx, 0, cap_a - 1)
+            m_in_b = jnp.clip(idx - cap_a, 0, cap_b - 1)
+            coords = write_pose0(coords, m_in_a, ra0_n, ok_m & is_a)
+            coords = write_pose1(coords, m_in_b, ra1_n, ok_m & ~is_a)
         # flip: move to tgt slot at the same COM, new orientation
         com = com.at[tgt].set(jnp.where(ok_f, com_i, com[tgt]))
         quat = quat.at[tgt].set(jnp.where(ok_f, quat_flip, quat[tgt]))
@@ -304,11 +325,13 @@ def make_semigrand(system, params, fugacity_ratio, p_flip=0.3,
         coords = write_pose0(coords, t_in_a, ra_f0, ok_f & ~is_a)
         active = active.at[tgt].set(ok_f | active[tgt])
         active = active.at[idx].set(active[idx] & ~ok_f)
-        w_m = jnp.where(ok_m, 1.0, 0.0)
         w_f = jnp.where(ok_f, 1.0, 0.0)
-        sfac = sfac + w_m * (s_new - s_old) + w_f * (s_flip - s_old)
-        e = e + jnp.where(ok_m, du_move, 0.0) \
-            + jnp.where(ok_f, du_flip, 0.0)
+        sfac = sfac + w_f * (s_flip - s_old)
+        e = e + jnp.where(ok_f, du_flip, 0.0)
+        if move_on:
+            w_m = jnp.where(ok_m, 1.0, 0.0)
+            sfac = sfac + w_m * (s_new - s_old)
+            e = e + jnp.where(ok_m, du_move, 0.0)
         a_row = jnp.stack([ok_m & (mt == 0), ok_m & (mt == 1),
                            ok_f & is_a, ok_f & ~is_a]).astype(jnp.int32)
         t_row = jnp.stack([mt == 0, mt == 1, (mt == 2) & is_a,
@@ -365,6 +388,52 @@ def make_semigrand(system, params, fugacity_ratio, p_flip=0.3,
             state.sfac, state.energy, state.key, state.acc, state.att,
             n_steps)
         return SemigrandState(*out)
+
+    if mega:
+        if dtype != jnp.float32:
+            raise ValueError("mega semigrand requires dtype=float32 "
+                             "(the whole-sweep kernel is f32)")
+        if px >= 1.0:
+            raise ValueError("mega semigrand needs p_flip < 1")
+        from metropolismontecarlo_tpu.mc.moves import make_mega_sweep_fn
+
+        sweep_act = make_mega_sweep_fn(
+            system, params, kv, kw, interpret=(mega == "interpret"),
+            with_activity=True)
+        if px > 0.0:
+            run_x = make_semigrand(system, params, fugacity_ratio, 1.0,
+                                   dtype, chunk, n_orient)[1]
+            x_per = max(1, int(round(M * px / (1.0 - px))))
+        else:
+            run_x, x_per = None, 0
+
+        def _sweep_state(state):
+            keys2 = jax.vmap(jax.random.split)(state.key)
+            knext, sub = keys2[:, 0], keys2[:, 1]
+            ck = jax.lax.bitcast_convert_type(sub[:, 0], jnp.int32)
+            com, quat, coords, sfac, d_e, acc2, att2 = sweep_act(
+                state.com, state.quat, state.coords, state.active,
+                state.box, state.sfac, ck, jnp.zeros((), jnp.int32))
+            pad = ((0, 0), (0, 2))   # [trans, rot] -> + flipA, flipB
+            return state._replace(
+                com=com, quat=quat, coords=coords,
+                sfac=sfac if use_ewald else state.sfac,
+                energy=state.energy + d_e, key=knext,
+                acc=state.acc + jnp.pad(acc2.astype(jnp.int32), pad),
+                att=state.att + jnp.pad(att2.astype(jnp.int32), pad))
+
+        @partial(jax.jit, static_argnums=1)
+        def run_steps(state, n_steps):   # noqa: F811
+            n_cyc = max(1, int(round(n_steps / (M + x_per))))
+
+            def cycle(st, _):
+                st = _sweep_state(st)
+                if run_x is not None:
+                    st = run_x(st, x_per)
+                return st, None
+
+            state, _ = jax.lax.scan(cycle, state, None, length=n_cyc)
+            return state
 
     def init(key, box, n_a, n_b, n_chains):
         """n_a + n_b molecules total (conserved); requires n_a + n_b <=
@@ -435,11 +504,11 @@ class Semigrand:
     """
 
     def __init__(self, system, params, fugacity_ratio, p_flip=0.3,
-                 dtype=jnp.float64, chunk=8, n_orient=1):
+                 dtype=jnp.float64, chunk=8, n_orient=1, mega=None):
         self.params = params
         self._init, self.run_steps, self.full_energy = make_semigrand(
             system, params, fugacity_ratio, p_flip, dtype, chunk,
-            n_orient)
+            n_orient, mega=mega)
         self.cap_a = system.species_slices[0][2] \
             - system.species_slices[0][1]
 
@@ -448,9 +517,12 @@ class Semigrand:
 
     def run_block(self, state, n_steps, drift_tol=None):
         att0, acc0 = state.att, state.acc
+        e_start = state.energy
         state = self.run_steps(state, n_steps)
         e, sf = self.full_energy(state)
-        scale = jnp.maximum(jnp.abs(e), 1.0)
+        # both-endpoint drift scale (see mc/gcmc_mol.MolGCMC.run_block)
+        scale = jnp.maximum(jnp.maximum(jnp.abs(e), jnp.abs(e_start)),
+                            1.0)
         drift = jnp.max(jnp.abs(e - state.energy) / scale)
         sfac_err = jnp.max(jnp.abs(sf - state.sfac))
         n_b = jnp.sum(state.active[:, self.cap_a:], axis=1)

@@ -338,7 +338,8 @@ def _run_semigrand(cfg, system, params, dtype, args):
     g = Semigrand(system, params,
                   fugacity_ratio=float(ens["fugacity_ratio"]),
                   p_flip=float(ens.get("p_flip", 0.3)), dtype=dtype,
-                  n_orient=int(ens.get("n_orient", 1)))
+                  n_orient=int(ens.get("n_orient", 1)),
+                  mega=ens.get("mega"))
     state = g.init(jax.random.PRNGKey(int(run_cfg.get("seed", 0))),
                    box=float(ens["box"]), n_a=int(ens["n_a"]),
                    n_b=int(ens["n_b"]),

@@ -3,6 +3,7 @@ composition statistics — ideal AND fully interacting identical species —
 plus the Ewald drift invariant through flips."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -127,3 +128,24 @@ def test_semigrand_validation_guards():
     g = Semigrand(water_two_blocks(8, 8), params, fugacity_ratio=1.0)
     with pytest.raises(ValueError, match="capacity"):
         g.init(jax.random.PRNGKey(0), box=12.0, n_a=6, n_b=6, n_chains=2)
+
+
+def test_semigrand_mega_kernel_drift_and_bookkeeping():
+    """mega="interpret": displacement/rotation sweeps through the
+    species-blocked activity-masked kernel, identity flips on the jnp
+    path; carried energy/sfac vs dense recompute, total N conserved."""
+    sys2 = water_two_blocks(8, 8)
+    params = RunParams(temperature=700.0, r_cut=4.5, cutoff_mode="site",
+                       coulomb="ewald", nk=3, ksq_max=9, p_translate=0.5,
+                       dr_max=0.3, dphi_max=0.3, use_lrc=False,
+                       strict_min_image=False)
+    g = Semigrand(sys2, params, fugacity_ratio=2.0, p_flip=0.3,
+                  dtype=jnp.float32, mega="interpret")
+    st = g.init(jax.random.PRNGKey(0), box=10.0, n_a=5, n_b=3,
+                n_chains=2)
+    for _ in range(2):
+        st, stats = g.run_block(st, 44, drift_tol=2e-3)
+        assert stats["sfac_err_max"] < 1e-4, stats
+    assert int(np.sum(np.asarray(st.att[:, 0]))) > 0
+    assert int(np.sum(np.asarray(st.att[:, 2:]))) > 0
+    assert (np.asarray(st.active.sum(axis=1)) == 8).all()
