@@ -64,13 +64,19 @@ class OsmoticState(NamedTuple):
 
 
 def make_gcmc_osmotic(system, params, activity, p_exchange=0.3,
-                      dtype=jnp.float64, chunk=8, n_orient=1):
+                      dtype=jnp.float64, chunk=8, n_orient=1, mega=None):
     """Build the osmotic-ensemble step/energy functions.
 
     system: a System with EXACTLY two species blocks — (solvent, count
     Ns) then (solute, capacity) — each internally uniform (one
     body/charge/type template per block, the from_topology convention).
     Returns (init, run_steps, full_energy) shaped as in gcmc_mol.
+
+    mega (True or "interpret"): displacement/rotation sweeps (solvent
+    AND solutes) through the species-blocked activity-masked kernel —
+    solvent columns always active — with solute exchanges on the jnp
+    path (recursive p_exchange=1 build).  Same composition contract as
+    mc/gcmc_mol; requires dtype=float32.
     """
     slices = system.species_slices
     if len(slices) != 2:
@@ -200,39 +206,45 @@ def make_gcmc_osmotic(system, params, activity, p_exchange=0.3,
         else:
             cf = None
 
-        # --- old/new pose energies for BOTH species, where-selected ----
-        disp = (jax.random.uniform(k_pos, (3,), dtype) - 0.5) \
-            * params.dr_max
-        com_new = jnp.where(mt == 0, (com_i + disp) % box, com_i)
-        quat_new = jnp.where(mt == 1,
-                             random_rotate_quaternion(k_rot, quat_i,
-                                                      params.dphi_max),
-                             quat_i)
+        # --- old/new pose energies for BOTH species, where-selected
+        # (statically skipped in exchange-only builds — mega cycles) ----
+        move_on = p_disp + p_rot > 0.0
+        if move_on:
+            disp = (jax.random.uniform(k_pos, (3,), dtype) - 0.5) \
+                * params.dr_max
+            com_new = jnp.where(mt == 0, (com_i + disp) % box, com_i)
+            quat_new = jnp.where(mt == 1,
+                                 random_rotate_quaternion(
+                                     k_rot, quat_i, params.dphi_max),
+                                 quat_i)
 
-        def species_pair(ev_s):
-            ra_o = ev_s.pose_atoms(com_i, quat_i)
-            e_o, _ = ev_s.pair_energy(com_i, ra_o, coords, com, box,
-                                      a_ok, idx)
-            ra_n = ev_s.pose_atoms(com_new, quat_new)
-            e_n, ovr_n = ev_s.pair_energy(com_new, ra_n, coords, com,
-                                          box, a_ok, idx)
-            if use_ewald:
-                s_o = ev_s.pose_sfac(ra_o, box)
-                s_n = ev_s.pose_sfac(ra_n, box)
-            else:
-                s_o = s_n = jnp.zeros((K, 2), dtype)
-            return ra_o, ra_n, e_o, e_n, ovr_n, s_o, s_n
+            def species_pair(ev_s):
+                ra_o = ev_s.pose_atoms(com_i, quat_i)
+                e_o, _ = ev_s.pair_energy(com_i, ra_o, coords, com, box,
+                                          a_ok, idx)
+                ra_n = ev_s.pose_atoms(com_new, quat_new)
+                e_n, ovr_n = ev_s.pair_energy(com_new, ra_n, coords,
+                                              com, box, a_ok, idx)
+                if use_ewald:
+                    s_o = ev_s.pose_sfac(ra_o, box)
+                    s_n = ev_s.pose_sfac(ra_n, box)
+                else:
+                    s_o = s_n = jnp.zeros((K, 2), dtype)
+                return ra_o, ra_n, e_o, e_n, ovr_n, s_o, s_n
 
-        ra0_o, ra0_n, e0_o, e0_n, ovr0, s0_o, s0_n = species_pair(ev0)
-        ra1_o, ra1_n, e1_o, e1_n, ovr1, s1_o, s1_n = species_pair(ev1)
-        e_old = jnp.where(is_solv, e0_o, e1_o)
-        e_new = jnp.where(is_solv, e0_n, e1_n)
-        ovr_new = jnp.where(is_solv, ovr0, ovr1)
-        s_old = jnp.where(is_solv, s0_o, s1_o)
-        s_new = jnp.where(is_solv, s0_n, s1_n)
-        d_move = ewald_ops.recip_energy_delta(sfac, s_new - s_old, cf) \
-            if use_ewald else jnp.zeros((), dtype)
-        du_move = e_new - e_old + d_move
+            ra0_o, ra0_n, e0_o, e0_n, ovr0, s0_o, s0_n = \
+                species_pair(ev0)
+            ra1_o, ra1_n, e1_o, e1_n, ovr1, s1_o, s1_n = \
+                species_pair(ev1)
+            e_old = jnp.where(is_solv, e0_o, e1_o)
+            e_new = jnp.where(is_solv, e0_n, e1_n)
+            ovr_new = jnp.where(is_solv, ovr0, ovr1)
+            s_old = jnp.where(is_solv, s0_o, s1_o)
+            s_new = jnp.where(is_solv, s0_n, s1_n)
+            d_move = ewald_ops.recip_energy_delta(sfac, s_new - s_old,
+                                                  cf) \
+                if use_ewald else jnp.zeros((), dtype)
+            du_move = e_new - e_old + d_move
 
         # --- solute insertion (k trial orientations) --------------------
         com_ins = jax.random.uniform(k_pos, (3,), dtype) * box
@@ -291,7 +303,11 @@ def make_gcmc_osmotic(system, params, activity, p_exchange=0.3,
         vol = box**3
         u = jax.random.uniform(k_acc, dtype=dtype)
         ln_u = jnp.log(jnp.maximum(u, jnp.asarray(1e-300, dtype)))
-        ok_m = (mt <= 1) & ~ovr_new & (u < jnp.exp(-beta * du_move))
+        if move_on:
+            ok_m = (mt <= 1) & ~ovr_new \
+                & (u < jnp.exp(-beta * du_move))
+        else:
+            ok_m = jnp.asarray(False)
         ln_acc_i = jnp.log(z * vol / (nf + 1.0)) + m_i \
             + jnp.log(jnp.maximum(w_sum_i, 1e-300)) - float(np.log(n_or)) \
             - beta * ec_ins
@@ -302,13 +318,17 @@ def make_gcmc_osmotic(system, params, activity, p_exchange=0.3,
         ok_d = (mt == 3) & (n_u > 0) & (ln_u < ln_acc_d)
 
         # --- apply ------------------------------------------------------
-        com = com.at[idx].set(jnp.where(ok_m, com_new, com[idx]))
-        quat = quat.at[idx].set(jnp.where(ok_m, quat_new, quat[idx]))
-        # conditional writes per species width
-        a0_m0 = jnp.where(is_solv, a0_s + idx * P0, 0)
-        coords = write_pose(coords, a0_m0, P0, ra0_n, ok_m & is_solv)
-        a0_m1 = jnp.where(is_solv, 0, solute_a0(idx - ns))
-        coords = write_pose(coords, a0_m1, P1, ra1_n, ok_m & ~is_solv)
+        if move_on:
+            com = com.at[idx].set(jnp.where(ok_m, com_new, com[idx]))
+            quat = quat.at[idx].set(jnp.where(ok_m, quat_new,
+                                              quat[idx]))
+            # conditional writes per species width
+            a0_m0 = jnp.where(is_solv, a0_s + idx * P0, 0)
+            coords = write_pose(coords, a0_m0, P0, ra0_n,
+                                ok_m & is_solv)
+            a0_m1 = jnp.where(is_solv, 0, solute_a0(idx - ns))
+            coords = write_pose(coords, a0_m1, P1, ra1_n,
+                                ok_m & ~is_solv)
         com = com.at[ns + slot].set(jnp.where(ok_i, com_ins,
                                               com[ns + slot]))
         quat = quat.at[ns + slot].set(jnp.where(ok_i, quat_ins,
@@ -316,13 +336,14 @@ def make_gcmc_osmotic(system, params, activity, p_exchange=0.3,
         coords = write_pose(coords, solute_a0(slot), P1, ra_ins, ok_i)
         active = active.at[slot].set(ok_i | active[slot])
         active = active.at[slot_del].set(active[slot_del] & ~ok_d)
-        w_m = jnp.where(ok_m, 1.0, 0.0)
-        sfac = sfac + w_m * (s_new - s_old) \
-            + jnp.where(ok_i, 1.0, 0.0) * s_ins \
+        sfac = sfac + jnp.where(ok_i, 1.0, 0.0) * s_ins \
             - jnp.where(ok_d, 1.0, 0.0) * s_d
-        e = e + jnp.where(ok_m, du_move, 0.0) \
-            + jnp.where(ok_i, du_ins, 0.0) \
+        e = e + jnp.where(ok_i, du_ins, 0.0) \
             + jnp.where(ok_d, du_del, 0.0)
+        if move_on:
+            w_m = jnp.where(ok_m, 1.0, 0.0)
+            sfac = sfac + w_m * (s_new - s_old)
+            e = e + jnp.where(ok_m, du_move, 0.0)
         a_row = jnp.stack([ok_m & (mt == 0), ok_m & (mt == 1),
                            ok_i, ok_d]).astype(jnp.int32)
         t_row = (jnp.arange(4) == mt).astype(jnp.int32)
@@ -380,6 +401,55 @@ def make_gcmc_osmotic(system, params, activity, p_exchange=0.3,
             n_steps)
         return OsmoticState(*out)
 
+    if mega:
+        if dtype != jnp.float32:
+            raise ValueError("mega osmotic GCMC requires dtype=float32 "
+                             "(the whole-sweep kernel is f32)")
+        if px >= 1.0:
+            raise ValueError("mega osmotic GCMC needs p_exchange < 1")
+        from metropolismontecarlo_tpu.mc.moves import make_mega_sweep_fn
+
+        sweep_act = make_mega_sweep_fn(
+            system, params, kv, kw, interpret=(mega == "interpret"),
+            with_activity=True)
+        if px > 0.0:
+            run_x = make_gcmc_osmotic(system, params, activity, 1.0,
+                                      dtype, chunk, n_orient)[1]
+            x_per = max(1, int(round(M * px / (1.0 - px))))
+        else:
+            run_x, x_per = None, 0
+
+        def _sweep_state(state):
+            C = state.com.shape[0]
+            keys2 = jax.vmap(jax.random.split)(state.key)
+            knext, sub = keys2[:, 0], keys2[:, 1]
+            ck = jax.lax.bitcast_convert_type(sub[:, 0], jnp.int32)
+            act_full = jnp.concatenate(
+                [jnp.ones((C, ns), bool), state.active], axis=1)
+            com, quat, coords, sfac, d_e, acc2, att2 = sweep_act(
+                state.com, state.quat, state.coords, act_full,
+                state.box, state.sfac, ck, jnp.zeros((), jnp.int32))
+            pad = ((0, 0), (0, 2))
+            return state._replace(
+                com=com, quat=quat, coords=coords,
+                sfac=sfac if use_ewald else state.sfac,
+                energy=state.energy + d_e, key=knext,
+                acc=state.acc + jnp.pad(acc2.astype(jnp.int32), pad),
+                att=state.att + jnp.pad(att2.astype(jnp.int32), pad))
+
+        @partial(jax.jit, static_argnums=1)
+        def run_steps(state, n_steps):   # noqa: F811
+            n_cyc = max(1, int(round(n_steps / (M + x_per))))
+
+            def cycle(st, _):
+                st = _sweep_state(st)
+                if run_x is not None:
+                    st = run_x(st, x_per)
+                return st, None
+
+            state, _ = jax.lax.scan(cycle, state, None, length=n_cyc)
+            return state
+
     def init(key, box, n_init, n_chains):
         """Lattice placement of ALL M = ns + cap molecule sites; the
         first n_init solute slots start active."""
@@ -431,10 +501,11 @@ class OsmoticGCMC:
     """
 
     def __init__(self, system, params, activity, p_exchange=0.3,
-                 dtype=jnp.float64, chunk=8, n_orient=1):
+                 dtype=jnp.float64, chunk=8, n_orient=1, mega=None):
         self.params = params
         self._init, self.run_steps, self.full_energy = make_gcmc_osmotic(
-            system, params, activity, p_exchange, dtype, chunk, n_orient)
+            system, params, activity, p_exchange, dtype, chunk, n_orient,
+            mega=mega)
         self.capacity = system.species_slices[1][2] \
             - system.species_slices[1][1]
         self.n_solvent = system.species_slices[0][2] \
@@ -457,9 +528,12 @@ class OsmoticGCMC:
 
     def run_block(self, state, n_steps, drift_tol=None):
         att0, acc0 = state.att, state.acc
+        e_start = state.energy
         state = self.run_steps(state, n_steps)
         e, sf = self.full_energy(state)
-        scale = jnp.maximum(jnp.abs(e), 1.0)
+        # both-endpoint drift scale (see mc/gcmc_mol.MolGCMC.run_block)
+        scale = jnp.maximum(jnp.maximum(jnp.abs(e), jnp.abs(e_start)),
+                            1.0)
         drift = jnp.max(jnp.abs(e - state.energy) / scale)
         sfac_err = jnp.max(jnp.abs(sf - state.sfac))
         n = jnp.sum(state.active, axis=1)

@@ -131,7 +131,8 @@ def _run_gcmc(cfg, system, params, dtype, args):
                              "does not support cavity bias yet")
         g = OsmoticGCMC(system, params, activity=float(ens["activity"]),
                         p_exchange=float(ens.get("p_exchange", 0.3)),
-                        dtype=dtype, n_orient=int(ens.get("n_orient", 1)))
+                        dtype=dtype, n_orient=int(ens.get("n_orient", 1)),
+                        mega=ens.get("mega"))
     elif system.atoms_per_mol > 1:
         from metropolismontecarlo_tpu.mc.gcmc_mol import MolGCMC
         if int(ens["capacity"]) != system.n_mol:
