@@ -88,10 +88,14 @@ def main():
     # estimate uncertainty from the last-half vs full-run difference
     eps, g_k = res["epsilon"], res["g_kirkwood"]
     half = abs(trace[len(trace) // 2][1] - eps)
-    # PASS requires landing INSIDE the quoted literature band (with a
-    # +-0.5 statistical margin), not just a sane order of magnitude —
-    # a PASS stamp outside its own band is worthless
-    ok = 67.5 < eps < 73.5 and half < 0.5 and worst_drift < 5e-5
+    # PASS requires (a) landing INSIDE the quoted literature band (with
+    # a +-0.5 statistical margin) — a PASS stamp outside its own band
+    # is worthless — and (b) no systematic climb across the production
+    # trace: the under-equilibrated runs' signature was a MONOTONE
+    # climb of ~+1 per 150 blocks (57.9->62.1, then 64.6->65.6), while
+    # a converged trace wobbles +-0.4 without net direction
+    climb = abs(trace[-1][1] - trace[0][1])
+    ok = 67.5 < eps < 73.5 and climb < 0.5 and worst_drift < 5e-5
     lines = [
         "SPC/E static dielectric constant (tinfoil BC)",
         f"device: {dev.device_kind}, backend: {jax.default_backend()}",
@@ -100,7 +104,8 @@ def main():
         f"equil/production: {EQUIL_BLOCKS}/{PROD_BLOCKS} blocks x "
         f"{SWEEPS_PER_BLOCK} sweeps, dipoles sampled once per block",
         f"samples: {res['n_samples']} (chains x blocks)",
-        f"epsilon = {eps:.1f}  (drift vs half-run {half:.1f})",
+        f"epsilon = {eps:.1f}  (half-run delta {half:.1f}, "
+        f"production-trace climb {climb:+.1f})",
         f"g_kirkwood = {g_k:.2f}",
         "literature: eps(SPC/E) ~ 68-73 tinfoil (Reddy-Berkowitz 71); "
         "g_K ~ 2.9-3.3",
