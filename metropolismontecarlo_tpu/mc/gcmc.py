@@ -120,8 +120,33 @@ def make_slot_lj(system, params, capacity, dtype):
     return site_energy, full_energy_one, nth_active
 
 
-def make_gcmc(system, params, activity, capacity, dtype=jnp.float64):
+def capacity_system(system, cap):
+    """A cap-molecule copy of a single-species system (the template
+    molecule broadcast to every slot) — the System the activity-masked
+    kernel sweeps over when the app's capacity differs from the model's
+    n_mol."""
+    import dataclasses
+
+    def rep(a):
+        a = np.asarray(a)
+        return np.broadcast_to(a[:1], (cap,) + a.shape[1:]).copy()
+
+    return dataclasses.replace(
+        system, n_mol=cap, body=rep(system.body),
+        masses=rep(system.masses), charges=rep(system.charges),
+        type_ids=rep(system.type_ids), species=None)
+
+
+def make_gcmc(system, params, activity, capacity, dtype=jnp.float64,
+              mega=None):
     """Build the muVT step/energy functions.
+
+    mega (True or "interpret"): displacement sweeps through the
+    activity-masked whole-sweep kernel on a capacity-sized copy of the
+    system (quaternions are identity rows for point particles);
+    insert/delete attempts stay on the jnp path (recursive
+    p_translate=0 build).  Same composition contract as
+    mc/gcmc_mol.make_gcmc_mol; requires dtype=float32.
 
     activity: scalar, or a (n_chains,) ACTIVITY LADDER — each chain
     samples its own muVT ensemble (the grand-canonical analog of the
@@ -165,10 +190,14 @@ def make_gcmc(system, params, activity, capacity, dtype=jnp.float64):
         idx = _nth_active(active, jnp.floor(u_sel * n).astype(jnp.int32))
         u_old = _site_energy(com, active, box, com[idx], idx)
 
-        # displacement proposal (reference +-dr/2 convention)
-        disp = (jax.random.uniform(k_pos, (3,), dtype) - 0.5) * params.dr_max
-        new_pos = (com[idx] + disp) % box
-        u_new = _site_energy(com, active, box, new_pos, idx)
+        # displacement proposal (reference +-dr/2 convention);
+        # statically skipped in exchange-only builds (mega composition)
+        move_on = p_t > 0.0
+        if move_on:
+            disp = (jax.random.uniform(k_pos, (3,), dtype) - 0.5) \
+                * params.dr_max
+            new_pos = (com[idx] + disp) % box
+            u_new = _site_energy(com, active, box, new_pos, idx)
 
         # insertion proposal at a uniform position, first free slot
         pos_i = jax.random.uniform(k_pos, (3,), dtype) * box
@@ -179,18 +208,23 @@ def make_gcmc(system, params, activity, capacity, dtype=jnp.float64):
         vol = box**3
         nf = n.astype(dtype)
         u = jax.random.uniform(k_acc, dtype=dtype)
-        ok_t = (mt == 0) & (n > 0) & (u < jnp.exp(-beta * (u_new - u_old)))
+        if move_on:
+            ok_t = (mt == 0) & (n > 0) \
+                & (u < jnp.exp(-beta * (u_new - u_old)))
+        else:
+            ok_t = jnp.asarray(False)
         ok_i = (mt == 1) & ~full & (
             u < z * vol / (nf + 1.0) * jnp.exp(-beta * u_ins))
         ok_d = (mt == 2) & (n > 0) & (
             u < nf / (z * vol) * jnp.exp(beta * u_old))
 
-        com = com.at[idx].set(jnp.where(ok_t, new_pos, com[idx]))
+        if move_on:
+            com = com.at[idx].set(jnp.where(ok_t, new_pos, com[idx]))
+            e = e + jnp.where(ok_t, u_new - u_old, 0.0)
         com = com.at[slot].set(jnp.where(ok_i, pos_i, com[slot]))
         active = active.at[slot].set(ok_i | active[slot])
         active = active.at[idx].set(active[idx] & ~ok_d)
-        e = e + jnp.where(ok_t, u_new - u_old, 0.0) \
-              + jnp.where(ok_i, u_ins, 0.0) \
+        e = e + jnp.where(ok_i, u_ins, 0.0) \
               + jnp.where(ok_d, -u_old, 0.0)
         a_row = jnp.stack([ok_t, ok_i, ok_d]).astype(jnp.int32)
         t_row = (jnp.arange(3) == mt).astype(jnp.int32)
@@ -218,6 +252,64 @@ def make_gcmc(system, params, activity, capacity, dtype=jnp.float64):
             state.acc, state.att, z_arr, n_steps)
         return GCMCState(out[0], out[1], out[2], out[3], out[4],
                          out[5], out[6])
+
+    if mega:
+        if dtype != jnp.float32:
+            raise ValueError("mega GCMC requires dtype=float32 (the "
+                             "whole-sweep kernel is f32)")
+        if p_t >= 1.0:
+            raise ValueError("mega GCMC needs p_translate < 1")
+        from metropolismontecarlo_tpu.mc.moves import make_mega_sweep_fn
+        import dataclasses as _dc
+
+        cap_sys = capacity_system(system, cap)
+        A_pad = cap_sys.n_atoms_padded
+        sweep_act = make_mega_sweep_fn(
+            cap_sys, params, None, None,
+            interpret=(mega == "interpret"), with_activity=True)
+        if p_t > 0.0:
+            _, run_x, _ = make_gcmc(
+                system, _dc.replace(params, p_translate=0.0), activity,
+                capacity, dtype)
+            x_per = max(1, int(round(cap * (1.0 - p_t) / p_t)))
+        else:
+            run_x, x_per = None, 0
+
+        def _sweep_state(state):
+            C = state.com.shape[0]
+            keys2 = jax.vmap(jax.random.split)(state.key)
+            knext, sub = keys2[:, 0], keys2[:, 1]
+            ck = jax.lax.bitcast_convert_type(sub[:, 0], jnp.int32)
+            quat_id = jnp.zeros((C, cap, 4), jnp.float32) \
+                .at[..., 0].set(1.0)
+            coords = jnp.swapaxes(state.com, 1, 2).astype(jnp.float32)
+            coords = jnp.pad(coords, ((0, 0), (0, 0),
+                                      (0, A_pad - cap)))
+            sfac = jnp.zeros((C, 1, 2), jnp.float32)
+            com, _, _, _, d_e, acc2, att2 = sweep_act(
+                state.com.astype(jnp.float32), quat_id, coords,
+                state.active, state.box.astype(jnp.float32), sfac,
+                ck, jnp.zeros((), jnp.int32))
+            pad = ((0, 0), (0, 2))   # [trans] -> + insert, delete cols
+            return state._replace(
+                com=com, energy=state.energy + d_e, key=knext,
+                acc=state.acc + jnp.pad(
+                    acc2[:, :1].astype(jnp.int32), pad),
+                att=state.att + jnp.pad(
+                    att2[:, :1].astype(jnp.int32), pad))
+
+        @partial(jax.jit, static_argnums=1)
+        def run_steps(state, n_steps):   # noqa: F811
+            n_cyc = max(1, int(round(n_steps / (cap + x_per))))
+
+            def cycle(st, _):
+                st = _sweep_state(st)
+                if run_x is not None:
+                    st = run_x(st, x_per)
+                return st, None
+
+            state, _ = jax.lax.scan(cycle, state, None, length=n_cyc)
+            return state
 
     def init(key, box, n_init, n_chains):
         if n_init > cap:
@@ -306,20 +398,23 @@ class GCMC:
     """
 
     def __init__(self, system, params, activity, capacity,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, mega=None):
         self.params = params
         self.capacity = int(capacity)
         self._init, self.run_steps, self.full_energy = make_gcmc(
-            system, params, activity, capacity, dtype)
+            system, params, activity, capacity, dtype, mega=mega)
 
     def init(self, key, box, n_init, n_chains):
         return self._init(key, box, n_init, n_chains)
 
     def run_block(self, state, n_steps, drift_tol=None):
         att0, acc0 = state.att, state.acc
+        e_start = state.energy
         state = self.run_steps(state, n_steps)
         e = self.full_energy(state)
-        scale = jnp.maximum(jnp.abs(e), 1.0)
+        # both-endpoint drift scale (see mc/gcmc_mol.MolGCMC.run_block)
+        scale = jnp.maximum(jnp.maximum(jnp.abs(e), jnp.abs(e_start)),
+                            1.0)
         drift = jnp.max(jnp.abs(e - state.energy) / scale)
         n = jnp.sum(state.active, axis=1)
         ratio = (state.acc - acc0) / jnp.maximum(state.att - att0, 1)

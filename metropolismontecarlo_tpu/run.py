@@ -154,7 +154,8 @@ def _run_gcmc(cfg, system, params, dtype, args):
                 "molecular (P > 1) GCMC; the monatomic app splits "
                 "moves by params.p_translate and needs no orientations")
         g = GCMC(system, params, activity=float(ens["activity"]),
-                 capacity=int(ens["capacity"]), dtype=dtype)
+                 capacity=int(ens["capacity"]), dtype=dtype,
+                 mega=ens.get("mega"))
     state = g.init(jax.random.PRNGKey(int(run_cfg.get("seed", 0))),
                    box=float(ens["box"]), n_init=int(ens["n_init"]),
                    n_chains=int(run_cfg.get("n_chains", 8)))
