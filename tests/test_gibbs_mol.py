@@ -252,3 +252,53 @@ def test_gibbs_mol_mega_requires_f32():
                        dr_max=0.3, dphi_max=0.3, strict_min_image=False)
     with pytest.raises(ValueError, match="float32"):
         MolGibbsEnsemble(spce_system(8), params, mega="interpret")
+
+
+def test_gibbs_mol_widom_works_ideal_bar_zero():
+    """Ideal rigid rotor: insertion and deletion works are exactly zero
+    in both boxes, so the two-sided BAR mu_ex is exactly zero and
+    beta*mu reduces to ln(rho) — the closed-form anchor for the BAR
+    mu-equality gate in docs/validation/run_gibbs_water.py."""
+    from metropolismontecarlo_tpu.mc.fep import bar_mu_ex
+
+    params = RunParams(strict_min_image=False, temperature=2.0,
+                       r_cut=2.0, cutoff_mode="site", coulomb="none",
+                       p_translate=0.7, dr_max=0.5, dphi_max=0.5,
+                       use_lrc=False, p_volume=0.0)
+    g = MolGibbsEnsemble(triatomic_system(16, eps=0.0), params,
+                         p_transfer=0.5)
+    st = g.init(jax.random.PRNGKey(0), boxes=(6.0, 8.0), n_init=(8, 4),
+                n_chains=3)
+    di, ov, dd = g.widom_works(st, jax.random.PRNGKey(1), 32, 32)
+    assert di.shape == (3, 2, 32) and dd.shape == (3, 2, 32)
+    assert np.allclose(np.asarray(di), 0.0) and not np.any(np.asarray(ov))
+    assert np.allclose(np.asarray(dd), 0.0)
+    assert bar_mu_ex(np.asarray(di[:, 0]), np.asarray(ov[:, 0]),
+                     -np.asarray(dd[:, 0]), 2.0) == pytest.approx(0.0,
+                                                                  abs=1e-12)
+
+
+def test_gibbs_mol_widom_works_matches_boltzmann():
+    """Interacting water: exp(-beta * du_insert) from widom_works must
+    average to the same per-box Boltzmann factor widom_boltzmann
+    computes (same key => same ghost poses), and deletion works must be
+    finite with the exchange constants folded in."""
+    from metropolismontecarlo_tpu.ops.ewald import tune_parameters
+
+    kl, nk, ksq = tune_parameters(13.0, 4.5, 1e-3)
+    params = RunParams(temperature=700.0, r_cut=4.5, cutoff_mode="site",
+                       coulomb="ewald", kappa_L=kl, nk=nk, ksq_max=ksq,
+                       use_lrc=False, p_translate=0.5, p_volume=0.0,
+                       dr_max=0.3, dphi_max=0.3, strict_min_image=False)
+    g = MolGibbsEnsemble(spce_system(8), params, p_transfer=0.3)
+    st = g.init(jax.random.PRNGKey(2), boxes=(11.0, 13.0), n_init=(6, 2),
+                n_chains=2)
+    key = jax.random.PRNGKey(3)
+    bw = np.asarray(g.widom_boltzmann(st, key, 16), np.float64)
+    di, ov, dd = g.widom_works(st, key, 16, 16)
+    beta = 1.0 / params.temperature
+    bw2 = np.mean(np.where(np.asarray(ov), 0.0,
+                           np.exp(-beta * np.asarray(di, np.float64))),
+                  axis=2)
+    np.testing.assert_allclose(bw2, bw, rtol=1e-5)
+    assert np.isfinite(np.asarray(dd)).all()
