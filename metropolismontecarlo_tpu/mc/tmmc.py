@@ -48,7 +48,8 @@ import numpy as np
 from metropolismontecarlo_tpu.mc.gcmc import GCMCState, make_slot_lj
 
 
-def make_tmmc(system, params, activity, capacity, dtype=jnp.float64):
+def make_tmmc(system, params, activity, capacity, dtype=jnp.float64,
+              mega=None):
     """Build the biased-muVT step functions with collection-matrix
     accumulation.
 
@@ -89,9 +90,14 @@ def make_tmmc(system, params, activity, capacity, dtype=jnp.float64):
         idx = nth_active(active, jnp.floor(u_sel * n).astype(jnp.int32))
         u_old = site_energy(com, active, box, com[idx], idx)
 
-        disp = (jax.random.uniform(k_pos, (3,), dtype) - 0.5) * params.dr_max
-        new_pos = (com[idx] + disp) % box
-        u_new = site_energy(com, active, box, new_pos, idx)
+        # statically skipped in exchange-only builds (mega composition);
+        # u_old stays — the deletion deposit needs it every step
+        move_on = p_t > 0.0
+        if move_on:
+            disp = (jax.random.uniform(k_pos, (3,), dtype) - 0.5) \
+                * params.dr_max
+            new_pos = (com[idx] + disp) % box
+            u_new = site_energy(com, active, box, new_pos, idx)
 
         pos_i = jax.random.uniform(k_pos, (3,), dtype) * box
         u_ins = site_energy(com, active, box, pos_i, -1)
@@ -116,16 +122,21 @@ def make_tmmc(system, params, activity, capacity, dtype=jnp.float64):
         deta_i = eta[jnp.minimum(n + 1, cap)] - eta_n
         deta_d = eta[jnp.maximum(n - 1, 0)] - eta_n
         u = jax.random.uniform(k_acc, dtype=dtype)
-        ok_t = (mt == 0) & (n > 0) & (u < jnp.exp(-beta * (u_new - u_old)))
+        if move_on:
+            ok_t = (mt == 0) & (n > 0) \
+                & (u < jnp.exp(-beta * (u_new - u_old)))
+        else:
+            ok_t = jnp.asarray(False)
         ok_i = (mt == 1) & ~full & (u < r_i * jnp.exp(deta_i))
         ok_d = (mt == 2) & (n > 0) & (u < r_d * jnp.exp(deta_d))
 
-        com = com.at[idx].set(jnp.where(ok_t, new_pos, com[idx]))
+        if move_on:
+            com = com.at[idx].set(jnp.where(ok_t, new_pos, com[idx]))
+            e = e + jnp.where(ok_t, u_new - u_old, 0.0)
         com = com.at[slot].set(jnp.where(ok_i, pos_i, com[slot]))
         active = active.at[slot].set(ok_i | active[slot])
         active = active.at[idx].set(active[idx] & ~ok_d)
-        e = e + jnp.where(ok_t, u_new - u_old, 0.0) \
-              + jnp.where(ok_i, u_ins, 0.0) \
+        e = e + jnp.where(ok_i, u_ins, 0.0) \
               + jnp.where(ok_d, -u_old, 0.0)
         a_row = jnp.stack([ok_t, ok_i, ok_d]).astype(jnp.int32)
         t_row = (jnp.arange(3) == mt).astype(jnp.int32)
@@ -177,6 +188,64 @@ def make_tmmc(system, params, activity, capacity, dtype=jnp.float64):
         new = GCMCState(out[0], out[1], out[2], out[3], out[4],
                         out[5], out[6])
         return new, out[7], out[8]
+
+    if mega:
+        if dtype != jnp.float32:
+            raise ValueError("mega TMMC requires dtype=float32 (the "
+                             "whole-sweep kernel is f32)")
+        if not (0.0 < p_t < 1.0):
+            raise ValueError("mega TMMC needs 0 < p_translate < 1")
+        import dataclasses as _dc
+        from metropolismontecarlo_tpu.mc.gcmc import capacity_system
+        from metropolismontecarlo_tpu.mc.moves import make_mega_sweep_fn
+
+        cap_sys = capacity_system(system, cap)
+        A_pad = cap_sys.n_atoms_padded
+        sweep_act = make_mega_sweep_fn(
+            cap_sys, params, None, None,
+            interpret=(mega == "interpret"), with_activity=True)
+        run_x = make_tmmc(system, _dc.replace(params, p_translate=0.0),
+                          activity, capacity, dtype)[1]
+        x_per = max(1, int(round(cap * (1.0 - p_t) / p_t)))
+
+        def _sweep_state(state):
+            C = state.com.shape[0]
+            keys2 = jax.vmap(jax.random.split)(state.key)
+            knext, sub = keys2[:, 0], keys2[:, 1]
+            ck = jax.lax.bitcast_convert_type(sub[:, 0], jnp.int32)
+            quat_id = jnp.zeros((C, cap, 4), jnp.float32) \
+                .at[..., 0].set(1.0)
+            coords = jnp.swapaxes(state.com, 1, 2).astype(jnp.float32)
+            coords = jnp.pad(coords, ((0, 0), (0, 0),
+                                      (0, A_pad - cap)))
+            sfac = jnp.zeros((C, 1, 2), jnp.float32)
+            com, _, _, _, d_e, acc2, att2 = sweep_act(
+                state.com.astype(jnp.float32), quat_id, coords,
+                state.active, state.box.astype(jnp.float32), sfac,
+                ck, jnp.zeros((), jnp.int32))
+            pad = ((0, 0), (0, 2))
+            return state._replace(
+                com=com, energy=state.energy + d_e, key=knext,
+                acc=state.acc + jnp.pad(
+                    acc2[:, :1].astype(jnp.int32), pad),
+                att=state.att + jnp.pad(
+                    att2[:, :1].astype(jnp.int32), pad))
+
+        @partial(jax.jit, static_argnums=2)
+        def run_steps(state, eta, n_steps):   # noqa: F811
+            n_cyc = max(1, int(round(n_steps / (cap + x_per))))
+            eta = jnp.asarray(eta, dtype)
+
+            def cycle(carry, _):
+                st, cmat, uhist = carry
+                st = _sweep_state(st)
+                st, cm, uh = run_x(st, eta, x_per)
+                return (st, cmat + cm, uhist + uh), None
+
+            zeros = jnp.zeros((state.com.shape[0], cap + 1, 3), dtype)
+            (state, cmat, uhist), _ = jax.lax.scan(
+                cycle, (state, zeros, zeros), None, length=n_cyc)
+            return state, cmat, uhist
 
     def init(key, box, n_init, n_chains):
         """n_init: scalar, or (n_chains,) per-chain STRATIFIED starts —
@@ -438,12 +507,12 @@ class TMMC:
     """
 
     def __init__(self, system, params, activity, capacity,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, mega=None):
         self.params = params
         self.activity = float(activity)
         self.capacity = int(capacity)
         self._init, self._run_steps, self.full_energy = make_tmmc(
-            system, params, activity, capacity, dtype)
+            system, params, activity, capacity, dtype, mega=mega)
         self.cmat = np.zeros((self.capacity + 1, 3), np.float64)
         self.uhist = np.zeros((self.capacity + 1, 3), np.float64)
         self.eta = np.zeros(self.capacity + 1, np.float64)

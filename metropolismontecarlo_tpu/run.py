@@ -252,7 +252,8 @@ def _run_tmmc(cfg, system, params, dtype, args):
                              "TMMC (monatomic lattice starts relax "
                              "within the first block)")
         t = TMMC(system, params, activity=float(ens["activity"]),
-                 capacity=int(ens["capacity"]), dtype=dtype)
+                 capacity=int(ens["capacity"]), dtype=dtype,
+                 mega=ens.get("mega"))
     n_init = ens["n_init"]
     if isinstance(n_init, (list, tuple)):
         lo, hi = n_init

@@ -280,3 +280,28 @@ def test_cli_tmmc_end_to_end(tmp_path):
 def test_empty_cmat_raises():
     with pytest.raises(ValueError, match="no measured transitions"):
         lnpi_from_cmat(np.zeros((10, 3)))
+
+
+def test_ideal_gas_lnpi_exact_mega():
+    """The mega composition (kernel displacement sweeps + jnp exchange
+    cycles) must leave the TM estimator exact for the ideal gas: the
+    deposits still happen only in exchange-only cycles whose p_x
+    constant cancels in every lnPi ratio.  f32 path: the ideal-gas
+    deposits are closed forms evaluated in f32, so the tolerance is
+    f32-rounding wide."""
+    import jax.numpy as jnp
+
+    box, z = 5.0, 0.08
+    params = _params()
+    t = TMMC(lj_system(1, eps=0.0), params, activity=z, capacity=48,
+             dtype=jnp.float32, mega="interpret")
+    st = t.init(jax.random.PRNGKey(0), box=box, n_init=10, n_chains=64)
+    for _ in range(6):
+        st, stats = t.run_block(st, 1500)
+    lnpi = t.lnpi()
+    fin = np.isfinite(lnpi)
+    exact = _ideal_lnpi(z * box**3, 48)
+    i0 = np.where(fin)[0][0]
+    d = (lnpi - lnpi[i0]) - (exact - exact[i0])
+    assert np.sum(fin) > 15
+    assert np.max(np.abs(d[fin])) < 1e-4, np.max(np.abs(d[fin]))
