@@ -53,11 +53,18 @@ class GibbsState(NamedTuple):
     att: jnp.ndarray       # (C, 3) attempted
 
 
-def make_gibbs(system, params, capacity, dv_max=0.05, dtype=jnp.float64):
+def make_gibbs(system, params, capacity, dv_max=0.05, dtype=jnp.float64,
+               mega=None):
     """Build the Gibbs-ensemble step/energy functions.
 
     dv_max: volume-transfer half-width as a fraction of TOTAL volume.
     Returns (init, run_steps, full_energy); see `GibbsEnsemble`.
+
+    mega (True or "interpret"): displacement sweeps through the
+    activity-masked kernel with the two boxes folded over the chain
+    axis (capacity-sized system copy, identity quaternions); transfers
+    + volume exchanges on the jnp path (recursive p_translate=0 build,
+    p_volume rescaled).  Requires dtype=float32.
     """
     beta = jnp.asarray(1.0 / params.temperature, dtype)
     p_t = float(params.p_translate)
@@ -98,12 +105,19 @@ def make_gibbs(system, params, capacity, dv_max=0.05, dtype=jnp.float64):
                            jnp.floor(u_sel * n[b]).astype(jnp.int32))
         u_old_b = site_energy(com[b], active[b], box[b], com[b, idx_b],
                               idx_b)
-        disp = (jax.random.uniform(k_pos, (3,), dtype) - 0.5) \
-            * params.dr_max
-        new_pos = (com[b, idx_b] + disp) % box[b]
-        u_new_b = site_energy(com[b], active[b], box[b], new_pos, idx_b)
-        ok_t = (mt == 0) & (n[b] > 0) \
-            & (u < jnp.exp(-beta * (u_new_b - u_old_b)))
+        # statically skipped in transfer-only builds (mega cycles);
+        # u_old_b stays — the transfer source term reuses it
+        move_on = p_disp > 0.0
+        if move_on:
+            disp = (jax.random.uniform(k_pos, (3,), dtype) - 0.5) \
+                * params.dr_max
+            new_pos = (com[b, idx_b] + disp) % box[b]
+            u_new_b = site_energy(com[b], active[b], box[b], new_pos,
+                                  idx_b)
+            ok_t = (mt == 0) & (n[b] > 0) \
+                & (u < jnp.exp(-beta * (u_new_b - u_old_b)))
+        else:
+            ok_t = jnp.asarray(False)
 
         # --- particle transfer s -> d -----------------------------------
         s = b                                                  # same bit
@@ -118,13 +132,14 @@ def make_gibbs(system, params, capacity, dv_max=0.05, dtype=jnp.float64):
         ok_x = (mt == 2) & (n[s] > 0) & (n[d] < cap) & (u < a_x)
 
         # --- apply (mutually exclusive branches) ------------------------
-        com = com.at[b, idx_b].set(jnp.where(ok_t, new_pos,
-                                             com[b, idx_b]))
+        if move_on:
+            com = com.at[b, idx_b].set(jnp.where(ok_t, new_pos,
+                                                 com[b, idx_b]))
+            e = e.at[b].add(jnp.where(ok_t, u_new_b - u_old_b, 0.0))
         com = com.at[d, slot_d].set(jnp.where(ok_x, pos_d,
                                               com[d, slot_d]))
         active = active.at[d, slot_d].set(ok_x | active[d, slot_d])
         active = active.at[s, idx_s].set(active[s, idx_s] & ~ok_x)
-        e = e.at[b].add(jnp.where(ok_t, u_new_b - u_old_b, 0.0))
         e = e.at[d].add(jnp.where(ok_x, u_in, 0.0))
         e = e.at[s].add(jnp.where(ok_x, -u_rm, 0.0))
 
@@ -198,6 +213,72 @@ def make_gibbs(system, params, capacity, dv_max=0.05, dtype=jnp.float64):
             state.acc, state.att, n_steps)
         return GibbsState(*out)
 
+    if mega:
+        if dtype != jnp.float32:
+            raise ValueError("mega Gibbs requires dtype=float32 (the "
+                             "whole-sweep kernel is f32)")
+        if not (0.0 < p_disp < 1.0):
+            raise ValueError("mega Gibbs needs 0 < p_translate < 1 - "
+                             "p_volume")
+        import dataclasses as _dc
+        from metropolismontecarlo_tpu.mc.gcmc import capacity_system
+        from metropolismontecarlo_tpu.mc.moves import make_mega_sweep_fn
+
+        cap_sys = capacity_system(system, cap)
+        A_pad = cap_sys.n_atoms_padded
+        sweep_act = make_mega_sweep_fn(
+            cap_sys, params, None, None,
+            interpret=(mega == "interpret"), with_activity=True)
+        x_per = max(1, int(round(2 * cap * (1.0 - p_disp) / p_disp)))
+        if p_v > 0:
+            p_v_x = min(1.0, p_v * (2 * cap + x_per) / x_per)
+        else:
+            p_v_x = 0.0
+        run_x = make_gibbs(system,
+                           _dc.replace(params, p_translate=0.0,
+                                       p_volume=p_v_x),
+                           capacity, dv_max, dtype)[1]
+
+        def _sweep_state(state):
+            C = state.com.shape[0]
+            keys3 = jax.vmap(lambda k: jax.random.split(k, 3))(state.key)
+            knext = keys3[:, 0]
+            ck = jax.lax.bitcast_convert_type(
+                keys3[:, 1:, 0], jnp.int32).reshape(2 * C)
+            quat_id = jnp.zeros((2 * C, cap, 4), jnp.float32) \
+                .at[..., 0].set(1.0)
+            com2 = state.com.reshape(2 * C, cap, 3).astype(jnp.float32)
+            coords = jnp.swapaxes(com2, 1, 2)
+            coords = jnp.pad(coords, ((0, 0), (0, 0),
+                                      (0, A_pad - cap)))
+            sfac = jnp.zeros((2 * C, 1, 2), jnp.float32)
+            com, _, _, _, d_e, acc2, att2 = sweep_act(
+                com2, quat_id, coords, state.active.reshape(2 * C, cap),
+                state.box.reshape(2 * C).astype(jnp.float32), sfac,
+                ck, jnp.zeros((), jnp.int32))
+            pad = ((0, 0), (0, 2))     # [disp] -> + volume, transfer
+            return state._replace(
+                com=com.reshape(C, 2, cap, 3),
+                energy=state.energy + d_e.reshape(C, 2), key=knext,
+                acc=state.acc + jnp.pad(
+                    acc2.reshape(C, 2, 2).sum(1)[:, :1]
+                    .astype(jnp.int32), pad),
+                att=state.att + jnp.pad(
+                    att2.reshape(C, 2, 2).sum(1)[:, :1]
+                    .astype(jnp.int32), pad))
+
+        @partial(jax.jit, static_argnums=1)
+        def run_steps(state, n_steps):   # noqa: F811
+            n_cyc = max(1, int(round(n_steps / (2 * cap + x_per))))
+
+            def cycle(st, _):
+                st = _sweep_state(st)
+                st = run_x(st, x_per)
+                return st, None
+
+            state, _ = jax.lax.scan(cycle, state, None, length=n_cyc)
+            return state
+
     def init(key, boxes, n_init, n_chains):
         """boxes (2,) edge lengths; n_init (2,) actives per box."""
         from metropolismontecarlo_tpu.io.configs import cubic_lattice
@@ -248,21 +329,24 @@ class GibbsEnsemble:
     """
 
     def __init__(self, system, params, capacity, dv_max=0.05,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, mega=None):
         self.params = params
         self.capacity = int(capacity)
         (self._init, self.run_steps, self.full_energy,
          self.widom_boltzmann) = make_gibbs(system, params, capacity,
-                                            dv_max, dtype)
+                                            dv_max, dtype, mega=mega)
 
     def init(self, key, boxes, n_init, n_chains):
         return self._init(key, boxes, n_init, n_chains)
 
     def run_block(self, state, n_steps, drift_tol=None):
         att0, acc0 = state.att, state.acc
+        e_start = state.energy
         state = self.run_steps(state, n_steps)
         e = self.full_energy(state)
-        scale = jnp.maximum(jnp.abs(e), 1.0)
+        # both-endpoint drift scale (see mc/gcmc_mol.MolGCMC.run_block)
+        scale = jnp.maximum(jnp.maximum(jnp.abs(e), jnp.abs(e_start)),
+                            1.0)
         drift = jnp.max(jnp.abs(e - state.energy) / scale)
         n = jnp.sum(state.active, axis=2)                    # (C, 2)
         rho = n / state.box**3

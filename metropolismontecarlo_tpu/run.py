@@ -436,7 +436,7 @@ def _run_gibbs(cfg, system, params, dtype, args):
                 "moves by params.p_translate and needs no orientations")
         g = GibbsEnsemble(system, params, capacity=int(ens["capacity"]),
                           dv_max=float(ens.get("dv_max", 0.03)),
-                          dtype=dtype)
+                          dtype=dtype, mega=ens.get("mega"))
     if not binary:
         state = g.init(jax.random.PRNGKey(int(run_cfg.get("seed", 0))),
                        boxes=tuple(float(b) for b in ens["boxes"]),
