@@ -106,14 +106,20 @@ def _setup(config, n_chains):
 
 
 def _setup_muvt(config, n_chains):
-    """Molecular muVT water through the activity-masked mega kernel
-    (gcmc) or its TMMC flat-histogram variant (tmmc).  One timed unit =
-    one CYCLE: cap kernel displacement/rotation attempts + x_per jnp
-    exchange attempts; sweep-equivalents = (cap + x_per) / cap per
-    cycle, so the number is comparable to the NVT sweeps/s records."""
+    """Molecular muVT water through the mega kernel (gcmc) or its TMMC
+    flat-histogram variant (tmmc).  One timed unit = one CYCLE of cap
+    displacement/rotation attempts + x_per exchange attempts;
+    sweep-equivalents = (cap + x_per) / cap per cycle, so the number is
+    comparable to the NVT sweeps/s records.  BENCH_MEGA selects the
+    composition: "full" (default; exchanges run IN-KERNEL —
+    ops/pallas/sweep_kernel.py n_exch, validated by
+    docs/validation/gcmc_kernel_exchange.txt) or "hybrid" (kernel
+    sweeps + the jnp exchange scan, the round-2 path)."""
     from metropolismontecarlo_tpu.mc.gcmc_mol import make_gcmc_mol
     from metropolismontecarlo_tpu.models.water import spce_system
 
+    mega_mode = os.environ.get("BENCH_MEGA", "full")
+    mega = {"full": "full", "hybrid": True}[mega_mode]
     cap, box, px = 128, 16.0, 0.3
     system = spce_system(cap)
     params = RunParams(temperature=500.0, r_cut=6.0, cutoff_mode="site",
@@ -123,14 +129,14 @@ def _setup_muvt(config, n_chains):
     tmmc = config == "tmmc"
     init, run_steps, _ = make_gcmc_mol(
         system, params, activity=2.2e-4, p_exchange=px,
-        dtype=jnp.float32, mega=True, tmmc=tmmc)
+        dtype=jnp.float32, mega=mega, tmmc=tmmc)
     state = init(jax.random.PRNGKey(0), box=box, n_init=cap // 2,
                  n_chains=n_chains)
     x_per = max(1, int(round(cap * px / (1.0 - px))))
     sweeps_per_cycle = (cap + x_per) / cap
     attempts_per_cycle = cap + x_per
-    label = (f"SPC/E muVT{' TMMC' if tmmc else ''} cap-{cap} mega-kernel, "
-             f"z=2.2e-4, p_exchange={px}")
+    label = (f"SPC/E muVT{' TMMC' if tmmc else ''} cap-{cap} "
+             f"{mega_mode}-mega-kernel, z=2.2e-4, p_exchange={px}")
 
     if tmmc:
         eta = jnp.zeros(cap + 1, jnp.float32)
@@ -179,7 +185,7 @@ def main():
     dt = time.perf_counter() - t0
 
     sweeps_per_sec = n_chains * n_steps * sweeps_per_unit / dt
-    print(json.dumps({
+    rec = {
         "metric": f"MC sweeps/sec/chip ({label}, {n_chains} chains, f32)",
         "value": round(sweeps_per_sec, 2),
         "unit": "sweeps/s",
@@ -190,7 +196,14 @@ def main():
         "dtype": "float32",
         "command": (f"BENCH_CONFIG={config} BENCH_CHAINS={n_chains} "
                     f"BENCH_STEPS={n_steps} python bench.py"),
-    }))
+    }
+    if config in ("gcmc", "tmmc"):
+        mega_mode = os.environ.get("BENCH_MEGA", "full")
+        rec["mega"] = mega_mode
+        rec["command"] = (f"BENCH_CONFIG={config} BENCH_MEGA={mega_mode} "
+                          f"BENCH_CHAINS={n_chains} BENCH_STEPS={n_steps} "
+                          "python bench.py")
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -257,59 +257,112 @@ def make_gcmc(system, params, activity, capacity, dtype=jnp.float64,
         if dtype != jnp.float32:
             raise ValueError("mega GCMC requires dtype=float32 (the "
                              "whole-sweep kernel is f32)")
+        if mega not in (True, "interpret", "full", "interpret_full"):
+            raise ValueError("mega must be True, 'interpret', 'full' or "
+                             f"'interpret_full': {mega!r}")
         if p_t >= 1.0:
             raise ValueError("mega GCMC needs p_translate < 1")
         from metropolismontecarlo_tpu.mc.moves import make_mega_sweep_fn
         import dataclasses as _dc
 
+        interp = mega in ("interpret", "interpret_full")
         cap_sys = capacity_system(system, cap)
         A_pad = cap_sys.n_atoms_padded
-        sweep_act = make_mega_sweep_fn(
-            cap_sys, params, None, None,
-            interpret=(mega == "interpret"), with_activity=True)
-        if p_t > 0.0:
-            _, run_x, _ = make_gcmc(
-                system, _dc.replace(params, p_translate=0.0), activity,
-                capacity, dtype)
+
+        if mega in ("full", "interpret_full"):
+            # in-kernel exchanges: one Pallas call per cycle executes
+            # [cap displacement moves + x_per insertion/deletion
+            # attempts] — see mc/gcmc_mol.make_gcmc_mol(mega="full")
+            if p_t <= 0.0:
+                raise ValueError("mega='full' needs 0 < p_translate < 1")
             x_per = max(1, int(round(cap * (1.0 - p_t) / p_t)))
+            sweep_x = make_mega_sweep_fn(
+                cap_sys, params, None, None, interpret=interp,
+                with_activity=True, n_exch=x_per)
+
+            def _cycle_full(state):
+                C = state.com.shape[0]
+                keys2 = jax.vmap(jax.random.split)(state.key)
+                knext, sub = keys2[:, 0], keys2[:, 1]
+                ck = jax.lax.bitcast_convert_type(sub[:, 0], jnp.int32)
+                quat_id = jnp.zeros((C, cap, 4), jnp.float32) \
+                    .at[..., 0].set(1.0)
+                coords = jnp.swapaxes(state.com, 1, 2).astype(jnp.float32)
+                coords = jnp.pad(coords, ((0, 0), (0, 0),
+                                          (0, A_pad - cap)))
+                sfac = jnp.zeros((C, 1, 2), jnp.float32)
+                zeros = jnp.zeros((C,), jnp.float32)
+                zc = jnp.broadcast_to(z_arr.astype(jnp.float32), (C,))
+                com, _, _, active, _, d_e, acc4, att4 = sweep_x(
+                    state.com.astype(jnp.float32), quat_id, coords,
+                    state.active, state.box.astype(jnp.float32), sfac,
+                    ck, jnp.zeros((), jnp.int32), zc, zeros, zeros)
+                # acc4/att4 are [trans, rot, ins, del]; rot is empty
+                # for point particles — map to the (C, 3) counters
+                sel = jnp.asarray([0, 2, 3])
+                return state._replace(
+                    com=com, active=active,
+                    energy=state.energy + d_e, key=knext,
+                    acc=state.acc + acc4[:, sel].astype(jnp.int32),
+                    att=state.att + att4[:, sel].astype(jnp.int32))
+
+            @partial(jax.jit, static_argnums=1)
+            def run_steps(state, n_steps):   # noqa: F811
+                n_cyc = max(1, int(round(n_steps / (cap + x_per))))
+
+                def cycle(st, _):
+                    return _cycle_full(st), None
+
+                state, _ = jax.lax.scan(cycle, state, None, length=n_cyc)
+                return state
+
         else:
-            run_x, x_per = None, 0
+            sweep_act = make_mega_sweep_fn(
+                cap_sys, params, None, None,
+                interpret=interp, with_activity=True)
+            if p_t > 0.0:
+                _, run_x, _ = make_gcmc(
+                    system, _dc.replace(params, p_translate=0.0), activity,
+                    capacity, dtype)
+                x_per = max(1, int(round(cap * (1.0 - p_t) / p_t)))
+            else:
+                run_x, x_per = None, 0
 
-        def _sweep_state(state):
-            C = state.com.shape[0]
-            keys2 = jax.vmap(jax.random.split)(state.key)
-            knext, sub = keys2[:, 0], keys2[:, 1]
-            ck = jax.lax.bitcast_convert_type(sub[:, 0], jnp.int32)
-            quat_id = jnp.zeros((C, cap, 4), jnp.float32) \
-                .at[..., 0].set(1.0)
-            coords = jnp.swapaxes(state.com, 1, 2).astype(jnp.float32)
-            coords = jnp.pad(coords, ((0, 0), (0, 0),
-                                      (0, A_pad - cap)))
-            sfac = jnp.zeros((C, 1, 2), jnp.float32)
-            com, _, _, _, d_e, acc2, att2 = sweep_act(
-                state.com.astype(jnp.float32), quat_id, coords,
-                state.active, state.box.astype(jnp.float32), sfac,
-                ck, jnp.zeros((), jnp.int32))
-            pad = ((0, 0), (0, 2))   # [trans] -> + insert, delete cols
-            return state._replace(
-                com=com, energy=state.energy + d_e, key=knext,
-                acc=state.acc + jnp.pad(
-                    acc2[:, :1].astype(jnp.int32), pad),
-                att=state.att + jnp.pad(
-                    att2[:, :1].astype(jnp.int32), pad))
+            def _sweep_state(state):
+                C = state.com.shape[0]
+                keys2 = jax.vmap(jax.random.split)(state.key)
+                knext, sub = keys2[:, 0], keys2[:, 1]
+                ck = jax.lax.bitcast_convert_type(sub[:, 0], jnp.int32)
+                quat_id = jnp.zeros((C, cap, 4), jnp.float32) \
+                    .at[..., 0].set(1.0)
+                coords = jnp.swapaxes(state.com, 1, 2).astype(jnp.float32)
+                coords = jnp.pad(coords, ((0, 0), (0, 0),
+                                          (0, A_pad - cap)))
+                sfac = jnp.zeros((C, 1, 2), jnp.float32)
+                com, _, _, _, d_e, acc2, att2 = sweep_act(
+                    state.com.astype(jnp.float32), quat_id, coords,
+                    state.active, state.box.astype(jnp.float32), sfac,
+                    ck, jnp.zeros((), jnp.int32))
+                pad = ((0, 0), (0, 2))   # [trans] -> + insert, delete cols
+                return state._replace(
+                    com=com, energy=state.energy + d_e, key=knext,
+                    acc=state.acc + jnp.pad(
+                        acc2[:, :1].astype(jnp.int32), pad),
+                    att=state.att + jnp.pad(
+                        att2[:, :1].astype(jnp.int32), pad))
 
-        @partial(jax.jit, static_argnums=1)
-        def run_steps(state, n_steps):   # noqa: F811
-            n_cyc = max(1, int(round(n_steps / (cap + x_per))))
+            @partial(jax.jit, static_argnums=1)
+            def run_steps(state, n_steps):   # noqa: F811
+                n_cyc = max(1, int(round(n_steps / (cap + x_per))))
 
-            def cycle(st, _):
-                st = _sweep_state(st)
-                if run_x is not None:
-                    st = run_x(st, x_per)
-                return st, None
+                def cycle(st, _):
+                    st = _sweep_state(st)
+                    if run_x is not None:
+                        st = run_x(st, x_per)
+                    return st, None
 
-            state, _ = jax.lax.scan(cycle, state, None, length=n_cyc)
-            return state
+                state, _ = jax.lax.scan(cycle, state, None, length=n_cyc)
+                return state
 
     def init(key, box, n_init, n_chains):
         if n_init > cap:

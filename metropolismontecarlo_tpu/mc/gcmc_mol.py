@@ -299,7 +299,19 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
     fraction of the sampling through the whole-sweep Pallas mega
     kernel (`mc/moves.make_mega_sweep_fn(with_activity=True)`) — the
     same kernel that gives the NVT flagship its throughput — keeping
-    exchanges on the jnp path.  run_steps keeps its signature and its
+    exchanges on the jnp path.
+
+    mega="full" (or "interpret_full"): run the EXCHANGES in-kernel
+    too — one Pallas call per cycle executes [cap displacement/
+    rotation moves + x_per unbiased insertion/deletion attempts] with
+    the whole chain state (coordinates, activity masks, structure
+    factors, PRNG) resident in VMEM, eliminating the jnp exchange
+    scan that dominates the hybrid path's wall time (~95% measured,
+    docs/perf.md).  Requires n_orient=1/bias="orientation" (the
+    kernel runs the unbiased algorithm) and 0 < p_exchange < 1; the
+    TMMC variant deposits both Rao-Blackwellized pa's in-kernel with
+    eta entering acceptance thresholds only, so eta=0 stays
+    bit-identical to the plain "full" build (gated).  run_steps keeps its signature and its
     n_steps ≈ attempts budget, but executes it as CYCLES of [one
     activity-masked kernel sweep (cap displacement/rotation attempts,
     inactive slots are null moves) + x_per jnp exchange-only attempts]
@@ -570,80 +582,159 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
         if dtype != jnp.float32:
             raise ValueError("mega GCMC requires dtype=float32 (the "
                              "whole-sweep kernel is f32)")
+        if mega not in (True, "interpret", "full", "interpret_full"):
+            raise ValueError("mega must be True, 'interpret', 'full' or "
+                             f"'interpret_full': {mega!r}")
         from metropolismontecarlo_tpu.mc.moves import make_mega_sweep_fn
 
-        sweep_act = make_mega_sweep_fn(
-            system, params, kv, kw, interpret=(mega == "interpret"),
-            with_activity=True)
-        # exchange-only jnp sampler (same machinery, p_exchange=1), and
-        # the cycle mix: one kernel sweep = cap displacement/rotation
-        # attempts, so x_per exchanges per sweep keeps the attempt mix
-        # at p_exchange : (1 - p_exchange)
-        if px >= 1.0:
-            raise ValueError("mega GCMC needs p_exchange < 1 (otherwise "
-                             "there is no displacement work to kernelize)")
-        if px > 0.0:
-            _, run_x, _ = make_gcmc_mol(system, params, activity, 1.0,
-                                        dtype, chunk, n_orient, bias, tmmc)
+        interp = mega in ("interpret", "interpret_full")
+        if mega in ("full", "interpret_full"):
+            # FULLY in-kernel cycles: one Pallas call runs [cap
+            # displacement/rotation moves + x_per exchange attempts]
+            # with the whole chain state resident in VMEM — no jnp
+            # exchange scan at all (the hybrid path's dominant cost).
+            if not 0.0 < px < 1.0:
+                raise ValueError("mega='full' needs 0 < p_exchange < 1 "
+                                 "(the kernel cycle mixes moves and "
+                                 "exchanges)")
+            if n_or != 1 or pose_bias:
+                raise ValueError("in-kernel exchanges run the unbiased "
+                                 "algorithm (n_orient=1, bias="
+                                 "'orientation'); use mega=True for "
+                                 "Rosenbluth-biased exchanges")
             x_per = max(1, int(round(cap * px / (1.0 - px))))
+            sweep_x = make_mega_sweep_fn(
+                system, params, kv, kw, interpret=interp,
+                with_activity=True, n_exch=x_per, tmmc_exch=tmmc)
+
+            def _cycle_full(state, eta=None):
+                keys2 = jax.vmap(jax.random.split)(state.key)
+                knext, sub = keys2[:, 0], keys2[:, 1]
+                ck = jax.lax.bitcast_convert_type(sub[:, 0], jnp.int32)
+                si_c = jax.vmap(ev.self_intra)(state.box)
+                if ms.q_t2 != 0.0:
+                    wc_c = jax.vmap(ev.wolf_const_coeff)(state.box) \
+                        * ms.q_t2
+                else:
+                    wc_c = jnp.zeros_like(state.box)
+                out = sweep_x(state.com, state.quat, state.coords,
+                              state.active, state.box, state.sfac, ck,
+                              jnp.zeros((), jnp.int32), _z_of(state),
+                              si_c, wc_c,
+                              energy=state.energy if tmmc else None,
+                              eta=eta)
+                com, quat, coords, active, sfac_o, d_e, acc4, att4 = out[:8]
+                st = state._replace(
+                    com=com, quat=quat, coords=coords, active=active,
+                    sfac=sfac_o if use_ewald else state.sfac,
+                    energy=state.energy + d_e, key=knext,
+                    acc=state.acc + acc4.astype(jnp.int32),
+                    att=state.att + att4.astype(jnp.int32))
+                if tmmc:
+                    return st, out[8], out[9]
+                return st
+
+            if tmmc:
+                @partial(jax.jit, static_argnums=2)
+                def run_steps(state, eta, n_steps):  # noqa: F811
+                    n_cyc = max(1, int(round(n_steps / (cap + x_per))))
+                    eta_j = jnp.asarray(eta, dtype)
+
+                    def cycle(carry, _):
+                        st, cmat, uhist = carry
+                        st, cm, uh = _cycle_full(st, eta_j)
+                        return (st, cmat + cm, uhist + uh), None
+
+                    zeros = jnp.zeros(
+                        (state.com.shape[0], cap + 1, 3), dtype)
+                    (state, cmat, uhist), _ = jax.lax.scan(
+                        cycle, (state, zeros, zeros), None, length=n_cyc)
+                    return state, cmat, uhist
+            else:
+                @partial(jax.jit, static_argnums=1)
+                def run_steps(state, n_steps):       # noqa: F811
+                    n_cyc = max(1, int(round(n_steps / (cap + x_per))))
+
+                    def cycle(st, _):
+                        return _cycle_full(st), None
+
+                    state, _ = jax.lax.scan(cycle, state, None,
+                                            length=n_cyc)
+                    return state
+
         else:
-            # p_exchange = 0: pure displacement/rotation sampling (the
-            # TMMC melt phase / pre-equilibration) — kernel sweeps only
-            run_x, x_per = None, 0
+            sweep_act = make_mega_sweep_fn(
+                system, params, kv, kw, interpret=interp,
+                with_activity=True)
+            # exchange-only jnp sampler (same machinery, p_exchange=1), and
+            # the cycle mix: one kernel sweep = cap displacement/rotation
+            # attempts, so x_per exchanges per sweep keeps the attempt mix
+            # at p_exchange : (1 - p_exchange)
+            if px >= 1.0:
+                raise ValueError("mega GCMC needs p_exchange < 1 (otherwise "
+                                 "there is no displacement work to kernelize)")
+            if px > 0.0:
+                _, run_x, _ = make_gcmc_mol(system, params, activity, 1.0,
+                                            dtype, chunk, n_orient, bias, tmmc)
+                x_per = max(1, int(round(cap * px / (1.0 - px))))
+            else:
+                # p_exchange = 0: pure displacement/rotation sampling (the
+                # TMMC melt phase / pre-equilibration) — kernel sweeps only
+                run_x, x_per = None, 0
 
-        def _sweep_state(state):
-            """One activity-masked kernel sweep folded into the state:
-            fresh per-chain subkeys drive the kernel's counter PRNG (a
-            different-but-deterministic stream vs the jnp path, same
-            contract as the NVT mega kernel)."""
-            keys2 = jax.vmap(jax.random.split)(state.key)    # (C, 2, 2)
-            knext, sub = keys2[:, 0], keys2[:, 1]
-            ck = jax.lax.bitcast_convert_type(sub[:, 0], jnp.int32)
-            com, quat, coords, sfac, d_e, acc2, att2 = sweep_act(
-                state.com, state.quat, state.coords, state.active,
-                state.box, state.sfac, ck, jnp.zeros((), jnp.int32))
-            pad24 = ((0, 0), (0, 2))
-            return state._replace(
-                com=com, quat=quat, coords=coords,
-                sfac=sfac if use_ewald else state.sfac,
-                energy=state.energy + d_e, key=knext,
-                acc=state.acc + jnp.pad(acc2.astype(jnp.int32), pad24),
-                att=state.att + jnp.pad(att2.astype(jnp.int32), pad24))
+            def _sweep_state(state):
+                """One activity-masked kernel sweep folded into the state:
+                fresh per-chain subkeys drive the kernel's counter PRNG (a
+                different-but-deterministic stream vs the jnp path, same
+                contract as the NVT mega kernel)."""
+                keys2 = jax.vmap(jax.random.split)(state.key)    # (C, 2, 2)
+                knext, sub = keys2[:, 0], keys2[:, 1]
+                ck = jax.lax.bitcast_convert_type(sub[:, 0], jnp.int32)
+                com, quat, coords, sfac, d_e, acc2, att2 = sweep_act(
+                    state.com, state.quat, state.coords, state.active,
+                    state.box, state.sfac, ck, jnp.zeros((), jnp.int32))
+                pad24 = ((0, 0), (0, 2))
+                return state._replace(
+                    com=com, quat=quat, coords=coords,
+                    sfac=sfac if use_ewald else state.sfac,
+                    energy=state.energy + d_e, key=knext,
+                    acc=state.acc + jnp.pad(acc2.astype(jnp.int32), pad24),
+                    att=state.att + jnp.pad(att2.astype(jnp.int32), pad24))
 
-        if tmmc:
-            if run_x is None:
-                raise ValueError("mega TMMC needs p_exchange > 0 (melt "
-                                 "phases use a tmmc=False build)")
+            if tmmc:
+                if run_x is None:
+                    raise ValueError("mega TMMC needs p_exchange > 0 (melt "
+                                     "phases use a tmmc=False build)")
 
-            @partial(jax.jit, static_argnums=2)
-            def run_steps(state, eta, n_steps):   # noqa: F811
-                n_cyc = max(1, int(round(n_steps / (cap + x_per))))
-                eta = jnp.asarray(eta, dtype)
+                @partial(jax.jit, static_argnums=2)
+                def run_steps(state, eta, n_steps):   # noqa: F811
+                    n_cyc = max(1, int(round(n_steps / (cap + x_per))))
+                    eta = jnp.asarray(eta, dtype)
 
-                def cycle(carry, _):
-                    st, cmat, uhist = carry
-                    st = _sweep_state(st)
-                    st, cm, uh = run_x(st, eta, x_per)
-                    return (st, cmat + cm, uhist + uh), None
+                    def cycle(carry, _):
+                        st, cmat, uhist = carry
+                        st = _sweep_state(st)
+                        st, cm, uh = run_x(st, eta, x_per)
+                        return (st, cmat + cm, uhist + uh), None
 
-                zeros = jnp.zeros(
-                    (state.com.shape[0], cap + 1, 3), dtype)
-                (state, cmat, uhist), _ = jax.lax.scan(
-                    cycle, (state, zeros, zeros), None, length=n_cyc)
-                return state, cmat, uhist
-        else:
-            @partial(jax.jit, static_argnums=1)
-            def run_steps(state, n_steps):        # noqa: F811
-                n_cyc = max(1, int(round(n_steps / (cap + x_per))))
+                    zeros = jnp.zeros(
+                        (state.com.shape[0], cap + 1, 3), dtype)
+                    (state, cmat, uhist), _ = jax.lax.scan(
+                        cycle, (state, zeros, zeros), None, length=n_cyc)
+                    return state, cmat, uhist
+            else:
+                @partial(jax.jit, static_argnums=1)
+                def run_steps(state, n_steps):        # noqa: F811
+                    n_cyc = max(1, int(round(n_steps / (cap + x_per))))
 
-                def cycle(st, _):
-                    st = _sweep_state(st)
-                    if run_x is not None:
-                        st = run_x(st, x_per)
-                    return st, None
+                    def cycle(st, _):
+                        st = _sweep_state(st)
+                        if run_x is not None:
+                            st = run_x(st, x_per)
+                        return st, None
 
-                state, _ = jax.lax.scan(cycle, state, None, length=n_cyc)
-                return state
+                    state, _ = jax.lax.scan(cycle, state, None, length=n_cyc)
+                    return state
 
     def init(key, box, n_init, n_chains):
         """n_init: scalar, or (n_chains,) per-chain STRATIFIED starts

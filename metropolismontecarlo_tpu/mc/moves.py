@@ -683,7 +683,8 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
 
 
 def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
-                       box_hint=None, z_hint=None, with_activity=False):
+                       box_hint=None, z_hint=None, with_activity=False,
+                       n_exch=0, tmmc_exch=False):
     """Whole-sweep Pallas path: returns `sweep_full(state) -> state`.
 
     with_activity=True returns instead the fluctuating-N variant
@@ -726,6 +727,12 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
         if cfg is not None:
             raise ValueError("activity-masked mega sweeps do not support "
                              "the sorted-slab window path")
+    if n_exch:
+        if not with_activity:
+            raise ValueError("in-kernel exchanges require with_activity")
+        if len(system.species_slices) != 1:
+            raise ValueError("in-kernel exchanges require a single-"
+                             "species system")
     if cfg is not None:
         A_plane = cfg["A_store"]
         a0w, Wc = cfg["a0"], cfg["W"]
@@ -801,8 +808,11 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
     # Auto chain-block size: the kernel's VMEM working set must fit the
     # ~16 MiB scoped limit.  Per chain: in+out atom/COM-quat/sfac planes
     # + cfac scratch; shared: tid/mol/q rows, k rows, per-row LJ scratch.
+    np_pad = _round_up(M + 1, 128) if tmmc_exch else 0
     per_chain = 4 * (2 * 3 * A_plane + 2 * 7 * m_pad + (2 * 2 + 1) * K + 40
-                     + (A_plane if with_activity else 0))
+                     + (A_plane if with_activity else 0)
+                     + ((2 * m_pad + A_plane + 3 + 6 * np_pad + 1)
+                        if n_exch else 0))
     lam_w = A_plane if params.lj_shift == "linear" else 128
     shared = 4 * (3 * A_plane + 4 * K
                   + max(P_max, 8) * (2 * A_plane + 2 * lam_w))
@@ -990,6 +1000,94 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
             return (com_o, quat_o, coords_o, sfac_o, stats[:, 0],
                     stats[:, 1:3], stats[:, 3:5])
 
-        return sweep_act
+        if n_exch == 0:
+            return sweep_act
+
+        (statics0, consts0), = blocks
+        P0 = statics0["P"]
+
+        def sweep_x(com, quat, coords, active, box, sfac, chain_keys,
+                    seed, zact, si, wc, energy=None, eta=None):
+            """One kernel call = [M-move activity-masked sweep + n_exch
+            in-kernel muVT exchange attempts] on the molecular-GCMC
+            state layout (see sweep_act for the displacement part and
+            ops.pallas.sweep_kernel._make_kernel for the exchange
+            algorithm).  zact/si/wc: per-chain (C,) activity,
+            self+intra exchange constant (ev.self_intra(box)) and
+            reference-Wolf coefficient (ev.wolf_const_coeff(box) *
+            q_t_tot^2).  With tmmc_exch, energy (C,) carried energy and
+            eta (cap+1,) bias are required, and the return grows the
+            per-call collection matrix and energy moments, each
+            (C, cap+1, 3).
+            Returns (com, quat, coords, active, sfac, d_e, acc, att
+            [, cmat, uhist]): active the updated (C, M) bool mask,
+            acc/att (C, 4) f32 [translate, rotate, insert, delete]."""
+            C = com.shape[0]
+            if (not interpret and C * A_plane > 2048 * 2432
+                    and not os.environ.get("MMC_MEGA_UNSAFE")):
+                raise ValueError(
+                    f"mega sweep: C={C} x A_plane={A_plane} is outside "
+                    "the validated envelope (<= 2048x2432); see "
+                    "sweep_full / CLAUDE.md known issues.")
+            f32 = jnp.float32
+            actf = active.astype(f32)
+            act_a = jnp.pad(jnp.repeat(actf, P0, axis=1),
+                            ((0, 0), (0, A_plane - A)))
+            actm = jnp.pad(actf, ((0, 0), (0, m_pad - M)))
+
+            def mplane(arr):
+                return jnp.pad(arr.astype(f32), ((0, 0), (0, m_pad - M)))
+
+            planes = (
+                coords[:, 0, :].astype(f32), coords[:, 1, :].astype(f32),
+                coords[:, 2, :].astype(f32),
+                mplane(com[:, :, 0]), mplane(com[:, :, 1]),
+                mplane(com[:, :, 2]),
+                mplane(quat[:, :, 0]), mplane(quat[:, :, 1]),
+                mplane(quat[:, :, 2]), mplane(quat[:, :, 3]),
+                sfac[:, :, 0].astype(f32), sfac[:, :, 1].astype(f32),
+            )
+            ones = jnp.ones((C, 1), f32)
+            box_t = (box.reshape(C, 1).astype(f32),
+                     float(params.temperature) * ones,
+                     float(params.dr_max) * ones,
+                     float(params.dphi_max) * ones)
+            stats = jnp.zeros((C, 8), f32)
+            extra = dict(actm=actm, zact=zact.astype(f32),
+                         si=si.astype(f32), wc=wc.astype(f32),
+                         n_exch=n_exch, tmmc=tmmc_exch)
+            if tmmc_exch:
+                eta_row = jnp.pad(eta.astype(f32).reshape(-1),
+                                  (0, np_pad - (M + 1)))
+                extra.update(eta=eta_row, e_in=energy.astype(f32))
+            out = sweep_pallas(*planes, act_a, *box_t, stats,
+                               jnp.asarray(seed, jnp.int32),
+                               chain_keys.astype(jnp.int32),
+                               wstarts_j, *consts0, **statics0, **extra)
+            (x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
+             stats) = out[:13]
+            act_o, actm_o = out[13:15]
+            com_o = jnp.stack([cx[:, :M], cy[:, :M], cz[:, :M]], axis=-1)
+            quat_o = jnp.stack([qw[:, :M], qx[:, :M], qy[:, :M],
+                                qz[:, :M]], axis=-1)
+            coords_o = jnp.stack([x, y, z], axis=1)
+            sfac_o = jnp.stack([sre, sim], axis=-1)
+            active_o = actm_o[:, :M] > 0.5
+            acc = jnp.stack([stats[:, 1], stats[:, 2], stats[:, 5],
+                             stats[:, 6]], axis=1)
+            att = jnp.stack([stats[:, 3], stats[:, 4], stats[:, 7],
+                             float(n_exch) - stats[:, 7]], axis=1)
+            res = (com_o, quat_o, coords_o, active_o, sfac_o,
+                   stats[:, 0], acc, att)
+            if tmmc_exch:
+                cm, uh = out[15:17]
+                cmat = jnp.transpose(
+                    cm.reshape(C, 3, np_pad)[:, :, :M + 1], (0, 2, 1))
+                uhist = jnp.transpose(
+                    uh.reshape(C, 3, np_pad)[:, :, :M + 1], (0, 2, 1))
+                res = res + (cmat, uhist)
+            return res
+
+        return sweep_x
 
     return sweep_full

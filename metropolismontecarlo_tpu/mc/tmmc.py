@@ -193,59 +193,116 @@ def make_tmmc(system, params, activity, capacity, dtype=jnp.float64,
         if dtype != jnp.float32:
             raise ValueError("mega TMMC requires dtype=float32 (the "
                              "whole-sweep kernel is f32)")
+        if mega not in (True, "interpret", "full", "interpret_full"):
+            raise ValueError("mega must be True, 'interpret', 'full' or "
+                             f"'interpret_full': {mega!r}")
         if not (0.0 < p_t < 1.0):
             raise ValueError("mega TMMC needs 0 < p_translate < 1")
         import dataclasses as _dc
         from metropolismontecarlo_tpu.mc.gcmc import capacity_system
         from metropolismontecarlo_tpu.mc.moves import make_mega_sweep_fn
 
+        interp = mega in ("interpret", "interpret_full")
         cap_sys = capacity_system(system, cap)
         A_pad = cap_sys.n_atoms_padded
-        sweep_act = make_mega_sweep_fn(
-            cap_sys, params, None, None,
-            interpret=(mega == "interpret"), with_activity=True)
-        run_x = make_tmmc(system, _dc.replace(params, p_translate=0.0),
-                          activity, capacity, dtype)[1]
-        x_per = max(1, int(round(cap * (1.0 - p_t) / p_t)))
 
-        def _sweep_state(state):
-            C = state.com.shape[0]
-            keys2 = jax.vmap(jax.random.split)(state.key)
-            knext, sub = keys2[:, 0], keys2[:, 1]
-            ck = jax.lax.bitcast_convert_type(sub[:, 0], jnp.int32)
-            quat_id = jnp.zeros((C, cap, 4), jnp.float32) \
-                .at[..., 0].set(1.0)
-            coords = jnp.swapaxes(state.com, 1, 2).astype(jnp.float32)
-            coords = jnp.pad(coords, ((0, 0), (0, 0),
-                                      (0, A_pad - cap)))
-            sfac = jnp.zeros((C, 1, 2), jnp.float32)
-            com, _, _, _, d_e, acc2, att2 = sweep_act(
-                state.com.astype(jnp.float32), quat_id, coords,
-                state.active, state.box.astype(jnp.float32), sfac,
-                ck, jnp.zeros((), jnp.int32))
-            pad = ((0, 0), (0, 2))
-            return state._replace(
-                com=com, energy=state.energy + d_e, key=knext,
-                acc=state.acc + jnp.pad(
-                    acc2[:, :1].astype(jnp.int32), pad),
-                att=state.att + jnp.pad(
-                    att2[:, :1].astype(jnp.int32), pad))
+        if mega in ("full", "interpret_full"):
+            # in-kernel exchanges WITH in-kernel Rao-Blackwellized
+            # deposits — see mc/gcmc_mol.make_gcmc_mol(mega="full")
+            x_per = max(1, int(round(cap * (1.0 - p_t) / p_t)))
+            sweep_x = make_mega_sweep_fn(
+                cap_sys, params, None, None, interpret=interp,
+                with_activity=True, n_exch=x_per, tmmc_exch=True)
 
-        @partial(jax.jit, static_argnums=2)
-        def run_steps(state, eta, n_steps):   # noqa: F811
-            n_cyc = max(1, int(round(n_steps / (cap + x_per))))
-            eta = jnp.asarray(eta, dtype)
+            def _cycle_full(state, eta):
+                C = state.com.shape[0]
+                keys2 = jax.vmap(jax.random.split)(state.key)
+                knext, sub = keys2[:, 0], keys2[:, 1]
+                ck = jax.lax.bitcast_convert_type(sub[:, 0], jnp.int32)
+                quat_id = jnp.zeros((C, cap, 4), jnp.float32) \
+                    .at[..., 0].set(1.0)
+                coords = jnp.swapaxes(state.com, 1, 2).astype(jnp.float32)
+                coords = jnp.pad(coords, ((0, 0), (0, 0),
+                                          (0, A_pad - cap)))
+                sfac = jnp.zeros((C, 1, 2), jnp.float32)
+                zeros = jnp.zeros((C,), jnp.float32)
+                zc = jnp.broadcast_to(z.astype(jnp.float32), (C,))
+                (com, _, _, active, _, d_e, acc4, att4, cm,
+                 uh) = sweep_x(
+                    state.com.astype(jnp.float32), quat_id, coords,
+                    state.active, state.box.astype(jnp.float32), sfac,
+                    ck, jnp.zeros((), jnp.int32), zc, zeros, zeros,
+                    energy=state.energy, eta=eta)
+                sel = jnp.asarray([0, 2, 3])
+                st = state._replace(
+                    com=com, active=active,
+                    energy=state.energy + d_e, key=knext,
+                    acc=state.acc + acc4[:, sel].astype(jnp.int32),
+                    att=state.att + att4[:, sel].astype(jnp.int32))
+                return st, cm, uh
 
-            def cycle(carry, _):
-                st, cmat, uhist = carry
-                st = _sweep_state(st)
-                st, cm, uh = run_x(st, eta, x_per)
-                return (st, cmat + cm, uhist + uh), None
+            @partial(jax.jit, static_argnums=2)
+            def run_steps(state, eta, n_steps):   # noqa: F811
+                n_cyc = max(1, int(round(n_steps / (cap + x_per))))
+                eta_j = jnp.asarray(eta, dtype)
 
-            zeros = jnp.zeros((state.com.shape[0], cap + 1, 3), dtype)
-            (state, cmat, uhist), _ = jax.lax.scan(
-                cycle, (state, zeros, zeros), None, length=n_cyc)
-            return state, cmat, uhist
+                def cycle(carry, _):
+                    st, cmat, uhist = carry
+                    st, cm, uh = _cycle_full(st, eta_j)
+                    return (st, cmat + cm, uhist + uh), None
+
+                zeros2 = jnp.zeros((state.com.shape[0], cap + 1, 3),
+                                   dtype)
+                (state, cmat, uhist), _ = jax.lax.scan(
+                    cycle, (state, zeros2, zeros2), None, length=n_cyc)
+                return state, cmat, uhist
+
+        else:
+            sweep_act = make_mega_sweep_fn(
+                cap_sys, params, None, None,
+                interpret=interp, with_activity=True)
+            run_x = make_tmmc(system, _dc.replace(params, p_translate=0.0),
+                              activity, capacity, dtype)[1]
+            x_per = max(1, int(round(cap * (1.0 - p_t) / p_t)))
+
+            def _sweep_state(state):
+                C = state.com.shape[0]
+                keys2 = jax.vmap(jax.random.split)(state.key)
+                knext, sub = keys2[:, 0], keys2[:, 1]
+                ck = jax.lax.bitcast_convert_type(sub[:, 0], jnp.int32)
+                quat_id = jnp.zeros((C, cap, 4), jnp.float32) \
+                    .at[..., 0].set(1.0)
+                coords = jnp.swapaxes(state.com, 1, 2).astype(jnp.float32)
+                coords = jnp.pad(coords, ((0, 0), (0, 0),
+                                          (0, A_pad - cap)))
+                sfac = jnp.zeros((C, 1, 2), jnp.float32)
+                com, _, _, _, d_e, acc2, att2 = sweep_act(
+                    state.com.astype(jnp.float32), quat_id, coords,
+                    state.active, state.box.astype(jnp.float32), sfac,
+                    ck, jnp.zeros((), jnp.int32))
+                pad = ((0, 0), (0, 2))
+                return state._replace(
+                    com=com, energy=state.energy + d_e, key=knext,
+                    acc=state.acc + jnp.pad(
+                        acc2[:, :1].astype(jnp.int32), pad),
+                    att=state.att + jnp.pad(
+                        att2[:, :1].astype(jnp.int32), pad))
+
+            @partial(jax.jit, static_argnums=2)
+            def run_steps(state, eta, n_steps):   # noqa: F811
+                n_cyc = max(1, int(round(n_steps / (cap + x_per))))
+                eta = jnp.asarray(eta, dtype)
+
+                def cycle(carry, _):
+                    st, cmat, uhist = carry
+                    st = _sweep_state(st)
+                    st, cm, uh = run_x(st, eta, x_per)
+                    return (st, cmat + cm, uhist + uh), None
+
+                zeros = jnp.zeros((state.com.shape[0], cap + 1, 3), dtype)
+                (state, cmat, uhist), _ = jax.lax.scan(
+                    cycle, (state, zeros, zeros), None, length=n_cyc)
+                return state, cmat, uhist
 
     def init(key, box, n_init, n_chains):
         """n_init: scalar, or (n_chains,) per-chain STRATIFIED starts —

@@ -72,7 +72,8 @@ def _uniform(bits):
 
 def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                  kappa_l, d2_overlap, p_translate, use_rot, K, lj_shift,
-                 m_start, a_start, slab, use_act):
+                 m_start, a_start, slab, use_act, n_exch, tmmc, np_pad,
+                 p_dep):
     """Builds the kernel body (all sizes/flags static).
 
     M molecules are swept starting at global molecule index `m_start`,
@@ -100,17 +101,60 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
     stays a valid fixed-N kernel between exchange steps) and inactive
     NEIGHBOR lanes contribute exactly zero to pair energies (the dense
     path's `atom_ok_of` mask, mc/gcmc_mol.py).  Activity never changes
-    inside a sweep; exchanges run on the jnp path between sweeps."""
+    during the M-move sweep; exchanges run on the jnp path between
+    sweeps, or in-kernel via n_exch.
 
-    def kernel(seed_ref, ckey_ref, wst_ref, body_ref, qp_ref, eps_pt_ref,
-               sig2_pt_ref, lam1_pt_ref, lam2_pt_ref,
-               tid_ref, molid_ref, qrow_ref, kx_ref, ky_ref, kz_ref, kw_ref,
-               x_in, y_in, z_in, cx_in, cy_in, cz_in,
-               qw_in, qx_in, qy_in, qz_in, sre_in, sim_in, act_in,
-               box_ref, temp_ref, drmax_ref, dphi_ref, stats_in,
-               x_o, y_o, z_o, cx_o, cy_o, cz_o,
-               qw_o, qx_o, qy_o, qz_o, sre_o, sim_o, stats_o,
-               eps_rows, sig2_rows, lam1_rows, lam2_rows, cfac_s):
+    n_exch > 0 (requires use_act, slab=None, a single species block):
+    after the M-move sweep, run n_exch grand-canonical EXCHANGE attempts
+    (insertion at a uniform pose / deletion of a uniform active
+    molecule, 50/50) entirely in VMEM — the muVT hot loop
+    (mc/gcmc_mol._one_step) without the jnp scan.  Extra operands: the
+    molecule-level activity plane actm (cb, M_pad), per-chain activity
+    z, self+intra constant si and reference-Wolf coefficient wc (each
+    (cb, 1)); extra outputs: the updated atom- and molecule-level
+    activity planes.  Per-chain DYNAMIC slot selection runs on full-row
+    one-hot masked reductions (no dynamic lane slicing): deletion picks
+    argmax of per-lane uniforms over active slots (uniform on the
+    active set), insertion the first inactive slot, exactly the jnp
+    path's proposal measure.  Acceptance is the standard muVT rule in
+    log space; the insertion overlap veto rides the energy as a +1e30
+    penalty like the move path.
+
+    tmmc (requires n_exch): Rao-Blackwellized collection-matrix and
+    energy-moment deposits per exchange attempt (both branches are
+    evaluated every attempt, mirroring mc/gcmc_mol's analytic deposit
+    of BOTH pa's), bias eta entering the acceptance thresholds only —
+    with eta = 0 the sampled trajectory is bit-identical to the
+    tmmc=False kernel (the per-branch arithmetic is shared).  Extra
+    operands: eta row (1, np_pad) and the carried energy e (cb, 1);
+    extra outputs: cmat and uhist as (cb, 3 * np_pad) planes
+    ([stay | up | down] and [count | sum E | sum E^2] segments);
+    p_dep is the analytically-folded exchange-type probability."""
+
+    def kernel(*refs):
+        (seed_ref, ckey_ref, wst_ref, body_ref, qp_ref, eps_pt_ref,
+         sig2_pt_ref, lam1_pt_ref, lam2_pt_ref,
+         tid_ref, molid_ref, qrow_ref, kx_ref, ky_ref, kz_ref, kw_ref,
+         x_in, y_in, z_in, cx_in, cy_in, cz_in,
+         qw_in, qx_in, qy_in, qz_in, sre_in, sim_in, act_in,
+         box_ref, temp_ref, drmax_ref, dphi_ref, stats_in) = refs[:34]
+        i_r = 34
+        if n_exch:
+            actm_in, z_ref, si_ref, wc_ref = refs[i_r:i_r + 4]
+            i_r += 4
+            if tmmc:
+                eta_ref, e_ref = refs[i_r:i_r + 2]
+                i_r += 2
+        (x_o, y_o, z_o, cx_o, cy_o, cz_o,
+         qw_o, qx_o, qy_o, qz_o, sre_o, sim_o, stats_o) = refs[i_r:i_r + 13]
+        i_r += 13
+        if n_exch:
+            act_o, actm_o = refs[i_r:i_r + 2]
+            i_r += 2
+            if tmmc:
+                cm_o, uh_o = refs[i_r:i_r + 2]
+                i_r += 2
+        (eps_rows, sig2_rows, lam1_rows, lam2_rows, cfac_s) = refs[i_r:]
         cb = x_in.shape[0]
         # Seed from (sweep counter, first chain key of this cell): chain
         # keys are globally unique, so streams stay independent across
@@ -186,6 +230,19 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
         def body_pd(p, d):
             return body_ref[0, p * 3 + d]
 
+        def rot_apply(w, xq, yq, zq, bx, by, bz):
+            """R(q) @ b for (cb,1) quaternion columns, scalar body."""
+            ww, xx, yy, zz = w * w, xq * xq, yq * yq, zq * zq
+            wx, wy, wz = w * xq, w * yq, w * zq
+            xy, xz, yz = xq * yq, xq * zq, yq * zq
+            ox = (ww + xx - yy - zz) * bx + 2.0 * ((xy - wz) * by
+                                                   + (xz + wy) * bz)
+            oy = (ww - xx + yy - zz) * by + 2.0 * ((xy + wz) * bx
+                                                   + (yz - wx) * bz)
+            oz = (ww - xx - yy + zz) * bz + 2.0 * ((xz - wy) * bx
+                                                   + (yz + wx) * by)
+            return ox, oy, oz
+
         def move(mi, stats):
             m = mi + m_start            # global molecule index
             # ---- RNG draws for this move: (cb, 128) bits -> columns ----
@@ -260,19 +317,6 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
             nmx = nmx - box * jnp.floor(nmx * inv_box)
             nmy = nmy - box * jnp.floor(nmy * inv_box)
             nmz = nmz - box * jnp.floor(nmz * inv_box)
-
-            def rot_apply(w, xq, yq, zq, bx, by, bz):
-                """R(q) @ b for (cb,1) quaternion columns, scalar body."""
-                ww, xx, yy, zz = w * w, xq * xq, yq * yq, zq * zq
-                wx, wy, wz = w * xq, w * yq, w * zq
-                xy, xz, yz = xq * yq, xq * zq, yq * zq
-                ox = (ww + xx - yy - zz) * bx + 2.0 * ((xy - wz) * by
-                                                       + (xz + wy) * bz)
-                oy = (ww - xx + yy - zz) * by + 2.0 * ((xy + wz) * bx
-                                                       + (yz - wx) * bz)
-                oz = (ww - xx - yy + zz) * bz + 2.0 * ((xz - wy) * bx
-                                                       + (yz + wx) * by)
-                return ox, oy, oz
 
             if slab is None:
                 other = (mol_row != m.astype(jnp.float32)) & valid_col
@@ -516,6 +560,283 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
 
         stats = jax.lax.fori_loop(
             0, M, move, jnp.zeros((cb, 8), jnp.float32))
+
+        if n_exch:
+            act_o[:] = act_in[:]
+            actm_o[:] = actm_in[:]
+            if tmmc:
+                cm_o[:] = jnp.zeros((cb, 3 * np_pad), jnp.float32)
+                uh_o[:] = jnp.zeros((cb, 3 * np_pad), jnp.float32)
+                np_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, np_pad), 1).astype(jnp.float32)
+                eta_row = eta_ref[0:1, :]
+                e0 = e_ref[:]
+
+                def eta_at(nn):   # (cb, 1) f32 slice index -> (cb, 1)
+                    return jnp.sum(jnp.where(np_iota == nn, eta_row, 0.0),
+                                   axis=1, keepdims=True)
+
+            M_f = float(M)
+            P_f = float(P)
+            a0_f = float(a_start)
+            miota_f = jax.lax.broadcasted_iota(
+                jnp.int32, (1, M_pad), 1).astype(jnp.float32)
+            valid_m = (miota_f >= float(m_start)) \
+                & (miota_f < float(m_start + M))
+            aiota_f = jax.lax.broadcasted_iota(
+                jnp.int32, (1, A_pad), 1).astype(jnp.float32)
+            lnzv = jnp.log(z_ref[:] * box * box * box)
+            si_c = si_ref[:]
+            wc_c = wc_ref[:]
+            beta = 1.0 / temp
+            tpl = _TWO_PI * inv_box
+            q_full = qrow_ref[0:1, :]
+
+            def xpair(atoms, excl, rows, act_row, veto):
+                """Pair energy of one pose (list of (cb,1) per-site
+                coordinates) against all ACTIVE atoms except molecule
+                `excl` — the in-kernel ev.pair_energy.  veto: apply the
+                insertion overlap penalty ((cb,1) bool or static)."""
+                xrow, yrow, zrow = rows
+                nmask = jnp.where(mol_row != excl, act_row, 0.0)
+                upair = jnp.zeros((cb, 1), jnp.float32)
+                for p in range(P):
+                    use_q = coulomb != "none" and has_q[p]
+                    ax, ay, az = atoms[p]
+                    dx = xrow - ax
+                    dy = yrow - ay
+                    dz = zrow - az
+                    dx = dx - box * jnp.round(dx * inv_box)
+                    dy = dy - box * jnp.round(dy * inv_box)
+                    dz = dz - box * jnp.round(dz * inv_box)
+                    d2 = jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-4)
+                    mask_lj = d2 < rc2
+                    if use_q and qrc2 != rc2:
+                        mask_qq = d2 < qrc2
+                    else:
+                        mask_qq = mask_lj
+                    inv_r = jax.lax.rsqrt(d2)
+                    inv_d2 = inv_r * inv_r
+                    contrib = None
+                    if has_lj[p]:
+                        s2 = sig2_rows[p:p + 1, :] * inv_d2
+                        s6 = s2 * s2 * s2
+                        pot = 4.0 * eps_rows[p:p + 1, :] * (s6 * s6 - s6)
+                        if lj_shift == "linear":
+                            pot = pot + (lam1_rows[p:p + 1, :]
+                                         + lam2_rows[p:p + 1, :]
+                                         * jnp.sqrt(d2))
+                        contrib = jnp.where(mask_lj, pot, 0.0)
+                    if use_q:
+                        qq = (_FACTOR * qp_ref[0, p]) * q_full
+                        att_q = qq < 0.0
+                        r = d2 * inv_r
+                        if coulomb in ("ewald", "wolf_ref"):
+                            cp = qq * (_erfc_f32(kappa * r) * inv_r)
+                        elif coulomb == "wolf":
+                            cp = qq * (_erfc_f32(kappa * r) * inv_r - sh_w)
+                        else:
+                            cp = qq * inv_r
+                        cp = jnp.where((d2 < d2_overlap) & att_q & veto,
+                                       jnp.float32(1e30), cp)
+                        qpart = jnp.where(mask_qq, cp, 0.0)
+                        contrib = qpart if contrib is None \
+                            else contrib + qpart
+                    if contrib is not None:
+                        upair += jnp.sum(contrib * nmask, axis=1,
+                                         keepdims=True)
+                return upair
+
+            def xsfac(atoms):
+                ds_re = jnp.zeros((cb, K), jnp.float32)
+                ds_im = jnp.zeros((cb, K), jnp.float32)
+                for p in range(P):
+                    if not has_q[p]:
+                        continue
+                    ax, ay, az = atoms[p]
+                    ph = tpl * (kx_ref[0:1, :] * ax + ky_ref[0:1, :] * ay
+                                + kz_ref[0:1, :] * az)
+                    ph = ph - _TWO_PI * jnp.round(ph * (1.0 / _TWO_PI))
+                    sn, cs = _sincos_npi(ph)
+                    ds_re += qp_ref[0, p] * cs
+                    ds_im += qp_ref[0, p] * sn
+                return ds_re, ds_im
+
+            def du_recip(ds_re, ds_im, sgn):
+                cross = 2.0 * sgn * (sre_o[:] * ds_re + sim_o[:] * ds_im) \
+                    + ds_re * ds_re + ds_im * ds_im
+                return _FACTOR * jnp.sum(cfac_s[:] * cross, axis=1,
+                                         keepdims=True)
+
+            def xattempt(xi, stats):
+                bits = pltpu.prng_random_bits((cb, 128))
+                u = _uniform(bits)
+                is_ins = u[:, 0:1] < 0.5
+                insf = is_ins.astype(jnp.float32)
+                sgn = 2.0 * insf - 1.0
+                u_acc = u[:, 7:8]
+                actm = actm_o[:]
+                n = jnp.sum(jnp.where(valid_m, actm, 0.0), axis=1,
+                            keepdims=True)
+                # deletion slot: argmax of iid uniforms over the active
+                # set = a uniform pick (ties resolve to the lower index;
+                # the tied pair is itself exchangeable, so the marginal
+                # stays uniform)
+                us = _uniform(pltpu.prng_random_bits((cb, M_pad)))
+                score = jnp.where((actm > 0.5) & valid_m, us, -1.0)
+                smax = jnp.max(score, axis=1, keepdims=True)
+                del_slot = jnp.min(
+                    jnp.where(score == smax, miota_f, 3.0e38),
+                    axis=1, keepdims=True)
+                ins_slot = jnp.min(
+                    jnp.where((actm < 0.5) & valid_m, miota_f, 3.0e38),
+                    axis=1, keepdims=True)
+                slot = jnp.where(is_ins, ins_slot, del_slot)
+
+                rows = (x_o[:], y_o[:], z_o[:])
+                act_row = act_o[:]
+                # old pose of the deletion candidate: per-chain dynamic
+                # one-hot column reads (the stored values — exactly what
+                # the rest of the system interacted with)
+                acol_d = a0_f + del_slot * P_f
+                olds = []
+                for p in range(P):
+                    opick = aiota_f == acol_d + float(p)
+                    olds.append(tuple(
+                        jnp.sum(jnp.where(opick, r, 0.0), axis=1,
+                                keepdims=True) for r in rows))
+                # fresh trial pose: uniform position + Shoemake quat
+                ctx = u[:, 1:2] * box
+                cty = u[:, 2:3] * box
+                ctz = u[:, 3:4] * box
+                if P > 1:
+                    u1 = u[:, 4:5]
+                    th2 = _TWO_PI * (u[:, 5:6] - jnp.round(u[:, 5:6]))
+                    th3 = _TWO_PI * (u[:, 6:7] - jnp.round(u[:, 6:7]))
+                    r1 = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+                    r2 = jnp.sqrt(u1)
+                    s2_, c2_ = _sincos_npi(th2)
+                    s3_, c3_ = _sincos_npi(th3)
+                    iw, ix, iy, iz = r1 * s2_, r1 * c2_, r2 * s3_, r2 * c3_
+                    ins_atoms = []
+                    for p in range(P):
+                        ox_, oy_, oz_ = rot_apply(
+                            iw, ix, iy, iz,
+                            body_pd(p, 0), body_pd(p, 1), body_pd(p, 2))
+                        ins_atoms.append((ctx + ox_, cty + oy_, ctz + oz_))
+                else:
+                    iw = jnp.ones_like(ctx)
+                    ix = iy = iz = jnp.zeros_like(ctx)
+                    ins_atoms = [(ctx, cty, ctz)]
+
+                if tmmc:
+                    # BOTH branches every attempt (Rao-Blackwellized
+                    # deposits need both pa's; same per-branch arithmetic
+                    # as the selected-only path, so eta=0 is bit-identical
+                    # to the tmmc=False kernel)
+                    excl_none = jnp.full((cb, 1), -2.0, jnp.float32)
+                    u_i = xpair(ins_atoms, excl_none, rows, act_row, True)
+                    u_d = xpair(olds, del_slot, rows, act_row, False)
+                    du_i = u_i + si_c + wc_c * (2.0 * n + 1.0)
+                    du_d = -u_d - si_c + wc_c * (-2.0 * n + 1.0)
+                    if coulomb == "ewald":
+                        dsi_re, dsi_im = xsfac(ins_atoms)
+                        dsd_re, dsd_im = xsfac(olds)
+                        du_i = du_i + du_recip(dsi_re, dsi_im, 1.0)
+                        du_d = du_d + du_recip(dsd_re, dsd_im, -1.0)
+                        ds_re = jnp.where(is_ins, dsi_re, dsd_re)
+                        ds_im = jnp.where(is_ins, dsi_im, dsd_im)
+                    du = jnp.where(is_ins, du_i, du_d)
+                    ln_acc_i = lnzv - jnp.log(n + 1.0) - beta * du_i
+                    ln_acc_d = jnp.log(jnp.maximum(n, 1.0)) - lnzv \
+                        - beta * du_d
+                    pa_i = jnp.where(n < M_f - 0.5,
+                                     jnp.exp(jnp.minimum(ln_acc_i, 0.0)),
+                                     0.0)
+                    pa_d = jnp.where(n > 0.5,
+                                     jnp.exp(jnp.minimum(ln_acc_d, 0.0)),
+                                     0.0)
+                    up_v = p_dep * pa_i
+                    dn_v = p_dep * pa_d
+                    dep = (np_iota == n).astype(jnp.float32)
+                    cm_o[:, 0:np_pad] = cm_o[:, 0:np_pad] \
+                        + dep * (1.0 - up_v - dn_v)
+                    cm_o[:, np_pad:2 * np_pad] = \
+                        cm_o[:, np_pad:2 * np_pad] + dep * up_v
+                    cm_o[:, 2 * np_pad:] = cm_o[:, 2 * np_pad:] + dep * dn_v
+                    e_cur = e0 + stats[:, 0:1]
+                    uh_o[:, 0:np_pad] = uh_o[:, 0:np_pad] + dep
+                    uh_o[:, np_pad:2 * np_pad] = \
+                        uh_o[:, np_pad:2 * np_pad] + dep * e_cur
+                    uh_o[:, 2 * np_pad:] = uh_o[:, 2 * np_pad:] \
+                        + dep * (e_cur * e_cur)
+                    eta_n = eta_at(n)
+                    ln_acc_i = ln_acc_i \
+                        + eta_at(jnp.minimum(n + 1.0, M_f)) - eta_n
+                    ln_acc_d = ln_acc_d \
+                        + eta_at(jnp.maximum(n - 1.0, 0.0)) - eta_n
+                    ln_acc = jnp.where(is_ins, ln_acc_i, ln_acc_d)
+                else:
+                    sel = [tuple(jnp.where(is_ins, ia, oa)
+                                 for ia, oa in zip(iat, oat))
+                           for iat, oat in zip(ins_atoms, olds)]
+                    # excl=slot serves both branches: the insertion
+                    # slot's columns are inactive (act 0) anyway
+                    u_sel = xpair(sel, slot, rows, act_row, is_ins)
+                    du = sgn * u_sel + si_c * sgn \
+                        + wc_c * (2.0 * n * sgn + 1.0)
+                    if coulomb == "ewald":
+                        ds_re, ds_im = xsfac(sel)
+                        du = du + du_recip(ds_re, ds_im, sgn)
+                    ln_acc = jnp.where(
+                        is_ins, lnzv - jnp.log(n + 1.0),
+                        jnp.log(jnp.maximum(n, 1.0)) - lnzv) - beta * du
+
+                # logical ops only: a where-select on booleans lowers to
+                # an i8->i1 truncation Mosaic refuses
+                can = (is_ins & (n < M_f - 0.5)) \
+                    | (~is_ins & (n > 0.5))
+                ln_u = jnp.log(jnp.maximum(u_acc, jnp.float32(1e-30)))
+                ok = can & (ln_u < ln_acc)
+                okf = ok.astype(jnp.float32)
+
+                # ---- state updates: full-row one-hot where-selects ----
+                newv = insf
+                mpick = miota_f == slot
+                actm_o[:] = jnp.where(mpick & ok, newv, actm)
+                act_o[:] = jnp.where((mol_row == slot) & ok, newv, act_row)
+                wr = ok & is_ins
+                acol_i = a0_f + slot * P_f
+                xrow, yrow, zrow = rows
+                for p in range(P):
+                    apick = (aiota_f == acol_i + float(p)) & wr
+                    ax, ay, az = ins_atoms[p]
+                    xrow = jnp.where(apick, ax, xrow)
+                    yrow = jnp.where(apick, ay, yrow)
+                    zrow = jnp.where(apick, az, zrow)
+                x_o[:] = xrow
+                y_o[:] = yrow
+                z_o[:] = zrow
+                mw = mpick & wr
+                cx_o[:] = jnp.where(mw, ctx, cx_o[:])
+                cy_o[:] = jnp.where(mw, cty, cy_o[:])
+                cz_o[:] = jnp.where(mw, ctz, cz_o[:])
+                if P > 1:
+                    qw_o[:] = jnp.where(mw, iw, qw_o[:])
+                    qx_o[:] = jnp.where(mw, ix, qx_o[:])
+                    qy_o[:] = jnp.where(mw, iy, qy_o[:])
+                    qz_o[:] = jnp.where(mw, iz, qz_o[:])
+                if coulomb == "ewald":
+                    sre_o[:] = sre_o[:] + (okf * sgn) * ds_re
+                    sim_o[:] = sim_o[:] + (okf * sgn) * ds_im
+                du_t = jnp.where(ok, du, jnp.zeros_like(du))
+                upd = jnp.concatenate(
+                    [du_t, jnp.zeros((cb, 4), jnp.float32),
+                     okf * insf, okf * (1.0 - insf), insf], axis=1)
+                return stats + upd
+
+            stats = jax.lax.fori_loop(0, n_exch, xattempt, stats)
+
         stats_o[:] = stats_in[:] + stats
 
     return kernel
@@ -526,7 +847,8 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
     static_argnames=("M", "P", "coulomb", "n_types", "has_lj", "has_q",
                      "rc2", "qrc2", "kappa_l", "d2_overlap", "p_translate",
                      "use_rot", "cb", "interpret", "lj_shift", "m_start",
-                     "a_start", "slab", "use_act"),
+                     "a_start", "slab", "use_act", "n_exch", "tmmc",
+                     "p_dep"),
 )
 def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act,
                  box, temp, drmax, dphi, stats,
@@ -535,7 +857,9 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act,
                  kx, ky, kz, kw, *, M, P, coulomb, n_types, has_lj, has_q,
                  rc2, qrc2, kappa_l, d2_overlap, p_translate, use_rot,
                  lj_shift="none", cb=64, interpret=False, m_start=0,
-                 a_start=0, slab=None, use_act=False):
+                 a_start=0, slab=None, use_act=False,
+                 actm=None, zact=None, si=None, wc=None, eta=None,
+                 e_in=None, n_exch=0, tmmc=False, p_dep=0.5):
     """One MC sweep of a species block: molecules [m_start, m_start+M)
     whose atoms start at column a_start (0/0/n_mol = whole uniform
     system).  Planes (C, A_pad)/(C, M_pad)/(C, K); box/temp/drmax/dphi
@@ -544,6 +868,14 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act,
     activity plane when use_act (see _make_kernel), else a (C, 128)
     dummy the kernel never reads.
     Returns updated (x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, stats).
+
+    n_exch > 0 appends n_exch in-kernel muVT exchange attempts (see
+    _make_kernel): extra operands actm (C, M_pad) f32 molecule-level
+    activity, zact/si/wc (C, 1) activity and exchange constants, and
+    for tmmc eta (1, np_pad) and e_in (C, 1); the return tuple grows
+    (act, actm) and, for tmmc, (cmat, uhist) as (C, 3 * np_pad) planes.
+    Stats columns 5-7 become [acc_ins, acc_del, att_ins]
+    (att_del = n_exch - att_ins).
     """
     C, A = x.shape
     A_act = act.shape[1]
@@ -552,55 +884,88 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act,
     assert P <= 128, "molecule wider than the aligned atom window"
     MP = cx.shape[1]
     assert MP % 128 == 0, "molecule planes must be 128-padded"
+    if n_exch:
+        assert use_act and slab is None, \
+            "in-kernel exchanges need the activity-masked dense path"
+    np_pad = -(-(M + 1) // 128) * 128 if tmmc else 0
     cb = next(b for b in (min(cb, C), 32, 16, 8, 4, 2, 1) if C % b == 0)
     grid = (C // cb,)
     wstarts = wstarts.reshape(1, -1).astype(jnp.int32)
 
     kern = _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                         kappa_l, d2_overlap, p_translate, use_rot, K,
-                        lj_shift, m_start, a_start, slab, use_act)
+                        lj_shift, m_start, a_start, slab, use_act,
+                        n_exch, tmmc, np_pad, p_dep)
 
     cell = lambda n: pl.BlockSpec((cb, n), lambda c: (c, 0),  # noqa: E731
                                   memory_space=pltpu.VMEM)
     shared = lambda r, n: pl.BlockSpec((r, n), lambda c: (0, 0),  # noqa: E731
                                        memory_space=pltpu.VMEM)
 
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda c: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((cb, 1), lambda c: (c, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, wstarts.shape[1]), lambda c: (0, 0),
+                     memory_space=pltpu.SMEM),          # window bases
+        pl.BlockSpec((1, body.shape[1]), lambda c: (0, 0),
+                     memory_space=pltpu.SMEM),          # body (1, 3P)
+        pl.BlockSpec((1, qp.shape[1]), lambda c: (0, 0),
+                     memory_space=pltpu.SMEM),          # charges (1, P)
+        pl.BlockSpec((eps_pt.shape[0], eps_pt.shape[1]),
+                     lambda c: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((sig2_pt.shape[0], sig2_pt.shape[1]),
+                     lambda c: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((lam1_pt.shape[0], lam1_pt.shape[1]),
+                     lambda c: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((lam2_pt.shape[0], lam2_pt.shape[1]),
+                     lambda c: (0, 0), memory_space=pltpu.SMEM),
+        shared(1, A), shared(1, A), shared(1, A),       # tid, mol, q
+        shared(1, K), shared(1, K), shared(1, K), shared(1, K),
+        cell(A), cell(A), cell(A),                      # x, y, z
+        cell(MP), cell(MP), cell(MP),                   # com planes
+        cell(MP), cell(MP), cell(MP), cell(MP),         # quat planes
+        cell(K), cell(K),                               # sfac planes
+        cell(A_act),                                    # activity plane
+        cell(1), cell(1), cell(1), cell(1),             # box/temp/dr/dphi
+        cell(8),                                        # stats
+    ]
+    operands = [
+        seed.reshape(1, 1), chain_keys.reshape(C, 1).astype(jnp.int32),
+        wstarts,
+        body, qp, eps_pt, sig2_pt, lam1_pt, lam2_pt,
+        tid_row.reshape(1, A), molid_row.reshape(1, A), q_row.reshape(1, A),
+        kx.reshape(1, K), ky.reshape(1, K), kz.reshape(1, K),
+        kw.reshape(1, K),
+        x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act,
+        box, temp, drmax, dphi, stats,
+    ]
+    out_specs = [cell(A)] * 3 + [cell(MP)] * 7 + [cell(K)] * 2 + [cell(8)]
+    out_shape = [
+        jax.ShapeDtypeStruct(s.shape, jnp.float32)
+        for s in (x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, stats)
+    ]
+    if n_exch:
+        in_specs += [cell(MP), cell(1), cell(1), cell(1)]
+        operands += [actm, zact.reshape(C, 1), si.reshape(C, 1),
+                     wc.reshape(C, 1)]
+        if tmmc:
+            in_specs += [shared(1, np_pad), cell(1)]
+            operands += [eta.reshape(1, np_pad), e_in.reshape(C, 1)]
+        out_specs += [cell(A_act), cell(MP)]
+        out_shape += [jax.ShapeDtypeStruct((C, A_act), jnp.float32),
+                      jax.ShapeDtypeStruct((C, MP), jnp.float32)]
+        if tmmc:
+            out_specs += [cell(3 * np_pad), cell(3 * np_pad)]
+            out_shape += [
+                jax.ShapeDtypeStruct((C, 3 * np_pad), jnp.float32),
+                jax.ShapeDtypeStruct((C, 3 * np_pad), jnp.float32)]
+
     outs = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda c: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((cb, 1), lambda c: (c, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, wstarts.shape[1]), lambda c: (0, 0),
-                         memory_space=pltpu.SMEM),          # window bases
-            pl.BlockSpec((1, body.shape[1]), lambda c: (0, 0),
-                         memory_space=pltpu.SMEM),          # body (1, 3P)
-            pl.BlockSpec((1, qp.shape[1]), lambda c: (0, 0),
-                         memory_space=pltpu.SMEM),          # charges (1, P)
-            pl.BlockSpec((eps_pt.shape[0], eps_pt.shape[1]),
-                         lambda c: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((sig2_pt.shape[0], sig2_pt.shape[1]),
-                         lambda c: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((lam1_pt.shape[0], lam1_pt.shape[1]),
-                         lambda c: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((lam2_pt.shape[0], lam2_pt.shape[1]),
-                         lambda c: (0, 0), memory_space=pltpu.SMEM),
-            shared(1, A), shared(1, A), shared(1, A),       # tid, mol, q
-            shared(1, K), shared(1, K), shared(1, K), shared(1, K),
-            cell(A), cell(A), cell(A),                      # x, y, z
-            cell(MP), cell(MP), cell(MP),                   # com planes
-            cell(MP), cell(MP), cell(MP), cell(MP),         # quat planes
-            cell(K), cell(K),                               # sfac planes
-            cell(A_act),                                    # activity plane
-            cell(1), cell(1), cell(1), cell(1),             # box/temp/dr/dphi
-            cell(8),                                        # stats
-        ],
-        out_specs=tuple([cell(A)] * 3 + [cell(MP)] * 7 + [cell(K)] * 2
-                        + [cell(8)]),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct(s.shape, jnp.float32)
-            for s in (x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, stats)
-        ),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((max(P, 8), A), jnp.float32),   # eps rows
             pltpu.VMEM((max(P, 8), A), jnp.float32),   # sig2 rows
@@ -613,11 +978,5 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act,
         ],
         # the TPU interpreter (not the generic one) emulates pltpu.prng_*
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed.reshape(1, 1), chain_keys.reshape(C, 1).astype(jnp.int32),
-      wstarts,
-      body, qp, eps_pt, sig2_pt, lam1_pt, lam2_pt,
-      tid_row.reshape(1, A), molid_row.reshape(1, A), q_row.reshape(1, A),
-      kx.reshape(1, K), ky.reshape(1, K), kz.reshape(1, K), kw.reshape(1, K),
-      x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act,
-      box, temp, drmax, dphi, stats)
+    )(*operands)
     return outs

@@ -345,3 +345,39 @@ def test_gcmc_mol_mega_requires_f32():
     with pytest.raises(ValueError, match="float32"):
         MolGCMC(spce_system(8), _water_params(strict_min_image=False),
                 activity=1e-4, mega="interpret")
+
+
+def test_gcmc_mol_mega_full_in_kernel_exchanges():
+    """mega="interpret_full": displacement moves AND exchange attempts
+    run inside ONE Pallas call per cycle (no jnp exchange scan).  The
+    interpret-mode PRNG is degenerate (zeros: every exchange attempt is
+    an insertion at the origin), so this gates the energy/structure-
+    factor/activity bookkeeping of the in-kernel exchange algorithm —
+    the sampled statistics are validated on real TPU
+    (docs/validation)."""
+    sys8 = spce_system(8)
+    params = _water_params(temperature=700.0, r_cut=4.5, dr_max=0.25,
+                           dphi_max=0.3, strict_min_image=False)
+    g = MolGCMC(sys8, params, activity=2e-4, p_exchange=0.3,
+                dtype=jnp.float32, mega="interpret_full")
+    st = g.init(jax.random.PRNGKey(0), box=10.0, n_init=5, n_chains=4)
+    for _ in range(3):
+        st, stats = g.run_block(st, 44, drift_tol=2e-3)
+        assert stats["sfac_err_max"] < 1e-4, stats
+    # kernel moves and kernel exchange attempts were both recorded
+    assert int(jnp.sum(st.att[:, 0])) > 0
+    assert int(jnp.sum(st.att[:, 2] + st.att[:, 3])) > 0
+    # the degenerate stream accepted at least one insertion (block 0:
+    # empty slots exist and the origin pose is clear of the lattice)
+    assert int(jnp.sum(st.acc[:, 2])) > 0
+
+
+def test_gcmc_mol_mega_full_validates():
+    sys8 = spce_system(8)
+    params = _water_params(strict_min_image=False)
+    with pytest.raises(ValueError, match="unbiased"):
+        MolGCMC(sys8, params, activity=1e-4, dtype=jnp.float32,
+                n_orient=4, mega="interpret_full")
+    with pytest.raises(ValueError, match="p_exchange"):
+        MolGCMC(sys8, params, activity=1e-4, p_exchange=0.0,
+                dtype=jnp.float32, mega="interpret_full")
