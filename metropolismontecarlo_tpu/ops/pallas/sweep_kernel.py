@@ -697,8 +697,9 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                 act_row = act_o[:]
                 # old pose of the deletion candidate: per-chain dynamic
                 # one-hot column reads (the stored values — exactly what
-                # the rest of the system interacted with)
-                acol_d = a0_f + del_slot * P_f
+                # the rest of the system interacted with); slots are
+                # GLOBAL molecule indices, columns are block-relative
+                acol_d = a0_f + (del_slot - float(m_start)) * P_f
                 olds = []
                 for p in range(P):
                     opick = aiota_f == acol_d + float(p)
@@ -806,7 +807,7 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                 actm_o[:] = jnp.where(mpick & ok, newv, actm)
                 act_o[:] = jnp.where((mol_row == slot) & ok, newv, act_row)
                 wr = ok & is_ins
-                acol_i = a0_f + slot * P_f
+                acol_i = a0_f + (slot - float(m_start)) * P_f
                 xrow, yrow, zrow = rows
                 for p in range(P):
                     apick = (aiota_f == acol_i + float(p)) & wr
