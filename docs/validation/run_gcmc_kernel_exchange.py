@@ -100,6 +100,54 @@ def main():
         f"   {'PASS' if p1 else 'FAIL'}", ""]
     print(lines[-4], lines[-3], lines[-2], flush=True)
 
+    # ---- 1b. binary ideal species: independent Poissons ---------------
+    # two species blocks, each with its own in-kernel exchange attempts
+    # appended to its own kernel call (global slot ids, block-relative
+    # atom columns, threaded activity planes)
+    from metropolismontecarlo_tpu.mc.gcmc_binary import BinaryGCMC
+    from metropolismontecarlo_tpu.models.system import System
+
+    cap2, box2 = 48, 7.0
+    z2 = (0.04, 0.02)
+    M2 = 2 * cap2
+    sysb = System(
+        n_mol=M2, atoms_per_mol=1, body=np.zeros((M2, 1, 3)),
+        masses=np.ones((M2, 1)), charges=np.zeros((M2, 1)),
+        type_ids=np.concatenate([np.zeros((cap2, 1), np.int32),
+                                 np.ones((cap2, 1), np.int32)]),
+        eps_table=np.zeros((2, 2)), sig_table=np.ones((2, 2)),
+        name="ideal2", species=(("A", cap2, 1), ("B", cap2, 1)))
+    gb = BinaryGCMC(sysb, RunParams(
+        temperature=1.5, r_cut=2.5, cutoff_mode="site", coulomb="none",
+        p_translate=0.5, dr_max=1.0, use_lrc=False,
+        strict_min_image=False), activities=z2, p_exchange=0.5,
+        dtype=jnp.float32, mega="full")
+    stb = gb.init(jax.random.PRNGKey(5), box=box2, n_init=(8, 8),
+                  n_chains=512)
+    apc2 = M2 + 2 * max(1, round(M2 * 0.5 / 0.5 / 2))
+    stb, _ = gb.run_block(stb, 8 * apc2)
+    n0s, n1s = [], []
+    for _ in range(6):
+        stb, _ = gb.run_block(stb, 8 * apc2, drift_tol=1e-3)
+        n0s.append(np.asarray(jnp.sum(stb.active0, 1), np.float64))
+        n1s.append(np.asarray(jnp.sum(stb.active1, 1), np.float64))
+    n0s, n1s = np.concatenate(n0s), np.concatenate(n1s)
+    zv0, zv1 = z2[0] * box2**3, z2[1] * box2**3
+    cov = np.mean((n0s - n0s.mean()) * (n1s - n1s.mean()))
+    p1b = (abs(n0s.mean() - zv0) < 0.35 and abs(n1s.mean() - zv1) < 0.3
+           and abs(n0s.var() / n0s.mean() - 1.0) < 0.1
+           and abs(n1s.var() / n1s.mean() - 1.0) < 0.1
+           and abs(cov) < 0.4)
+    ok &= p1b
+    lines += [
+        "1b. binary ideal species (per-block in-kernel exchanges):",
+        f"   <N0> = {n0s.mean():.3f} (zV {zv0:.3f}), var/mean = "
+        f"{n0s.var() / n0s.mean():.4f}; <N1> = {n1s.mean():.3f} "
+        f"(zV {zv1:.3f}), var/mean = {n1s.var() / n1s.mean():.4f}; "
+        f"cov = {cov:+.4f} (independent: 0)",
+        f"   {'PASS' if p1b else 'FAIL'}", ""]
+    print(lines[-3], lines[-2], flush=True)
+
     # ---- 2. SPC/E water: in-kernel vs hybrid exchanges ----------------
     T, box, z, cap = 1000.0, 20.0, 2.5e-3, 96
     params = RunParams(temperature=T, r_cut=10.0, cutoff_mode="site",

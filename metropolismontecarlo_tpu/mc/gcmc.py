@@ -146,7 +146,10 @@ def make_gcmc(system, params, activity, capacity, dtype=jnp.float64,
     system (quaternions are identity rows for point particles);
     insert/delete attempts stay on the jnp path (recursive
     p_translate=0 build).  Same composition contract as
-    mc/gcmc_mol.make_gcmc_mol; requires dtype=float32.
+    mc/gcmc_mol.make_gcmc_mol; requires dtype=float32.  mega="full"
+    (or "interpret_full") runs the exchanges IN-KERNEL too — one
+    Pallas call per cycle, no jnp exchange scan (see
+    mc/gcmc_mol.make_gcmc_mol(mega="full") and docs/perf.md).
 
     activity: scalar, or a (n_chains,) ACTIVITY LADDER — each chain
     samples its own muVT ensemble (the grand-canonical analog of the

@@ -730,9 +730,24 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
     if n_exch:
         if not with_activity:
             raise ValueError("in-kernel exchanges require with_activity")
-        if len(system.species_slices) != 1:
-            raise ValueError("in-kernel exchanges require a single-"
-                             "species system")
+        n_exchs = (n_exch,) * len(system.species_slices) \
+            if isinstance(n_exch, int) else tuple(n_exch)
+        if len(n_exchs) != len(system.species_slices):
+            raise ValueError("n_exch must be an int or one count per "
+                             "species block")
+        if tmmc_exch and len(n_exchs) != 1:
+            raise ValueError("in-kernel TMMC deposits support a single "
+                             "species block")
+        if len(n_exchs) > 1:
+            # the in-kernel exchange constant tracks only the OWN
+            # block's count; a charged species' reference-Wolf global
+            # term couples the two counts (gcmc_binary.exchange_const)
+            qs_tot = [float(np.sum(qs_np[m0])) for _, m0, _, _, _
+                      in system.species_slices]
+            if params.coulomb == "wolf" and any(abs(q) > 1e-5
+                                                for q in qs_tot):
+                raise ValueError("multi-block in-kernel exchanges need "
+                                 "charge-neutral species under wolf")
     if cfg is not None:
         A_plane = cfg["A_store"]
         a0w, Wc = cfg["a0"], cfg["W"]
@@ -1003,25 +1018,26 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
         if n_exch == 0:
             return sweep_act
 
-        (statics0, consts0), = blocks
-        P0 = statics0["P"]
-
         def sweep_x(com, quat, coords, active, box, sfac, chain_keys,
                     seed, zact, si, wc, energy=None, eta=None):
-            """One kernel call = [M-move activity-masked sweep + n_exch
-            in-kernel muVT exchange attempts] on the molecular-GCMC
-            state layout (see sweep_act for the displacement part and
+            """One kernel call per species block = [block-M-move
+            activity-masked sweep + n_exchs[b] in-kernel muVT exchange
+            attempts of that species] on the molecular-GCMC state
+            layout (see sweep_act for the displacement part and
             ops.pallas.sweep_kernel._make_kernel for the exchange
             algorithm).  zact/si/wc: per-chain (C,) activity,
             self+intra exchange constant (ev.self_intra(box)) and
             reference-Wolf coefficient (ev.wolf_const_coeff(box) *
-            q_t_tot^2).  With tmmc_exch, energy (C,) carried energy and
-            eta (cap+1,) bias are required, and the return grows the
+            q_t_tot^2) — plain arrays for a single-species system, one
+            per species block (tuple/list) otherwise.  With tmmc_exch
+            (single block only), energy (C,) carried energy and eta
+            (cap+1,) bias are required, and the return grows the
             per-call collection matrix and energy moments, each
             (C, cap+1, 3).
             Returns (com, quat, coords, active, sfac, d_e, acc, att
             [, cmat, uhist]): active the updated (C, M) bool mask,
-            acc/att (C, 4) f32 [translate, rotate, insert, delete]."""
+            acc/att (C, 2 + 2*n_blocks) f32 counters [translate,
+            rotate, then per block insert, delete]."""
             C = com.shape[0]
             if (not interpret and C * A_plane > 2048 * 2432
                     and not os.environ.get("MMC_MEGA_UNSAFE")):
@@ -1030,9 +1046,18 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
                     "the validated envelope (<= 2048x2432); see "
                     "sweep_full / CLAUDE.md known issues.")
             f32 = jnp.float32
+            nb = len(blocks)
+            z_b = (zact,) if nb == 1 and not isinstance(
+                zact, (tuple, list)) else tuple(zact)
+            si_b = (si,) if nb == 1 and not isinstance(
+                si, (tuple, list)) else tuple(si)
+            wc_b = (wc,) if nb == 1 and not isinstance(
+                wc, (tuple, list)) else tuple(wc)
             actf = active.astype(f32)
-            act_a = jnp.pad(jnp.repeat(actf, P0, axis=1),
-                            ((0, 0), (0, A_plane - A)))
+            segs = [jnp.repeat(actf[:, m0:m1], p, axis=1)
+                    for _, m0, m1, p, _ in system.species_slices]
+            act_a = segs[0] if nb == 1 else jnp.concatenate(segs, axis=1)
+            act_a = jnp.pad(act_a, ((0, 0), (0, A_plane - A)))
             actm = jnp.pad(actf, ((0, 0), (0, m_pad - M)))
 
             def mplane(arr):
@@ -1053,30 +1078,49 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
                      float(params.dr_max) * ones,
                      float(params.dphi_max) * ones)
             stats = jnp.zeros((C, 8), f32)
-            extra = dict(actm=actm, zact=zact.astype(f32),
-                         si=si.astype(f32), wc=wc.astype(f32),
-                         n_exch=n_exch, tmmc=tmmc_exch)
-            if tmmc_exch:
-                eta_row = jnp.pad(eta.astype(f32).reshape(-1),
-                                  (0, np_pad - (M + 1)))
-                extra.update(eta=eta_row, e_in=energy.astype(f32))
-            out = sweep_pallas(*planes, act_a, *box_t, stats,
-                               jnp.asarray(seed, jnp.int32),
-                               chain_keys.astype(jnp.int32),
-                               wstarts_j, *consts0, **statics0, **extra)
-            (x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim,
-             stats) = out[:13]
-            act_o, actm_o = out[13:15]
+            seed = jnp.asarray(seed, jnp.int32)
+            xacc, xatt = [], []
+            xprev = (jnp.zeros((C,), f32),) * 3
+            moves_done = 0
+            for b, (statics_b, consts_b) in enumerate(blocks):
+                extra = dict(n_exch=n_exchs[b], tmmc=tmmc_exch)
+                if n_exchs[b]:
+                    extra.update(actm=actm, zact=z_b[b].astype(f32),
+                                 si=si_b[b].astype(f32),
+                                 wc=wc_b[b].astype(f32))
+                    if tmmc_exch:
+                        eta_row = jnp.pad(eta.astype(f32).reshape(-1),
+                                          (0, np_pad - (M + 1)))
+                        extra.update(eta=eta_row,
+                                     e_in=energy.astype(f32))
+                out = sweep_pallas(*planes, act_a, *box_t, stats,
+                                   seed + moves_done,
+                                   chain_keys.astype(jnp.int32),
+                                   wstarts_j, *consts_b, **statics_b,
+                                   **extra)
+                planes, stats = out[:12], out[12]
+                if n_exchs[b]:
+                    act_a, actm = out[13], out[14]
+                moves_done += statics_b["M"] + n_exchs[b]
+                # per-species exchange counters: difference the shared
+                # stats columns across block calls
+                xacc.append((stats[:, 5] - xprev[0],
+                             stats[:, 6] - xprev[1]))
+                xatt.append((stats[:, 7] - xprev[2],
+                             float(n_exchs[b])
+                             - (stats[:, 7] - xprev[2])))
+                xprev = (stats[:, 5], stats[:, 6], stats[:, 7])
+            (x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim) = planes
             com_o = jnp.stack([cx[:, :M], cy[:, :M], cz[:, :M]], axis=-1)
             quat_o = jnp.stack([qw[:, :M], qx[:, :M], qy[:, :M],
                                 qz[:, :M]], axis=-1)
             coords_o = jnp.stack([x, y, z], axis=1)
             sfac_o = jnp.stack([sre, sim], axis=-1)
-            active_o = actm_o[:, :M] > 0.5
-            acc = jnp.stack([stats[:, 1], stats[:, 2], stats[:, 5],
-                             stats[:, 6]], axis=1)
-            att = jnp.stack([stats[:, 3], stats[:, 4], stats[:, 7],
-                             float(n_exch) - stats[:, 7]], axis=1)
+            active_o = actm[:, :M] > 0.5
+            acc = jnp.stack([stats[:, 1], stats[:, 2]]
+                            + [c for pair in xacc for c in pair], axis=1)
+            att = jnp.stack([stats[:, 3], stats[:, 4]]
+                            + [c for pair in xatt for c in pair], axis=1)
             res = (com_o, quat_o, coords_o, active_o, sfac_o,
                    stats[:, 0], acc, att)
             if tmmc_exch:

@@ -264,3 +264,26 @@ def test_osmotic_mega_ragged_widths():
     for _ in range(2):
         st, stats = g.run_block(st, 26, drift_tol=2e-3)
     assert int(np.sum(np.asarray(st.att[:, 0]))) > 0
+
+
+def test_osmotic_mega_full_in_kernel_exchanges():
+    """mega="interpret_full": solute exchanges run INSIDE the solute
+    block's kernel call (n_exch = (0, x_per) — the solvent block stays
+    a pure displacement sweep); carried energy + structure factors vs
+    the dense recompute, per-type counters mapped from the kernel's
+    per-block exchange columns."""
+    sys2 = water_plus_water(6, 6)
+    params = RunParams(temperature=700.0, r_cut=4.5, cutoff_mode="site",
+                       coulomb="ewald", nk=3, ksq_max=9, p_translate=0.5,
+                       dr_max=0.25, dphi_max=0.3, use_lrc=False,
+                       strict_min_image=False)
+    g = OsmoticGCMC(sys2, params, activity=2e-4, p_exchange=0.4,
+                    dtype=jnp.float32, mega="interpret_full")
+    st = g.init(jax.random.PRNGKey(0), box=10.0, n_init=3, n_chains=2)
+    for _ in range(3):
+        st, stats = g.run_block(st, 40, drift_tol=2e-3)
+        assert stats["sfac_err_max"] < 1e-4, stats
+    att = np.asarray(st.att)
+    assert int(att[:, 0].sum()) > 0           # kernel displacements
+    assert int(att[:, 2].sum() + att[:, 3].sum()) > 0   # kernel solute
+    assert int(np.asarray(st.acc)[:, 2].sum()) > 0      # an insertion
