@@ -49,7 +49,10 @@ Z0 = 2e-4            # near the measured 500 K saturation activity
 CHAINS = 128
 BLOCKS, STEPS = 60, 2500
 EQUIL_BLOCKS = 10
-N_ORIENT = 4
+N_ORIENT = 1     # the in-kernel exchange path is unbiased;
+#   measured (docs/perf.md negative results): orientational
+#   bias buys no acceptance in the deep-rejection regime
+MEGA = "full"   # exchanges + deposits inside the Pallas kernel
 G_CC = 18.01528 * 1.66053907  # (N/V A^-3) -> g/cc for water
 
 
@@ -82,7 +85,7 @@ def main():
 
     # Phase 1: transition-matrix blocks (same state pytree)
     t = TMMCMol(sys_, params, activity=Z0, p_exchange=0.4,
-                dtype=jnp.float32, n_orient=N_ORIENT, mega=True)
+                dtype=jnp.float32, n_orient=N_ORIENT, mega=MEGA)
     # drift gate note: acceptance never reads the carried energy — every
     # exchange uses FRESH pose energies plus the carried structure
     # factors (gated tight below); the carried-E drift is a pure f32
@@ -148,7 +151,8 @@ def main():
         f"box={BOX} A, cap={CAP}",
         f"protocol: T={T} K, {CHAINS} stratified walkers, "
         f"{EQUIL_BLOCKS}x{STEPS} fixed-N melt + {BLOCKS}x{STEPS} TM "
-        f"steps, n_orient={N_ORIENT}, 1/4 burn-in discard, f32, z0={Z0}",
+        f"steps, n_orient={N_ORIENT}, mega={MEGA!r} (in-kernel "
+        f"exchanges + deposits), 1/4 burn-in discard, f32, z0={Z0}",
         f"z* = {res['z_coex']:.4e} A^-3",
         f"rho_vap = {rho_v:.4f} g/cc   rho_liq = {rho_l:.4f} g/cc   "
         f"(SPC/E full-Ewald lit at 500 K: ~0.006 / ~0.83)",
