@@ -100,6 +100,40 @@ def main():
         f"   {'PASS' if p1 else 'FAIL'}", ""]
     print(lines[-4], lines[-3], lines[-2], flush=True)
 
+    # ---- 1a. per-chain ACTIVITY LADDER through the kernel --------------
+    # three z-rungs in one compiled run: each chain must be Poisson at
+    # ITS OWN zV (z enters the kernel as a per-chain column)
+    from metropolismontecarlo_tpu.mc.gcmc_mol import make_gcmc_mol
+
+    zs_l = np.array([0.02, 0.04, 0.06])
+    C_l = 384
+    z_ladder = np.repeat(zs_l, C_l // 3)
+    init_l, run_l, _ = make_gcmc_mol(
+        triatomic_system(cap, eps=0.0), params, z_ladder, 0.5,
+        jnp.float32, mega="full")
+    stl = init_l(jax.random.PRNGKey(2), box, 10, C_l)
+    stl = run_l(stl, 10 * apc)
+    nsl = []
+    for _ in range(8):
+        stl = run_l(stl, 10 * apc)
+        nsl.append(np.asarray(jnp.sum(stl.active, 1), np.float64))
+    nsl = np.stack(nsl)
+    p1a = True
+    lad = []
+    for r, zr in enumerate(zs_l):
+        sl = nsl[:, r * (C_l // 3):(r + 1) * (C_l // 3)].ravel()
+        zv_r = zr * box**3
+        sem_r = sl.std() / np.sqrt(len(sl) / 4.0)
+        p1a &= abs(sl.mean() - zv_r) < max(4.0 * sem_r, 0.35)
+        p1a &= abs(sl.var() / sl.mean() - 1.0) < 0.12
+        lad.append(f"z={zr}: <N> {sl.mean():.3f} vs zV {zv_r:.3f} "
+                   f"(var/mean {sl.var() / sl.mean():.4f})")
+    ok &= p1a
+    lines += ["1a. per-chain activity ladder (3 rungs, one compile):",
+              "   " + "; ".join(lad),
+              f"   {'PASS' if p1a else 'FAIL'}", ""]
+    print(lines[-3], lines[-2], flush=True)
+
     # ---- 1b. binary ideal species: independent Poissons ---------------
     # two species blocks, each with its own in-kernel exchange attempts
     # appended to its own kernel call (global slot ids, block-relative
