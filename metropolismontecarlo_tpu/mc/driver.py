@@ -514,6 +514,29 @@ class MonteCarlo:
         from metropolismontecarlo_tpu.mc.widom import mu_excess
         return {"boltzmann_mean": b, "mu_ex": mu_excess(b, state.temp)}
 
+    def widom_mega(self, state, seed, n_per_sweep=64):
+        """Kernel-speed Widom sampling: advance the state by ONE
+        whole-sweep mega-kernel sweep AND evaluate n_per_sweep ghost
+        insertions inside the same Pallas call (mc/widom.py
+        make_mega_widom_fn — requires the mega envelope and a
+        single-species system; TPU artifact docs/validation/
+        widom_kernel.txt).  Returns (state', dict) with widom()'s keys;
+        the sweep and the Boltzmann factors both use
+        params.temperature (the kernel path ignores per-chain temp).
+        seed: int32 PRNG stream counter, monotone across calls."""
+        key_n = int(n_per_sweep)
+        fn = getattr(self, "_widom_mega_fn", None)
+        if fn is None or self._widom_mega_n != key_n:
+            from metropolismontecarlo_tpu.mc.widom import make_mega_widom_fn
+            fn = self._widom_mega_fn = make_mega_widom_fn(
+                self.system, self.params, self.kvecs, self.kweights,
+                key_n, interpret=(self.pallas_mode == "mega_interpret"))
+            self._widom_mega_n = key_n
+        state2, b = fn(state, jnp.asarray(seed, jnp.int32))
+        from metropolismontecarlo_tpu.mc.widom import mu_excess
+        return state2, {"boltzmann_mean": b,
+                        "mu_ex": mu_excess(b, self.params.temperature)}
+
     def quench(self, state, n_steps=20, temp=1e-6):
         """Orientation/position descent: run sweeps at a near-zero
         temperature so only downhill moves are accepted — the vectorized

@@ -684,7 +684,7 @@ def make_sweep_fn(system, params, kvecs, kweights, dtype=jnp.float32,
 
 def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
                        box_hint=None, z_hint=None, with_activity=False,
-                       n_exch=0, tmmc_exch=False):
+                       n_exch=0, tmmc_exch=False, n_widom=0):
     """Whole-sweep Pallas path: returns `sweep_full(state) -> state`.
 
     with_activity=True returns instead the fluctuating-N variant
@@ -727,18 +727,22 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
         if cfg is not None:
             raise ValueError("activity-masked mega sweeps do not support "
                              "the sorted-slab window path")
-    if n_exch:
+    nb_sp = len(system.species_slices)
+    n_exchs = (n_exch,) * nb_sp if isinstance(n_exch, int) \
+        else tuple(n_exch)
+    n_widoms = (n_widom,) * nb_sp if isinstance(n_widom, int) \
+        else tuple(n_widom)
+    if any(n_exchs) or any(n_widoms):
         if not with_activity:
-            raise ValueError("in-kernel exchanges require with_activity")
-        n_exchs = (n_exch,) * len(system.species_slices) \
-            if isinstance(n_exch, int) else tuple(n_exch)
-        if len(n_exchs) != len(system.species_slices):
-            raise ValueError("n_exch must be an int or one count per "
-                             "species block")
-        if tmmc_exch and len(n_exchs) != 1:
+            raise ValueError("in-kernel exchanges/Widom require "
+                             "with_activity")
+        if len(n_exchs) != nb_sp or len(n_widoms) != nb_sp:
+            raise ValueError("n_exch/n_widom must be an int or one count "
+                             "per species block")
+        if tmmc_exch and nb_sp != 1:
             raise ValueError("in-kernel TMMC deposits support a single "
                              "species block")
-        if len(n_exchs) > 1:
+        if nb_sp > 1:
             # the in-kernel exchange constant tracks only the OWN
             # block's count; a charged species' reference-Wolf global
             # term couples the two counts (gcmc_binary.exchange_const)
@@ -827,7 +831,8 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
     per_chain = 4 * (2 * 3 * A_plane + 2 * 7 * m_pad + (2 * 2 + 1) * K + 40
                      + (A_plane if with_activity else 0)
                      + ((2 * m_pad + A_plane + 3 + 6 * np_pad + 1)
-                        if n_exch else 0))
+                        if any(n_exchs) or any(n_widoms) else 0)
+                     + (128 if any(n_widoms) else 0))
     lam_w = A_plane if params.lj_shift == "linear" else 128
     shared = 4 * (3 * A_plane + 4 * K
                   + max(P_max, 8) * (2 * A_plane + 2 * lam_w))
@@ -1015,7 +1020,7 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
             return (com_o, quat_o, coords_o, sfac_o, stats[:, 0],
                     stats[:, 1:3], stats[:, 3:5])
 
-        if n_exch == 0:
+        if not any(n_exchs) and not any(n_widoms):
             return sweep_act
 
         def sweep_x(com, quat, coords, active, box, sfac, chain_keys,
@@ -1035,9 +1040,13 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
             per-call collection matrix and energy moments, each
             (C, cap+1, 3).
             Returns (com, quat, coords, active, sfac, d_e, acc, att
-            [, cmat, uhist]): active the updated (C, M) bool mask,
-            acc/att (C, 2 + 2*n_blocks) f32 counters [translate,
-            rotate, then per block insert, delete]."""
+            [, cmat, uhist][, wid]): active the updated (C, M) bool
+            mask, acc/att (C, 2 + 2*n_blocks) f32 counters [translate,
+            rotate, then per block insert, delete].  With any
+            n_widom, wid (C, n_blocks, 2) appends each block's
+            [sum w, sum w^2] over its n_widoms[b] post-exchange ghost
+            insertions (w = exp(-beta dU_ins); see
+            ops.pallas.sweep_kernel)."""
             C = com.shape[0]
             if (not interpret and C * A_plane > 2048 * 2432
                     and not os.environ.get("MMC_MEGA_UNSAFE")):
@@ -1081,10 +1090,13 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
             seed = jnp.asarray(seed, jnp.int32)
             xacc, xatt = [], []
             xprev = (jnp.zeros((C,), f32),) * 3
+            wids = []
+            cm_uh = None
             moves_done = 0
             for b, (statics_b, consts_b) in enumerate(blocks):
-                extra = dict(n_exch=n_exchs[b], tmmc=tmmc_exch)
-                if n_exchs[b]:
+                extra = dict(n_exch=n_exchs[b], tmmc=tmmc_exch,
+                             n_widom=n_widoms[b])
+                if n_exchs[b] or n_widoms[b]:
                     extra.update(actm=actm, zact=z_b[b].astype(f32),
                                  si=si_b[b].astype(f32),
                                  wc=wc_b[b].astype(f32))
@@ -1099,9 +1111,18 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
                                    wstarts_j, *consts_b, **statics_b,
                                    **extra)
                 planes, stats = out[:12], out[12]
-                if n_exchs[b]:
-                    act_a, actm = out[13], out[14]
-                moves_done += statics_b["M"] + n_exchs[b]
+                i_o = 13
+                if n_exchs[b] or n_widoms[b]:
+                    act_a, actm = out[i_o], out[i_o + 1]
+                    i_o += 2
+                    if tmmc_exch:
+                        cm_uh = out[i_o:i_o + 2]
+                        i_o += 2
+                if n_widoms[b]:
+                    wids.append(out[i_o][:, 0:2])
+                elif any(n_widoms):
+                    wids.append(jnp.zeros((C, 2), f32))
+                moves_done += statics_b["M"] + n_exchs[b] + n_widoms[b]
                 # per-species exchange counters: difference the shared
                 # stats columns across block calls
                 xacc.append((stats[:, 5] - xprev[0],
@@ -1124,12 +1145,14 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
             res = (com_o, quat_o, coords_o, active_o, sfac_o,
                    stats[:, 0], acc, att)
             if tmmc_exch:
-                cm, uh = out[15:17]
+                cm, uh = cm_uh
                 cmat = jnp.transpose(
                     cm.reshape(C, 3, np_pad)[:, :, :M + 1], (0, 2, 1))
                 uhist = jnp.transpose(
                     uh.reshape(C, 3, np_pad)[:, :, :M + 1], (0, 2, 1))
                 res = res + (cmat, uhist)
+            if any(n_widoms):
+                res = res + (jnp.stack(wids, axis=1),)
             return res
 
         return sweep_x

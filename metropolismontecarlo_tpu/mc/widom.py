@@ -322,3 +322,75 @@ def make_widom_fn(system, params, kvecs, kweights, dtype=jnp.float32,
         return jnp.mean(b, axis=-1)
 
     return widom_du, widom_sample
+
+
+def make_mega_widom_fn(system, params, kvecs, kweights, n_per_sweep,
+                       interpret=False):
+    """Kernel-speed Widom sampling: ONE whole-sweep Pallas mega-kernel
+    call runs a full displacement/rotation sweep AND n_per_sweep ghost
+    insertions per chain, all in VMEM (ops/pallas/sweep_kernel n_widom
+    — the in-kernel exchange evaluator with the state writes removed).
+
+    Returns widom_mega(state, seed) -> (state', b_mean):
+      state' — the SimState advanced by one valid NVT kernel sweep at
+      params.temperature / params.dr_max / params.dphi_max (the kernel
+      path ignores the per-chain adapted fields, like mc/gcmc_mol's
+      mega path; seed is the int32 PRNG stream counter — pass a
+      monotone value per call);
+      b_mean — (C,) mean Boltzmann factor <exp(-beta dU_ins)> over the
+      n_per_sweep ghost poses evaluated AFTER the sweep, ready for
+      `mu_excess(b_mean, params.temperature)`.
+
+    dU matches widom_du's model up to the kernel's f32 polynomial
+    approximations: the position-independent LRC increment is folded
+    in here, overlap-vetoed ghosts count exactly 0, and the
+    reference-Wolf constant uses the kernel's own-count rule (exact
+    for a single species).  Requires the mega-kernel envelope
+    (species-uniform, site cutoff), a single species block, and
+    ewald_surface off; mixtures use make_widom_fn's jnp path.
+    """
+    if params.ewald_surface:
+        raise ValueError("kernel Widom does not support the Ewald "
+                         "surface term (pose-dependent dipole delta)")
+    if len(system.species_slices) != 1:
+        raise ValueError("kernel Widom supports single-species systems; "
+                         "use make_widom_fn for mixtures")
+    from metropolismontecarlo_tpu.mc.moves import make_mega_sweep_fn
+    sweep_x = make_mega_sweep_fn(system, params, kvecs, kweights,
+                                 interpret=interpret, with_activity=True,
+                                 n_exch=0, n_widom=int(n_per_sweep))
+    ev = make_pose_eval(system, params, kvecs, kweights, jnp.float32)
+    M = system.n_mol
+    beta = 1.0 / float(params.temperature)
+    q2 = ev.q_t_tot**2
+    use_sfac = params.coulomb == "ewald"
+
+    @jax.jit
+    def widom_mega(state, seed):
+        C = state.com.shape[0]
+        f32 = jnp.float32
+        box = state.box.astype(f32)
+        active = jnp.ones((C, M), bool)
+        si = jax.vmap(ev.self_intra)(box)
+        wc = jax.vmap(ev.wolf_const_coeff)(box) * q2
+        zact = jnp.ones((C,), f32)          # unread when n_exch == 0
+        chain_keys = state.key[:, 0].astype(jnp.int32)
+        (com, quat, coords, _act, sfac, d_e, acc, att,
+         wid) = sweep_x(state.com, state.quat, state.coords, active,
+                        box, state.sfac, chain_keys, seed, zact, si, wc)
+        lrc = jax.vmap(ev.lrc_delta)(box)
+        b_mean = (wid[:, 0, 0] / float(n_per_sweep)
+                  * jnp.exp(-beta * lrc))
+        dtype = state.com.dtype
+        pad1 = ((0, 0), (0, 1))             # [trans, rot] -> [t, r, vol]
+        state2 = state._replace(
+            com=com.astype(dtype), quat=quat.astype(dtype),
+            coords=coords.astype(dtype),
+            sfac=sfac.astype(dtype) if use_sfac else state.sfac,
+            energy=state.energy + d_e.astype(state.energy.dtype),
+            step=state.step + M + int(n_per_sweep),
+            acc=state.acc + jnp.pad(acc[:, :2].astype(jnp.int32), pad1),
+            att=state.att + jnp.pad(att[:, :2].astype(jnp.int32), pad1))
+        return state2, b_mean
+
+    return widom_mega

@@ -73,7 +73,7 @@ def _uniform(bits):
 def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                  kappa_l, d2_overlap, p_translate, use_rot, K, lj_shift,
                  m_start, a_start, slab, use_act, n_exch, tmmc, np_pad,
-                 p_dep):
+                 p_dep, n_widom):
     """Builds the kernel body (all sizes/flags static).
 
     M molecules are swept starting at global molecule index `m_start`,
@@ -129,7 +129,19 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
     operands: eta row (1, np_pad) and the carried energy e (cb, 1);
     extra outputs: cmat and uhist as (cb, 3 * np_pad) planes
     ([stay | up | down] and [count | sum E | sum E^2] segments);
-    p_dep is the analytically-folded exchange-type probability."""
+    p_dep is the analytically-folded exchange-type probability.
+
+    n_widom > 0 (requires use_act, slab=None): after the sweep and any
+    exchanges, evaluate n_widom GHOST insertion poses — the same trial
+    measure and energy model as an in-kernel insertion attempt — and
+    deposit sum(w) / sum(w^2) of the Boltzmann factors
+    w = exp(-beta dU_ins) into the wid output plane (cb, 128) columns
+    0/1, WITHOUT touching any state (Widom 1963; mc/widom.py
+    make_widom_fn is the jnp counterpart, whose du this matches up to
+    the kernel's f32 polynomial approximations and the position-
+    independent LRC increment the caller folds in outside).  The
+    insertion overlap veto rides dU as +1e30, so vetoed ghosts deposit
+    exactly 0 — the jnp path's `overlap -> 0` contract."""
 
     def kernel(*refs):
         (seed_ref, ckey_ref, wst_ref, body_ref, qp_ref, eps_pt_ref,
@@ -139,7 +151,7 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
          qw_in, qx_in, qy_in, qz_in, sre_in, sim_in, act_in,
          box_ref, temp_ref, drmax_ref, dphi_ref, stats_in) = refs[:34]
         i_r = 34
-        if n_exch:
+        if n_exch or n_widom:
             actm_in, z_ref, si_ref, wc_ref = refs[i_r:i_r + 4]
             i_r += 4
             if tmmc:
@@ -148,12 +160,15 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
         (x_o, y_o, z_o, cx_o, cy_o, cz_o,
          qw_o, qx_o, qy_o, qz_o, sre_o, sim_o, stats_o) = refs[i_r:i_r + 13]
         i_r += 13
-        if n_exch:
+        if n_exch or n_widom:
             act_o, actm_o = refs[i_r:i_r + 2]
             i_r += 2
             if tmmc:
                 cm_o, uh_o = refs[i_r:i_r + 2]
                 i_r += 2
+        if n_widom:
+            wid_o = refs[i_r]
+            i_r += 1
         (eps_rows, sig2_rows, lam1_rows, lam2_rows, cfac_s) = refs[i_r:]
         cb = x_in.shape[0]
         # Seed from (sweep counter, first chain key of this cell): chain
@@ -561,7 +576,7 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
         stats = jax.lax.fori_loop(
             0, M, move, jnp.zeros((cb, 8), jnp.float32))
 
-        if n_exch:
+        if n_exch or n_widom:
             act_o[:] = act_in[:]
             actm_o[:] = actm_in[:]
             if tmmc:
@@ -585,7 +600,8 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                 & (miota_f < float(m_start + M))
             aiota_f = jax.lax.broadcasted_iota(
                 jnp.int32, (1, A_pad), 1).astype(jnp.float32)
-            lnzv = jnp.log(z_ref[:] * box * box * box)
+            if n_exch:
+                lnzv = jnp.log(z_ref[:] * box * box * box)
             si_c = si_ref[:]
             wc_c = wc_ref[:]
             beta = 1.0 / temp
@@ -668,6 +684,34 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                 return _FACTOR * jnp.sum(cfac_s[:] * cross, axis=1,
                                          keepdims=True)
 
+            def trial_pose(u):
+                """Fresh trial pose from uniform columns 1-6: uniform
+                position + Shoemake quaternion (the insertion measure
+                shared by exchange and Widom attempts)."""
+                ctx = u[:, 1:2] * box
+                cty = u[:, 2:3] * box
+                ctz = u[:, 3:4] * box
+                if P > 1:
+                    u1 = u[:, 4:5]
+                    th2 = _TWO_PI * (u[:, 5:6] - jnp.round(u[:, 5:6]))
+                    th3 = _TWO_PI * (u[:, 6:7] - jnp.round(u[:, 6:7]))
+                    r1 = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+                    r2 = jnp.sqrt(u1)
+                    s2_, c2_ = _sincos_npi(th2)
+                    s3_, c3_ = _sincos_npi(th3)
+                    iw, ix, iy, iz = r1 * s2_, r1 * c2_, r2 * s3_, r2 * c3_
+                    ins_atoms = []
+                    for p in range(P):
+                        ox_, oy_, oz_ = rot_apply(
+                            iw, ix, iy, iz,
+                            body_pd(p, 0), body_pd(p, 1), body_pd(p, 2))
+                        ins_atoms.append((ctx + ox_, cty + oy_, ctz + oz_))
+                else:
+                    iw = jnp.ones_like(ctx)
+                    ix = iy = iz = jnp.zeros_like(ctx)
+                    ins_atoms = [(ctx, cty, ctz)]
+                return ctx, cty, ctz, (iw, ix, iy, iz), ins_atoms
+
             def xattempt(xi, stats):
                 bits = pltpu.prng_random_bits((cb, 128))
                 u = _uniform(bits)
@@ -707,28 +751,7 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                         jnp.sum(jnp.where(opick, r, 0.0), axis=1,
                                 keepdims=True) for r in rows))
                 # fresh trial pose: uniform position + Shoemake quat
-                ctx = u[:, 1:2] * box
-                cty = u[:, 2:3] * box
-                ctz = u[:, 3:4] * box
-                if P > 1:
-                    u1 = u[:, 4:5]
-                    th2 = _TWO_PI * (u[:, 5:6] - jnp.round(u[:, 5:6]))
-                    th3 = _TWO_PI * (u[:, 6:7] - jnp.round(u[:, 6:7]))
-                    r1 = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
-                    r2 = jnp.sqrt(u1)
-                    s2_, c2_ = _sincos_npi(th2)
-                    s3_, c3_ = _sincos_npi(th3)
-                    iw, ix, iy, iz = r1 * s2_, r1 * c2_, r2 * s3_, r2 * c3_
-                    ins_atoms = []
-                    for p in range(P):
-                        ox_, oy_, oz_ = rot_apply(
-                            iw, ix, iy, iz,
-                            body_pd(p, 0), body_pd(p, 1), body_pd(p, 2))
-                        ins_atoms.append((ctx + ox_, cty + oy_, ctz + oz_))
-                else:
-                    iw = jnp.ones_like(ctx)
-                    ix = iy = iz = jnp.zeros_like(ctx)
-                    ins_atoms = [(ctx, cty, ctz)]
+                ctx, cty, ctz, (iw, ix, iy, iz), ins_atoms = trial_pose(u)
 
                 if tmmc:
                     # BOTH branches every attempt (Rao-Blackwellized
@@ -836,7 +859,33 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                      okf * insf, okf * (1.0 - insf), insf], axis=1)
                 return stats + upd
 
-            stats = jax.lax.fori_loop(0, n_exch, xattempt, stats)
+            if n_exch:
+                stats = jax.lax.fori_loop(0, n_exch, xattempt, stats)
+
+            if n_widom:
+                wl_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+                def wattempt(wi, acc):
+                    bits = pltpu.prng_random_bits((cb, 128))
+                    u = _uniform(bits)
+                    _, _, _, _, ins_atoms = trial_pose(u)
+                    n = jnp.sum(jnp.where(valid_m, actm_o[:], 0.0),
+                                axis=1, keepdims=True)
+                    excl_none = jnp.full((cb, 1), -2.0, jnp.float32)
+                    rows = (x_o[:], y_o[:], z_o[:])
+                    du_i = xpair(ins_atoms, excl_none, rows, act_o[:],
+                                 True) + si_c + wc_c * (2.0 * n + 1.0)
+                    if coulomb == "ewald":
+                        dsr, dsi = xsfac(ins_atoms)
+                        du_i = du_i + du_recip(dsr, dsi, 1.0)
+                    # vetoed/overlapping ghosts ride du as +1e30 -> w = 0
+                    w = jnp.exp(-beta * du_i)
+                    return acc + (jnp.where(wl_iota == 0, w, 0.0)
+                                  + jnp.where(wl_iota == 1, w * w, 0.0))
+
+                wid_o[:] = jax.lax.fori_loop(
+                    0, n_widom, wattempt,
+                    jnp.zeros((cb, 128), jnp.float32))
 
         stats_o[:] = stats_in[:] + stats
 
@@ -849,7 +898,7 @@ def _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                      "rc2", "qrc2", "kappa_l", "d2_overlap", "p_translate",
                      "use_rot", "cb", "interpret", "lj_shift", "m_start",
                      "a_start", "slab", "use_act", "n_exch", "tmmc",
-                     "p_dep"),
+                     "p_dep", "n_widom"),
 )
 def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act,
                  box, temp, drmax, dphi, stats,
@@ -860,7 +909,7 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act,
                  lj_shift="none", cb=64, interpret=False, m_start=0,
                  a_start=0, slab=None, use_act=False,
                  actm=None, zact=None, si=None, wc=None, eta=None,
-                 e_in=None, n_exch=0, tmmc=False, p_dep=0.5):
+                 e_in=None, n_exch=0, tmmc=False, p_dep=0.5, n_widom=0):
     """One MC sweep of a species block: molecules [m_start, m_start+M)
     whose atoms start at column a_start (0/0/n_mol = whole uniform
     system).  Planes (C, A_pad)/(C, M_pad)/(C, K); box/temp/drmax/dphi
@@ -877,6 +926,12 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act,
     (act, actm) and, for tmmc, (cmat, uhist) as (C, 3 * np_pad) planes.
     Stats columns 5-7 become [acc_ins, acc_del, att_ins]
     (att_del = n_exch - att_ins).
+
+    n_widom > 0 appends n_widom state-preserving Widom ghost
+    evaluations (see _make_kernel) — needs the same actm/zact/si/wc
+    operands as n_exch (zact is unread when n_exch == 0) and appends a
+    (C, 128) wid plane to the return tuple: columns 0/1 hold
+    sum(exp(-beta dU_ins)) and its square sum.
     """
     C, A = x.shape
     A_act = act.shape[1]
@@ -885,9 +940,9 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act,
     assert P <= 128, "molecule wider than the aligned atom window"
     MP = cx.shape[1]
     assert MP % 128 == 0, "molecule planes must be 128-padded"
-    if n_exch:
+    if n_exch or n_widom:
         assert use_act and slab is None, \
-            "in-kernel exchanges need the activity-masked dense path"
+            "in-kernel exchanges/Widom need the activity-masked dense path"
     np_pad = -(-(M + 1) // 128) * 128 if tmmc else 0
     cb = next(b for b in (min(cb, C), 32, 16, 8, 4, 2, 1) if C % b == 0)
     grid = (C // cb,)
@@ -896,7 +951,7 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act,
     kern = _make_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                         kappa_l, d2_overlap, p_translate, use_rot, K,
                         lj_shift, m_start, a_start, slab, use_act,
-                        n_exch, tmmc, np_pad, p_dep)
+                        n_exch, tmmc, np_pad, p_dep, n_widom)
 
     cell = lambda n: pl.BlockSpec((cb, n), lambda c: (c, 0),  # noqa: E731
                                   memory_space=pltpu.VMEM)
@@ -945,7 +1000,7 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act,
         jax.ShapeDtypeStruct(s.shape, jnp.float32)
         for s in (x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, stats)
     ]
-    if n_exch:
+    if n_exch or n_widom:
         in_specs += [cell(MP), cell(1), cell(1), cell(1)]
         operands += [actm, zact.reshape(C, 1), si.reshape(C, 1),
                      wc.reshape(C, 1)]
@@ -960,6 +1015,9 @@ def sweep_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act,
             out_shape += [
                 jax.ShapeDtypeStruct((C, 3 * np_pad), jnp.float32),
                 jax.ShapeDtypeStruct((C, 3 * np_pad), jnp.float32)]
+        if n_widom:
+            out_specs += [cell(128)]
+            out_shape += [jax.ShapeDtypeStruct((C, 128), jnp.float32)]
 
     outs = pl.pallas_call(
         kern,
