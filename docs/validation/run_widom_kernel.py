@@ -104,14 +104,14 @@ def main():
 
     # kernel phase: blocks x sweeps, n_g in-kernel ghosts per sweep
     note("kernel Widom phase")
-    seed = 10_000_000
+    # streams are step-seeded inside widom_mega (disjoint from the
+    # equilibration sweeps' streams by the shared step counter)
     bk = []
     t0 = time.time()
     for b in range(blocks):
         acc = 0.0
         for s in range(sweeps_pb):
-            state, bmean = widom_mega(state, jnp.asarray(seed, jnp.int32))
-            seed += n_mol + n_g
+            state, bmean = widom_mega(state)
             acc = acc + bmean
         bk.append(float(jnp.mean(acc)) / sweeps_pb)
     jax.block_until_ready(state.energy)

@@ -514,7 +514,7 @@ class MonteCarlo:
         from metropolismontecarlo_tpu.mc.widom import mu_excess
         return {"boltzmann_mean": b, "mu_ex": mu_excess(b, state.temp)}
 
-    def widom_mega(self, state, seed, n_per_sweep=64):
+    def widom_mega(self, state, seed=0, n_per_sweep=64):
         """Kernel-speed Widom sampling: advance the state by ONE
         whole-sweep mega-kernel sweep AND evaluate n_per_sweep ghost
         insertions inside the same Pallas call (mc/widom.py
@@ -523,7 +523,16 @@ class MonteCarlo:
         widom_kernel.txt).  Returns (state', dict) with widom()'s keys;
         the sweep and the Boltzmann factors both use
         params.temperature (the kernel path ignores per-chain temp).
-        seed: int32 PRNG stream counter, monotone across calls."""
+        seed: optional extra int32 stream offset — streams are
+        step-seeded and disjoint by default (see make_mega_widom_fn)."""
+        if self.pallas_mode not in ("mega", "mega_interpret"):
+            raise ValueError(
+                "widom_mega requires the mega-kernel path "
+                f"(pallas='mega' or 'mega_interpret'; this MonteCarlo "
+                f"was built with pallas_mode={self.pallas_mode!r}) — a "
+                "non-mega build would hand the Pallas kernel a state it "
+                "was not laid out for and fail deep inside lowering.  "
+                "Use MonteCarlo.widom() for the jnp path.")
         key_n = int(n_per_sweep)
         fn = getattr(self, "_widom_mega_fn", None)
         if fn is None or self._widom_mega_n != key_n:

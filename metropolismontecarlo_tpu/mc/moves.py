@@ -705,6 +705,12 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
     molecule in storage order — the same schedule as the jnp and
     per-move-Pallas paths.  See ops.pallas.sweep_kernel.
 
+    NOTE the signature switch: when n_exch and n_widom are 0 (ints or
+    ALL-ZERO sequences) the returned callable is the 8-argument
+    sweep_act, not the 11-argument sweep_x — callers passing computed
+    per-species counts must branch on `any(counts)` exactly as the
+    ensemble builders do (mc/gcmc_mol.py mega="full").
+
     box_hint (a representative box edge) enables the sorted-slab window
     path when profitable (see slab_config): each sweep starts with a
     per-chain z-resort, the planes grow a ghost halo, and the kernels

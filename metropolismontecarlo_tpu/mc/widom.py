@@ -335,8 +335,15 @@ def make_mega_widom_fn(system, params, kvecs, kweights, n_per_sweep,
       state' — the SimState advanced by one valid NVT kernel sweep at
       params.temperature / params.dr_max / params.dphi_max (the kernel
       path ignores the per-chain adapted fields, like mc/gcmc_mol's
-      mega path; seed is the int32 PRNG stream counter — pass a
-      monotone value per call);
+      mega path).  The PRNG stream is seeded from state.step — the
+      SAME counter the plain sweep_full path uses — and each call
+      advances step by M + n_per_sweep, so streams stay disjoint from
+      each other AND from interleaved run_steps sweeps on the same
+      trajectory with no caller bookkeeping.  seed (optional int32)
+      is an EXTRA offset added to the step counter for callers running
+      decorrelated replicas off one state; mixing nonzero offsets with
+      step-seeded calls is the caller's responsibility (keep offsets
+      >> the total step range, e.g. 1e7 apart);
       b_mean — (C,) mean Boltzmann factor <exp(-beta dU_ins)> over the
       n_per_sweep ghost poses evaluated AFTER the sweep, ready for
       `mu_excess(b_mean, params.temperature)`.
@@ -349,6 +356,12 @@ def make_mega_widom_fn(system, params, kvecs, kweights, n_per_sweep,
     (species-uniform, site cutoff), a single species block, and
     ewald_surface off; mixtures use make_widom_fn's jnp path.
     """
+    if int(n_per_sweep) < 1:
+        raise ValueError("n_per_sweep must be >= 1 (with 0 ghost "
+                         "insertions the builder would construct the "
+                         "8-argument sweep_act signature and the kernel "
+                         "call below would fail at trace time; use the "
+                         "plain mega sweep path for sampling-free sweeps)")
     if params.ewald_surface:
         raise ValueError("kernel Widom does not support the Ewald "
                          "surface term (pose-dependent dipole delta)")
@@ -366,7 +379,8 @@ def make_mega_widom_fn(system, params, kvecs, kweights, n_per_sweep,
     use_sfac = params.coulomb == "ewald"
 
     @jax.jit
-    def widom_mega(state, seed):
+    def widom_mega(state, seed=0):
+        seed = state.step.astype(jnp.int32) + jnp.asarray(seed, jnp.int32)
         C = state.com.shape[0]
         f32 = jnp.float32
         box = state.box.astype(f32)
