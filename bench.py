@@ -9,10 +9,16 @@ Variants via BENCH_CONFIG: spce (default) | wolf | lj | triatomic |
 npt | mixture — the other BASELINE.json configurations — plus gcmc and
 tmmc (molecular muVT water through the activity-masked mega kernel;
 sweep-equivalents/s = displacement+exchange attempts normalized by the
-slot capacity, comparable to the NVT sweeps/s).  BENCH_CHAINS and
+slot capacity, comparable to the NVT sweeps/s) and gibbs (two-box
+molecular Gibbs water; mega="full" runs transfers in-kernel on the
+round-4 both-boxes-in-one-row layout, BENCH_MEGA=hybrid the round-3
+folded-sweep + jnp-transfer path).  BENCH_CHAINS and
 BENCH_STEPS control scale.  The JSON line records every knob that
 affects the number (config/chains/steps/dtype), so each record in
-docs/perf.md reproduces by copy-pasting one command.
+docs/perf.md reproduces by copy-pasting one command; "first_call_s"
+records the COLD-START wall of the warmup call (compile + first
+execution — minutes for the mega="full" exchange kernels on a cold
+cache; see docs/perf.md).
 """
 
 import json
@@ -152,10 +158,53 @@ def _setup_muvt(config, n_chains):
     return run, state, label, sweeps_per_cycle
 
 
+def _setup_gibbs(n_chains):
+    """Two-box molecular Gibbs water.  One timed unit = one CYCLE of
+    [2*cap displacement/rotation attempts + x_per transfer attempts];
+    sweep-equivalents = (2*cap + x_per) / cap per cycle (cap = per-box
+    slot capacity), comparable to the muVT records.  BENCH_MEGA:
+    "full" (default; transfers IN-KERNEL on the both-boxes-in-one-row
+    layout, ops/pallas/gibbs_kernel.py) or "hybrid" (round-3 path:
+    folded kernel sweeps + the jnp transfer scan)."""
+    from metropolismontecarlo_tpu.mc.gibbs_mol import make_gibbs_mol
+    from metropolismontecarlo_tpu.models.water import spce_system
+    from metropolismontecarlo_tpu.ops.ewald import tune_parameters
+
+    mega_mode = os.environ.get("BENCH_MEGA", "full")
+    mega = {"full": "full", "hybrid": True}[mega_mode]
+    cap, px = 128, 0.3
+    n_l, n_v = (2 * cap) // 3, cap // 6
+    box_l = (n_l / 0.0267) ** (1.0 / 3.0)     # ~0.80 g/cc
+    box_v = 18.0                              # dense vapor: K stays
+    # modest (tuned Ewald K grows ~ (kappa*L)^3; the 0.015 g/cc
+    # artifact box would need K ~ 6000)
+    r_cut = min(7.5, 0.45 * box_l)
+    kl, nk, ksq = tune_parameters(1.15 * box_v, r_cut, 1e-3)
+    params = RunParams(temperature=450.0, r_cut=r_cut, cutoff_mode="site",
+                       coulomb="ewald", kappa_L=kl, nk=nk, ksq_max=ksq,
+                       p_translate=0.5, dr_max=0.3, dphi_max=0.4,
+                       p_volume=0.002, use_lrc=False,
+                       strict_min_image=False)
+    init, run_steps = make_gibbs_mol(
+        spce_system(cap), params, dv_max=0.03, p_transfer=px,
+        dtype=jnp.float32, mega=mega)[:2]
+    state = init(jax.random.PRNGKey(0), boxes=(box_l, box_v),
+                 n_init=(n_l, n_v), n_chains=n_chains)
+    x_per = max(1, int(round(2 * cap * px / (1.0 - px))))
+    attempts_per_cycle = 2 * cap + x_per
+    label = (f"SPC/E Gibbs cap-{cap}x2 {mega_mode}-mega-kernel, "
+             f"p_transfer={px}")
+
+    def run(state, n_cycles):
+        return run_steps(state, n_cycles * attempts_per_cycle)
+
+    return run, state, label, attempts_per_cycle / cap
+
+
 def main():
     config = os.environ.get("BENCH_CONFIG", "spce")
-    default_chains = {"mixture": 256, "gcmc": 1024, "tmmc": 1024}.get(
-        config, 2048)
+    default_chains = {"mixture": 256, "gcmc": 1024, "tmmc": 1024,
+                      "gibbs": 512}.get(config, 2048)
     n_chains = int(os.environ.get("BENCH_CHAINS", str(default_chains)))
     # npt: the timed window must cover one full volume-attempt period
     # (round(1/p_volume) = 20 sweeps) or the O(A^2) volume recompute is
@@ -163,10 +212,12 @@ def main():
     # overhead dominates 2-step windows on a 70k+ sweeps/s config — time
     # a 50-sweep window (the steady-state regime users actually run).
     default_steps = {"npt": 20, "lj": 50, "triatomic": 20, "gcmc": 4,
-                     "tmmc": 4}.get(config, 2)
+                     "tmmc": 4, "gibbs": 4}.get(config, 2)
     n_steps = int(os.environ.get("BENCH_STEPS", str(default_steps)))
 
-    if config in ("gcmc", "tmmc"):
+    if config == "gibbs":
+        run, state, label, sweeps_per_unit = _setup_gibbs(n_chains)
+    elif config in ("gcmc", "tmmc"):
         run, state, label, sweeps_per_unit = _setup_muvt(config, n_chains)
     else:
         mc, state, label = _setup(config, n_chains)
@@ -175,9 +226,15 @@ def main():
         def run(state, n_steps):
             return mc.run_steps(state, n_steps, False)
 
-    # warmup & compile (same static n_steps as the timed call)
+    # warmup & compile (same static n_steps as the timed call); its
+    # wall is the COLD-START cost users pay on the first invocation —
+    # minutes for the mega="full" exchange kernels on a cold Mosaic
+    # cache (recorded as first_call_s; a warm persistent cache shrinks
+    # it to seconds)
+    t_c0 = time.perf_counter()
     warm = run(state, n_steps)
     jax.block_until_ready(warm.energy)
+    first_call_s = time.perf_counter() - t_c0
 
     t0 = time.perf_counter()
     state = run(state, n_steps)
@@ -194,10 +251,11 @@ def main():
         "chains": n_chains,
         "steps": n_steps,
         "dtype": "float32",
+        "first_call_s": round(first_call_s, 1),
         "command": (f"BENCH_CONFIG={config} BENCH_CHAINS={n_chains} "
                     f"BENCH_STEPS={n_steps} python bench.py"),
     }
-    if config in ("gcmc", "tmmc"):
+    if config in ("gcmc", "tmmc", "gibbs"):
         mega_mode = os.environ.get("BENCH_MEGA", "full")
         rec["mega"] = mega_mode
         rec["command"] = (f"BENCH_CONFIG={config} BENCH_MEGA={mega_mode} "

@@ -79,6 +79,18 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
     dtype=float32 and p_transfer > 0; see mc/gcmc_mol.make_gcmc_mol for
     the composition argument (deterministic alternation of reversible
     kernels).
+
+    mega="full" (or "interpret_full"): run the TRANSFERS in-kernel too
+    — both boxes of a chain fold into ONE kernel row (box 1's columns
+    offset by A_pad/m_pad) and each Pallas call executes [2*cap
+    displacement/rotation moves + x_per transfer attempts], a transfer
+    being an in-kernel deletion+insertion pair on that row with each
+    box's own kappa/self-intra constants (moves.make_mega_gibbs_fn,
+    ops.pallas.gibbs_kernel) — the round-3 muVT kernel-exchange design
+    applied to Gibbs.  Volume exchanges remain jnp full-recompute
+    moves on a deterministic cadence preserving params.p_volume.
+    Requires n_orient=1 (unbiased transfers), 0 < p_transfer < 1,
+    dtype=float32.
     """
     ms = make_mol_slots(system, params, dtype)
     ev, P, cap, K = ms.ev, ms.P, ms.cap, ms.K
@@ -374,6 +386,9 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
         if dtype != jnp.float32:
             raise ValueError("mega Gibbs requires dtype=float32 (the "
                              "whole-sweep kernel is f32)")
+        if mega not in (True, "interpret", "full", "interpret_full"):
+            raise ValueError("mega must be True, 'interpret', 'full' or "
+                             f"'interpret_full': {mega!r}")
         if px >= 1.0:
             raise ValueError("mega Gibbs needs p_transfer < 1 (otherwise "
                              "there is no displacement work to kernelize)")
@@ -381,6 +396,95 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
             raise ValueError("mega Gibbs with p_transfer = 0 cannot "
                              "schedule volume moves (set p_volume = 0 "
                              "for a pure-displacement pre-equilibration)")
+
+    if mega in ("full", "interpret_full"):
+        # FULLY in-kernel cycles (round 4): one Pallas call runs
+        # [2*cap displacement/rotation moves + x_per transfer attempts]
+        # with both boxes of each chain resident in ONE kernel row
+        # (moves.make_mega_gibbs_fn / ops.pallas.gibbs_kernel) — no jnp
+        # transfer scan at all, the round-3 muVT treatment applied to
+        # the Gibbs ensemble.  Volume exchanges stay on the jnp path
+        # (_vol_step, full-recompute moves) on a deterministic cadence
+        # that preserves params.p_volume attempts per plain attempt.
+        if not 0.0 < px < 1.0:
+            raise ValueError("mega='full' needs 0 < p_transfer < 1")
+        if n_or != 1:
+            raise ValueError("in-kernel transfers run the unbiased "
+                             "algorithm (n_orient=1); use mega=True for "
+                             "Rosenbluth-biased transfers")
+        from metropolismontecarlo_tpu.mc.moves import make_mega_gibbs_fn
+
+        x_per = max(1, int(round(2 * cap * px / (1.0 - px))))
+        sweep_g = make_mega_gibbs_fn(
+            system, params, ms.kv, ms.kw,
+            interpret=(mega == "interpret_full"), n_exch=x_per)
+        att_pc = 2 * cap + x_per
+        if p_v > 0:
+            vol_pc = p_v * att_pc
+            if vol_pc >= 1.0:
+                k_vol, vol_every = max(1, int(round(vol_pc))), 1
+            else:
+                k_vol, vol_every = 1, max(1, int(round(1.0 / vol_pc)))
+        else:
+            k_vol, vol_every = 0, 1
+
+        def _vol_state(state):
+            carry = (state.com, state.quat, state.coords, state.active,
+                     state.box, state.sfac, state.energy, state.key,
+                     state.acc, state.att)
+            return MolGibbsState(*jax.vmap(_vol_step)(carry))
+
+        def _cycle_full(state):
+            C = state.com.shape[0]
+            keys2 = jax.vmap(jax.random.split)(state.key)
+            knext, sub = keys2[:, 0], keys2[:, 1]
+            ck = jax.lax.bitcast_convert_type(sub[:, 0], jnp.int32)
+            box_flat = state.box.reshape(2 * C)
+            si2 = jax.vmap(ev.self_intra)(box_flat).reshape(C, 2)
+            if ms.q_t2 != 0.0:
+                wc2 = jax.vmap(ev.wolf_const_coeff)(box_flat) \
+                    .reshape(C, 2) * ms.q_t2
+            else:
+                wc2 = jnp.zeros_like(state.box)
+            (com, quat, coords, active, sfac_o, d_e, acc3,
+             att3) = sweep_g(state.com, state.quat, state.coords,
+                             state.active, state.box, state.sfac, ck,
+                             jnp.zeros((), jnp.int32), si2, wc2)
+            zc = jnp.zeros_like(acc3[:, 0])
+            acc4 = jnp.stack([acc3[:, 0], acc3[:, 1], zc, acc3[:, 2]], 1)
+            att4 = jnp.stack([att3[:, 0], att3[:, 1], zc, att3[:, 2]], 1)
+            return state._replace(
+                com=com, quat=quat, coords=coords, active=active,
+                sfac=sfac_o if use_ewald else state.sfac,
+                energy=state.energy + d_e, key=knext,
+                acc=state.acc + acc4.astype(jnp.int32),
+                att=state.att + att4.astype(jnp.int32))
+
+        @partial(jax.jit, static_argnums=1)
+        def run_steps(state, n_steps):   # noqa: F811
+            n_cyc = max(1, int(round(n_steps / att_pc)))
+
+            def cyc(st, _):
+                return _cycle_full(st), None
+
+            if k_vol:
+                n_sup, rem = divmod(n_cyc, vol_every)
+            else:
+                n_sup, rem = 0, n_cyc
+            if n_sup:
+                def super_cycle(st, _):
+                    st, _ = jax.lax.scan(cyc, st, None, length=vol_every)
+                    for _i in range(k_vol):
+                        st = _vol_state(st)
+                    return st, None
+
+                state, _ = jax.lax.scan(super_cycle, state, None,
+                                        length=n_sup)
+            if rem:
+                state, _ = jax.lax.scan(cyc, state, None, length=rem)
+            return state
+
+    elif mega:
         from metropolismontecarlo_tpu.mc.moves import make_mega_sweep_fn
 
         sweep_act = make_mega_sweep_fn(

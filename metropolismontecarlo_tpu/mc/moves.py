@@ -1164,3 +1164,345 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
         return sweep_x
 
     return sweep_full
+
+
+def make_mega_gibbs_fn(system, params, kvecs, kweights, interpret=False,
+                       n_exch=1):
+    """Fully in-kernel Gibbs cycle: returns `sweep_gibbs(com, quat,
+    coords, active, box, sfac, chain_keys, seed, si2, wc2)` running
+    [2*cap displacement/rotation moves + n_exch transfer attempts] in
+    ONE Pallas call on the MolGibbsState layout (mc/gibbs_mol.py):
+    com (C, 2, cap, 3), quat (C, 2, cap, 4), coords (C, 2, 3, A_pad),
+    active (C, 2, cap) bool, box (C, 2), sfac (C, 2, K, 2); si2/wc2
+    (C, 2) per-box self+intra constants (ev.self_intra(box_b)) and
+    reference-Wolf coefficients (ev.wolf_const_coeff(box_b) * q_tot^2).
+
+    Both boxes of a chain fold into ONE kernel row (box 1's columns
+    offset by A_pad / m_pad — see ops.pallas.gibbs_kernel), so a
+    transfer is an in-kernel deletion+insertion pair on that row;
+    volume exchanges stay on the jnp path.  Requires a uniform
+    single-species system, site cutoff, f32.
+
+    Returns (com, quat, coords, active, sfac, d_e (C, 2) per-box
+    accepted energy deltas, acc (C, 3) [trans, rot, transfer] counts,
+    att (C, 3))."""
+    from metropolismontecarlo_tpu.ops.pallas.gibbs_kernel import (
+        sweep_gibbs_pallas,
+    )
+
+    if not system.is_uniform or params.cutoff_mode != "site" \
+            or params.lj_shift not in ("none", "linear"):
+        raise ValueError("mega Gibbs requires a uniform single-species "
+                         "system and site cutoff")
+    cap, A = system.n_mol, system.n_atoms
+    A_pad = system.n_atoms_padded
+    P = system.atoms_per_mol
+    assert A == cap * P
+    A2 = 2 * A_pad
+    m_pad = _round_up(cap, 128)
+    M2 = 2 * m_pad
+    n_types = system.eps_table.shape[0]
+    t_pad = _round_up(n_types, 8)
+    tids_np = np.asarray(system.type_ids)
+    qs_np = np.asarray(system.charges)
+    bodies_np = np.asarray(system.body)
+    et = np.asarray(system.eps_table, np.float32)
+    st = np.asarray(system.sig_table, np.float32)
+
+    # template tables (one species, both boxes)
+    p_pad = _round_up(max(3 * P, P), 32)
+    body_row = np.zeros((1, p_pad), np.float32)
+    body_row[0, :3 * P] = bodies_np[0, :P].reshape(-1)
+    qp_row = np.zeros((1, p_pad), np.float32)
+    qp_row[0, :P] = qs_np[0, :P]
+    eps_pt = np.zeros((max(P, 8), t_pad), np.float32)
+    sig2_pt = np.zeros((max(P, 8), t_pad), np.float32)
+    lam1_pt = np.zeros((max(P, 8), t_pad), np.float32)
+    lam2_pt = np.zeros((max(P, 8), t_pad), np.float32)
+    for p in range(P):
+        eps_pt[p, :n_types] = et[tids_np[0, p]]
+        sig2_pt[p, :n_types] = st[tids_np[0, p]] ** 2
+        if params.lj_shift == "linear":
+            from metropolismontecarlo_tpu.ops.lj import _shift_coeffs
+            srow = st[tids_np[0, p]]
+            l1, l2 = _shift_coeffs(params.r_cut / srow)
+            lam1_pt[p, :n_types] = et[tids_np[0, p]] * l1
+            lam2_pt[p, :n_types] = et[tids_np[0, p]] * l2 / srow
+    has_lj = tuple(bool(np.any(et[tids_np[0, p]] != 0.0))
+                   for p in range(P))
+    has_q = tuple(bool(qs_np[0, p] != 0.0) for p in range(P))
+
+    # per-box shared rows: box 1 molecule ids offset by m_pad so plane
+    # positions and ids coincide (the kernel's slot arithmetic)
+    def half_rows():
+        tid = np.full(A_pad, -1.0, np.float32)
+        tid[:A] = system.flat(system.type_ids)
+        mol = np.full(A_pad, -1.0, np.float32)
+        mol[:A] = system.atom_mol_slot[0]
+        q = np.zeros(A_pad, np.float32)
+        q[:A] = system.flat(system.charges)
+        return tid, mol, q
+
+    tid_h, mol_h, q_h = half_rows()
+    tid_row = np.concatenate([tid_h, tid_h])
+    mol_b1 = np.where(mol_h >= 0.0, mol_h + m_pad, -1.0)
+    molid_row = np.concatenate([mol_h, mol_b1]).astype(np.float32)
+    q_row = np.concatenate([q_h, q_h])
+
+    if kvecs is not None:
+        kx = jnp.asarray(kvecs[:, 0], jnp.float32)
+        ky = jnp.asarray(kvecs[:, 1], jnp.float32)
+        kz = jnp.asarray(kvecs[:, 2], jnp.float32)
+        kw_r = jnp.asarray(kweights, jnp.float32)
+        K = len(kweights)
+    else:
+        kx = ky = kz = kw_r = jnp.zeros((1,), jnp.float32)
+        K = 1
+
+    # VMEM chain-block model (see make_mega_sweep_fn): doubled planes,
+    # four sfac planes, two cfac scratches
+    per_chain = 4 * (2 * 3 * A2 + 2 * 7 * M2 + (2 * 4 + 2) * K
+                     + 2 * (A2 + M2) + 56)
+    lam_w = A2 if params.lj_shift == "linear" else 128
+    shared = 4 * (3 * A2 + 4 * K + max(P, 8) * (2 * A2 + 2 * lam_w))
+    budget = 12 * 1024 * 1024 - shared
+    cb_fit = max(1, budget // per_chain)
+    cb = int(os.environ.get("MMC_MEGA_CB", "0")) \
+        or next(b for b in (128, 64, 32, 16, 8, 4, 2, 1) if b <= cb_fit)
+
+    statics = dict(
+        M=cap, P=P, coulomb=_kernel_coulomb(params), n_types=n_types,
+        has_lj=has_lj, has_q=has_q, rc2=float(params.r_cut**2),
+        qrc2=float(params.qq_cut**2), kappa_l=float(params.kappa_L),
+        d2_overlap=float(params.d2_overlap),
+        p_translate=float(params.p_translate),
+        use_rot=(P > 1 and params.p_translate < 1.0),
+        lj_shift=params.lj_shift, cb=cb, interpret=interpret,
+        n_exch=int(n_exch),
+    )
+    consts = (jnp.asarray(body_row), jnp.asarray(qp_row),
+              jnp.asarray(eps_pt), jnp.asarray(sig2_pt),
+              jnp.asarray(lam1_pt), jnp.asarray(lam2_pt),
+              jnp.asarray(tid_row), jnp.asarray(molid_row),
+              jnp.asarray(q_row), kx, ky, kz, kw_r)
+
+    def sweep_gibbs(com, quat, coords, active, box, sfac, chain_keys,
+                    seed, si2, wc2):
+        C = com.shape[0]
+        if not interpret and C * A2 > 2048 * 2432 \
+                and not os.environ.get("MMC_MEGA_UNSAFE"):
+            raise ValueError(
+                f"mega Gibbs: C={C} x 2*A_pad={A2} is outside the "
+                "validated envelope (<= 2048x2432); see CLAUDE.md "
+                "known issues.")
+        f32 = jnp.float32
+
+        def aplane(k):
+            return jnp.concatenate(
+                [coords[:, 0, k, :], coords[:, 1, k, :]],
+                axis=1).astype(f32)
+
+        def mplane(arr):                      # (C, 2, cap) -> (C, M2)
+            return jnp.concatenate(
+                [jnp.pad(arr[:, 0].astype(f32),
+                         ((0, 0), (0, m_pad - cap))),
+                 jnp.pad(arr[:, 1].astype(f32),
+                         ((0, 0), (0, m_pad - cap)))], axis=1)
+
+        actf = active.astype(f32)
+        act_halves = []
+        for b in range(2):
+            seg = jnp.repeat(actf[:, b], P, axis=1)       # (C, A)
+            act_halves.append(jnp.pad(seg, ((0, 0), (0, A_pad - A))))
+        act_a = jnp.concatenate(act_halves, axis=1)
+        actm = mplane(actf)
+        ones = jnp.ones((C, 1), f32)
+        out = sweep_gibbs_pallas(
+            aplane(0), aplane(1), aplane(2),
+            mplane(com[..., 0]), mplane(com[..., 1]),
+            mplane(com[..., 2]),
+            mplane(quat[..., 0]), mplane(quat[..., 1]),
+            mplane(quat[..., 2]), mplane(quat[..., 3]),
+            sfac[:, 0, :, 0].astype(f32), sfac[:, 0, :, 1].astype(f32),
+            sfac[:, 1, :, 0].astype(f32), sfac[:, 1, :, 1].astype(f32),
+            act_a, actm,
+            box.astype(f32),
+            float(params.temperature) * ones,
+            float(params.dr_max) * ones,
+            float(params.dphi_max) * ones,
+            si2.astype(f32), wc2.astype(f32),
+            jnp.zeros((C, 8), f32),
+            jnp.asarray(seed, jnp.int32),
+            chain_keys.astype(jnp.int32),
+            *consts, **statics)
+        (x, y, z, cx, cy, cz, qw, qx, qy, qz,
+         sre0, sim0, sre1, sim1, act_o, actm_o, stats) = out
+
+        def unfold_m(arr):                    # (C, M2) -> (C, 2, cap)
+            return jnp.stack([arr[:, :cap],
+                              arr[:, m_pad:m_pad + cap]], axis=1)
+
+        com_o = jnp.stack([unfold_m(cx), unfold_m(cy), unfold_m(cz)],
+                          axis=-1)
+        quat_o = jnp.stack([unfold_m(qw), unfold_m(qx), unfold_m(qy),
+                            unfold_m(qz)], axis=-1)
+
+        def unfold_a(arr):                    # (C, A2) -> (C, 2, A_pad)
+            return jnp.stack([arr[:, :A_pad], arr[:, A_pad:]], axis=1)
+
+        coords_o = jnp.stack([unfold_a(x), unfold_a(y), unfold_a(z)],
+                             axis=2)          # (C, 2, 3, A_pad)
+        active_o = unfold_m(actm_o) > 0.5
+        sfac_o = jnp.stack(
+            [jnp.stack([sre0, sim0], axis=-1),
+             jnp.stack([sre1, sim1], axis=-1)], axis=1)   # (C, 2, K, 2)
+        d_e = stats[:, 0:2]
+        acc = jnp.stack([stats[:, 2], stats[:, 3], stats[:, 6]], axis=1)
+        att = jnp.stack([stats[:, 4], stats[:, 5],
+                         jnp.full((C,), float(n_exch), f32)], axis=1)
+        return com_o, quat_o, coords_o, active_o, sfac_o, d_e, acc, att
+
+    return sweep_gibbs
+
+
+def make_mega_flip_fn(system, params, kvecs, kweights, fugacity_ratio,
+                      interpret=False, n_flip=1):
+    """In-kernel semigrand identity flips: returns `flips(com, quat,
+    coords, active, box, sfac, chain_keys, seed, si2)` running n_flip
+    flip attempts in one Pallas call on the SemigrandState layout
+    (mc/semigrand.py): com (C, M, 3), quat (C, M, 4), coords
+    (C, 3, A_pad), active (C, M) bool, box (C,), sfac (C, K, 2); si2
+    (C, 2) per-species self+intra constants.  Composes with the
+    per-block sweep_act kernel (make_mega_sweep_fn) for the
+    displacement/rotation budget — a flip touches BOTH species'
+    templates in one attempt, which the per-block sweep kernel cannot
+    express (ops.pallas.flip_kernel).
+
+    Returns (com, quat, coords, active, sfac, d_e (C,), acc (C, 2)
+    [flip A->B, flip B->A], att (C, 2))."""
+    from metropolismontecarlo_tpu.ops.pallas.flip_kernel import flip_pallas
+
+    slices = system.species_slices
+    if len(slices) != 2 or not system.species_uniform:
+        raise ValueError("mega flips require exactly two internally "
+                         "uniform species blocks")
+    if params.cutoff_mode != "site" or params.lj_shift != "none":
+        raise ValueError("mega flips require site cutoff and "
+                         "lj_shift='none'")
+    _, m0_a, m1_a, P0, a0_a = slices[0]
+    _, m0_b, m1_b, P1, a0_b = slices[1]
+    assert a0_a == 0 and m0_a == 0
+    cap_a, cap_b = m1_a - m0_a, m1_b - m0_b
+    M, A = system.n_mol, system.n_atoms
+    A_pad = system.n_atoms_padded
+    m_pad = _round_up(M, 128)
+    n_types = system.eps_table.shape[0]
+    t_pad = _round_up(n_types, 8)
+    tids_np = np.asarray(system.type_ids)
+    qs_np = np.asarray(system.charges)
+    bodies_np = np.asarray(system.body)
+    et = np.asarray(system.eps_table, np.float32)
+    st2 = np.asarray(system.sig_table, np.float32) ** 2
+
+    def species_tables(m0, P):
+        p_pad = _round_up(max(3 * P, P), 32)
+        body_row = np.zeros((1, p_pad), np.float32)
+        body_row[0, :3 * P] = bodies_np[m0, :P].reshape(-1)
+        qp_row = np.zeros((1, p_pad), np.float32)
+        qp_row[0, :P] = qs_np[m0, :P]
+        eps_pt = np.zeros((max(P, 8), t_pad), np.float32)
+        sig2_pt = np.zeros((max(P, 8), t_pad), np.float32)
+        for p in range(P):
+            eps_pt[p, :n_types] = et[tids_np[m0, p]]
+            sig2_pt[p, :n_types] = st2[tids_np[m0, p]]
+        has_lj = tuple(bool(np.any(et[tids_np[m0, p]] != 0.0))
+                       for p in range(P))
+        has_q = tuple(bool(qs_np[m0, p] != 0.0) for p in range(P))
+        return body_row, qp_row, eps_pt, sig2_pt, has_lj, has_q
+
+    body0, qp0, eps0, sig20, has_lj0, has_q0 = species_tables(m0_a, P0)
+    body1, qp1, eps1, sig21, has_lj1, has_q1 = species_tables(m0_b, P1)
+
+    tid_row = np.full(A_pad, -1.0, np.float32)
+    tid_row[:A] = system.flat(system.type_ids)
+    molid_row = np.full(A_pad, -1.0, np.float32)
+    molid_row[:A] = system.atom_mol_slot[0]
+    q_row = np.zeros(A_pad, np.float32)
+    q_row[:A] = system.flat(system.charges)
+
+    if kvecs is not None:
+        kx = jnp.asarray(kvecs[:, 0], jnp.float32)
+        ky = jnp.asarray(kvecs[:, 1], jnp.float32)
+        kz = jnp.asarray(kvecs[:, 2], jnp.float32)
+        kw_r = jnp.asarray(kweights, jnp.float32)
+        K = len(kweights)
+    else:
+        kx = ky = kz = kw_r = jnp.zeros((1,), jnp.float32)
+        K = 1
+
+    per_chain = 4 * (2 * 3 * A_pad + 2 * 7 * m_pad + (2 * 2 + 1) * K
+                     + 2 * (A_pad + m_pad) + 48)
+    shared = 4 * (3 * A_pad + 4 * K
+                  + max(P0 + P1, 8) * 2 * A_pad)
+    budget = 12 * 1024 * 1024 - shared
+    cb_fit = max(1, budget // per_chain)
+    cb = int(os.environ.get("MMC_MEGA_CB", "0")) \
+        or next(b for b in (128, 64, 32, 16, 8, 4, 2, 1) if b <= cb_fit)
+
+    statics = dict(
+        cap_a=cap_a, cap_b=cap_b, P0=P0, P1=P1, a0_b=a0_b,
+        coulomb=_kernel_coulomb(params), n_types=n_types,
+        has_lj0=has_lj0, has_q0=has_q0, has_lj1=has_lj1, has_q1=has_q1,
+        rc2=float(params.r_cut**2), qrc2=float(params.qq_cut**2),
+        kappa_l=float(params.kappa_L),
+        d2_overlap=float(params.d2_overlap),
+        ln_xi=float(np.log(fugacity_ratio)), n_flip=int(n_flip),
+        cb=cb, interpret=interpret,
+    )
+    consts = (jnp.asarray(body0), jnp.asarray(qp0), jnp.asarray(body1),
+              jnp.asarray(qp1), jnp.asarray(eps0), jnp.asarray(sig20),
+              jnp.asarray(eps1), jnp.asarray(sig21),
+              jnp.asarray(tid_row), jnp.asarray(molid_row),
+              jnp.asarray(q_row), kx, ky, kz, kw_r)
+
+    def flips(com, quat, coords, active, box, sfac, chain_keys, seed,
+              si2):
+        C = com.shape[0]
+        f32 = jnp.float32
+        actf = active.astype(f32)
+        act_a = jnp.repeat(actf[:, :cap_a], P0, axis=1)
+        act_b = jnp.repeat(actf[:, cap_a:], P1, axis=1)
+        act_row = jnp.pad(jnp.concatenate([act_a, act_b], axis=1),
+                          ((0, 0), (0, A_pad - A)))
+        actm = jnp.pad(actf, ((0, 0), (0, m_pad - M)))
+
+        def mplane(arr):
+            return jnp.pad(arr.astype(f32), ((0, 0), (0, m_pad - M)))
+
+        ones = jnp.ones((C, 1), f32)
+        out = flip_pallas(
+            coords[:, 0, :].astype(f32), coords[:, 1, :].astype(f32),
+            coords[:, 2, :].astype(f32),
+            mplane(com[..., 0]), mplane(com[..., 1]),
+            mplane(com[..., 2]),
+            mplane(quat[..., 0]), mplane(quat[..., 1]),
+            mplane(quat[..., 2]), mplane(quat[..., 3]),
+            sfac[:, :, 0].astype(f32), sfac[:, :, 1].astype(f32),
+            act_row, actm,
+            box.reshape(C, 1).astype(f32),
+            float(params.temperature) * ones,
+            si2.astype(f32), jnp.zeros((C, 8), f32),
+            jnp.asarray(seed, jnp.int32),
+            chain_keys.astype(jnp.int32), *consts, **statics)
+        (x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act_o, actm_o,
+         stats) = out
+        com_o = jnp.stack([cx[:, :M], cy[:, :M], cz[:, :M]], axis=-1)
+        quat_o = jnp.stack([qw[:, :M], qx[:, :M], qy[:, :M],
+                            qz[:, :M]], axis=-1)
+        coords_o = jnp.stack([x, y, z], axis=1)
+        sfac_o = jnp.stack([sre, sim], axis=-1)
+        active_o = actm_o[:, :M] > 0.5
+        return (com_o, quat_o, coords_o, active_o, sfac_o, stats[:, 0],
+                stats[:, 1:3], stats[:, 3:5])
+
+    return flips

@@ -77,6 +77,13 @@ def make_semigrand(system, params, fugacity_ratio, p_flip=0.3,
     the activity-masked whole-sweep kernel (one call per species
     block), identity flips on the jnp path (recursive p_flip=1 build).
     Same composition contract as mc/gcmc_mol; requires dtype=float32.
+
+    mega="full" (or "interpret_full"): identity flips run IN-KERNEL
+    too, through the dedicated flip kernel (moves.make_mega_flip_fn,
+    ops.pallas.flip_kernel: both species' templates in one call, every
+    attempt evaluates both direction branches and where-selects) — no
+    jnp flip scan.  Requires n_orient=1, 0 < p_flip < 1, f32,
+    lj_shift="none".
     """
     slices = system.species_slices
     if len(slices) != 2:
@@ -393,8 +400,78 @@ def make_semigrand(system, params, fugacity_ratio, p_flip=0.3,
         if dtype != jnp.float32:
             raise ValueError("mega semigrand requires dtype=float32 "
                              "(the whole-sweep kernel is f32)")
+        if mega not in (True, "interpret", "full", "interpret_full"):
+            raise ValueError("mega must be True, 'interpret', 'full' or "
+                             f"'interpret_full': {mega!r}")
         if px >= 1.0:
             raise ValueError("mega semigrand needs p_flip < 1")
+
+    if mega in ("full", "interpret_full"):
+        # FULLY kernelized cycles (round 4): displacement/rotation
+        # sweeps through the per-block sweep_act kernel calls +
+        # x_per identity flips through the dedicated flip kernel
+        # (moves.make_mega_flip_fn / ops.pallas.flip_kernel — a flip
+        # touches BOTH species' templates in one attempt, which the
+        # per-block sweep kernel cannot express) — no jnp flip scan.
+        if not 0.0 < px < 1.0:
+            raise ValueError("mega='full' needs 0 < p_flip < 1")
+        if n_or != 1:
+            raise ValueError("in-kernel flips run the unbiased "
+                             "algorithm (n_orient=1); use mega=True "
+                             "for Rosenbluth-biased flips")
+        from metropolismontecarlo_tpu.mc.moves import (
+            make_mega_flip_fn,
+            make_mega_sweep_fn,
+        )
+
+        interp = mega == "interpret_full"
+        sweep_act = make_mega_sweep_fn(
+            system, params, kv, kw, interpret=interp, with_activity=True)
+        x_per = max(1, int(round(M * px / (1.0 - px))))
+        flips = make_mega_flip_fn(system, params, kv, kw,
+                                  fugacity_ratio, interpret=interp,
+                                  n_flip=x_per)
+
+        def _cycle_full(state):
+            keys3 = jax.vmap(lambda k: jax.random.split(k, 3))(state.key)
+            knext, sub_s, sub_f = keys3[:, 0], keys3[:, 1], keys3[:, 2]
+            ck_s = jax.lax.bitcast_convert_type(sub_s[:, 0], jnp.int32)
+            ck_f = jax.lax.bitcast_convert_type(sub_f[:, 0], jnp.int32)
+            com, quat, coords, sfac, d_e, acc2, att2 = sweep_act(
+                state.com, state.quat, state.coords, state.active,
+                state.box, state.sfac, ck_s, jnp.zeros((), jnp.int32))
+            st = state._replace(
+                com=com, quat=quat, coords=coords,
+                sfac=sfac if use_ewald else state.sfac,
+                energy=state.energy + d_e)
+            si2 = jnp.stack(
+                [jax.vmap(lambda b: species_const(ev0, b))(st.box),
+                 jax.vmap(lambda b: species_const(ev1, b))(st.box)],
+                axis=1)
+            (com, quat, coords, active, sfac_o, d_ef, accf,
+             attf) = flips(st.com, st.quat, st.coords, st.active,
+                           st.box, st.sfac, ck_f,
+                           jnp.zeros((), jnp.int32), si2)
+            acc4 = jnp.concatenate([acc2, accf], axis=1)
+            att4 = jnp.concatenate([att2, attf], axis=1)
+            return st._replace(
+                com=com, quat=quat, coords=coords, active=active,
+                sfac=sfac_o if use_ewald else st.sfac,
+                energy=st.energy + d_ef, key=knext,
+                acc=state.acc + acc4.astype(jnp.int32),
+                att=state.att + att4.astype(jnp.int32))
+
+        @partial(jax.jit, static_argnums=1)
+        def run_steps(state, n_steps):   # noqa: F811
+            n_cyc = max(1, int(round(n_steps / (M + x_per))))
+
+            def cycle(st, _):
+                return _cycle_full(st), None
+
+            state, _ = jax.lax.scan(cycle, state, None, length=n_cyc)
+            return state
+
+    elif mega:
         from metropolismontecarlo_tpu.mc.moves import make_mega_sweep_fn
 
         sweep_act = make_mega_sweep_fn(

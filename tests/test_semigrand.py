@@ -149,3 +149,57 @@ def test_semigrand_mega_kernel_drift_and_bookkeeping():
     assert int(np.sum(np.asarray(st.att[:, 0]))) > 0
     assert int(np.sum(np.asarray(st.att[:, 2:]))) > 0
     assert (np.asarray(st.active.sum(axis=1)) == 8).all()
+
+
+def test_semigrand_mega_full_in_kernel_flips():
+    """mega="interpret_full": identity flips run inside the dedicated
+    flip kernel (ops.pallas.flip_kernel — both species' templates in
+    one call), sweeps through the per-block sweep kernel.  The
+    interpret-mode PRNG is degenerate, so this gates the flip path's
+    energy/structure-factor/activity bookkeeping; sampled statistics
+    validate on real TPU (docs/validation/semigrand_kernel.txt)."""
+    sys2 = water_two_blocks(8, 8)
+    params = RunParams(temperature=700.0, r_cut=4.5, cutoff_mode="site",
+                       coulomb="ewald", nk=3, ksq_max=9, p_translate=0.5,
+                       dr_max=0.3, dphi_max=0.3, use_lrc=False,
+                       strict_min_image=False)
+    g = Semigrand(sys2, params, fugacity_ratio=2.0, p_flip=0.3,
+                  dtype=jnp.float32, mega="interpret_full")
+    st = g.init(jax.random.PRNGKey(0), box=10.0, n_a=5, n_b=3,
+                n_chains=2)
+    for _ in range(2):
+        st, stats = g.run_block(st, 44, drift_tol=2e-3)
+        assert stats["sfac_err_max"] < 1e-4, stats
+    assert int(np.sum(np.asarray(st.att[:, 0]))) > 0
+    assert int(np.sum(np.asarray(st.att[:, 2:]))) > 0
+    assert (np.asarray(st.active.sum(axis=1)) == 8).all()
+
+
+def test_semigrand_mega_full_ragged_drift():
+    """The ragged corner (monatomic A + triatomic B, no charges)
+    through the in-kernel flip path: energy bookkeeping exact through
+    unequal-width identity swaps."""
+    sys2 = two_block_lj(24, 24, eps_a=1.0, eps_b=0.6)
+    params = RunParams(strict_min_image=False, temperature=2.0,
+                       r_cut=2.5, cutoff_mode="site", coulomb="none",
+                       p_translate=0.5, dr_max=0.3, dphi_max=0.5,
+                       use_lrc=False)
+    g = Semigrand(sys2, params, fugacity_ratio=1.5, p_flip=0.3,
+                  dtype=jnp.float32, mega="interpret_full")
+    st = g.init(jax.random.PRNGKey(2), box=9.0, n_a=12, n_b=8,
+                n_chains=4)
+    for _ in range(2):
+        st, stats = g.run_block(st, 60, drift_tol=2e-3)
+    assert (np.asarray(st.active.sum(axis=1)) == 20).all()
+
+
+def test_semigrand_mega_full_validates():
+    params = RunParams(temperature=700.0, r_cut=4.5, cutoff_mode="site",
+                       coulomb="none", use_lrc=False, p_translate=0.5,
+                       dr_max=0.3, dphi_max=0.3, strict_min_image=False)
+    with pytest.raises(ValueError, match="unbiased"):
+        Semigrand(water_two_blocks(8, 8), params, fugacity_ratio=1.0,
+                  n_orient=4, dtype=jnp.float32, mega="interpret_full")
+    with pytest.raises(ValueError, match="p_flip"):
+        Semigrand(water_two_blocks(8, 8), params, fugacity_ratio=1.0,
+                  p_flip=0.0, dtype=jnp.float32, mega="interpret_full")
