@@ -9,10 +9,11 @@ Variants via BENCH_CONFIG: spce (default) | wolf | lj | triatomic |
 npt | mixture — the other BASELINE.json configurations — plus gcmc and
 tmmc (molecular muVT water through the activity-masked mega kernel;
 sweep-equivalents/s = displacement+exchange attempts normalized by the
-slot capacity, comparable to the NVT sweeps/s) and gibbs (two-box
+slot capacity, comparable to the NVT sweeps/s), gibbs (two-box
 molecular Gibbs water; mega="full" runs transfers in-kernel on the
 round-4 both-boxes-in-one-row layout, BENCH_MEGA=hybrid the round-3
-folded-sweep + jnp-transfer path).  BENCH_CHAINS and
+folded-sweep + jnp-transfer path) and semigrand (two-species water,
+identity flips in-kernel via the flip kernel).  BENCH_CHAINS and
 BENCH_STEPS control scale.  The JSON line records every knob that
 affects the number (config/chains/steps/dtype), so each record in
 docs/perf.md reproduces by copy-pasting one command; "first_call_s"
@@ -201,10 +202,50 @@ def _setup_gibbs(n_chains):
     return run, state, label, attempts_per_cycle / cap
 
 
+def _setup_semigrand(n_chains):
+    """Two-species semigrand water (identical SPC/E blocks, fugacity
+    ratio 2).  One timed unit = one CYCLE of [M displacement/rotation
+    attempts + x_per identity-flip attempts] (M = total slot capacity);
+    sweep-equivalents = (M + x_per) / M per cycle.  BENCH_MEGA: "full"
+    (default; flips IN-KERNEL — ops/pallas/flip_kernel.py) or "hybrid"
+    (round-3 path: kernel sweeps + the jnp flip scan, n_orient=1)."""
+    from metropolismontecarlo_tpu.mc.semigrand import make_semigrand
+    from metropolismontecarlo_tpu.models.system import System
+    from metropolismontecarlo_tpu.models.water import spce_system
+
+    mega_mode = os.environ.get("BENCH_MEGA", "full")
+    mega = {"full": "full", "hybrid": True}[mega_mode]
+    cap, px = 64, 0.3
+    w = spce_system(2 * cap)
+    system = System(n_mol=2 * cap, atoms_per_mol=3, body=w.body,
+                    masses=w.masses, charges=w.charges,
+                    type_ids=w.type_ids, eps_table=w.eps_table,
+                    sig_table=w.sig_table, name="sg-spce",
+                    species=(("wA", cap, 3), ("wB", cap, 3)))
+    params = RunParams(temperature=600.0, r_cut=8.0, cutoff_mode="site",
+                       coulomb="ewald", use_lrc=False, p_translate=0.5,
+                       dr_max=1.0, dphi_max=0.7, strict_min_image=False)
+    init, run_steps = make_semigrand(
+        system, params, fugacity_ratio=2.0, p_flip=px,
+        dtype=jnp.float32, mega=mega)[:2]
+    state = init(jax.random.PRNGKey(0), box=20.0, n_a=32, n_b=32,
+                 n_chains=n_chains)
+    M = 2 * cap
+    x_per = max(1, int(round(M * px / (1.0 - px))))
+    attempts_per_cycle = M + x_per
+    label = (f"SPC/E semigrand cap-{cap}+{cap} {mega_mode}-mega-kernel, "
+             f"xi=2, p_flip={px}")
+
+    def run(state, n_cycles):
+        return run_steps(state, n_cycles * attempts_per_cycle)
+
+    return run, state, label, attempts_per_cycle / M
+
+
 def main():
     config = os.environ.get("BENCH_CONFIG", "spce")
     default_chains = {"mixture": 256, "gcmc": 1024, "tmmc": 1024,
-                      "gibbs": 512}.get(config, 2048)
+                      "gibbs": 512, "semigrand": 1024}.get(config, 2048)
     n_chains = int(os.environ.get("BENCH_CHAINS", str(default_chains)))
     # npt: the timed window must cover one full volume-attempt period
     # (round(1/p_volume) = 20 sweeps) or the O(A^2) volume recompute is
@@ -212,11 +253,13 @@ def main():
     # overhead dominates 2-step windows on a 70k+ sweeps/s config — time
     # a 50-sweep window (the steady-state regime users actually run).
     default_steps = {"npt": 20, "lj": 50, "triatomic": 20, "gcmc": 4,
-                     "tmmc": 4, "gibbs": 4}.get(config, 2)
+                     "tmmc": 4, "gibbs": 4, "semigrand": 4}.get(config, 2)
     n_steps = int(os.environ.get("BENCH_STEPS", str(default_steps)))
 
     if config == "gibbs":
         run, state, label, sweeps_per_unit = _setup_gibbs(n_chains)
+    elif config == "semigrand":
+        run, state, label, sweeps_per_unit = _setup_semigrand(n_chains)
     elif config in ("gcmc", "tmmc"):
         run, state, label, sweeps_per_unit = _setup_muvt(config, n_chains)
     else:
@@ -255,7 +298,7 @@ def main():
         "command": (f"BENCH_CONFIG={config} BENCH_CHAINS={n_chains} "
                     f"BENCH_STEPS={n_steps} python bench.py"),
     }
-    if config in ("gcmc", "tmmc", "gibbs"):
+    if config in ("gcmc", "tmmc", "gibbs", "semigrand"):
         mega_mode = os.environ.get("BENCH_MEGA", "full")
         rec["mega"] = mega_mode
         rec["command"] = (f"BENCH_CONFIG={config} BENCH_MEGA={mega_mode} "

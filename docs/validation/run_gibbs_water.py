@@ -30,7 +30,12 @@ Gates:
     mc/gcmc_mol.MolGCMC.run_block).
 
 Run: `python docs/validation/run_gibbs_water.py` (TPU, ~20 min).
-Writes docs/validation/gibbs_water.txt.
+Writes docs/validation/gibbs_water.txt.  GIBBS_MEGA=full (default since
+round 4) runs the transfers IN-KERNEL (unbiased n_orient=1 on the
+both-boxes-in-one-row layout, ops/pallas/gibbs_kernel.py); hybrid is
+the round-3 path (folded kernel sweeps + jnp Rosenbluth transfers,
+n_orient=8) — the repo measured that orientational bias buys ~nothing
+in the deep-rejection regime, and the BAR mu gate holds either way.
 """
 
 import os
@@ -91,9 +96,11 @@ def main():
                        use_lrc=False,
                        p_translate=0.5, p_volume=0.01, dr_max=0.4,
                        dphi_max=0.6)
+    mega_mode = os.environ.get("GIBBS_MEGA", "full")
+    mega, n_or = {"full": ("full", 1), "hybrid": (True, 8)}[mega_mode]
     g = MolGibbsEnsemble(spce_system(CAP), params, dv_max=0.03,
-                         p_transfer=0.4, dtype=jnp.float32, n_orient=8,
-                         mega=True)
+                         p_transfer=0.4, dtype=jnp.float32, n_orient=n_or,
+                         mega=mega)
     st = g.init(jax.random.PRNGKey(3), boxes=(box_l, box_v),
                 n_init=(n_l, n_v), n_chains=N_CHAINS)
     print(f"boxes ({box_l:.2f}, {box_v:.2f}) A, {N_CHAINS} chains, "
@@ -200,7 +207,10 @@ def main():
     lines = [
         "SPC/E liquid-vapor coexistence at 450 K: Gibbs-ensemble MC (TPU)",
         f"device: {dev.device_kind}, {N_CHAINS} chains x 2 boxes, "
-        f"cap {CAP}, n_orient = 8 transfers, f32",
+        f"cap {CAP}, transfers = "
+        + ("IN-KERNEL unbiased (mega='full', n_orient=1)"
+           if mega_mode == "full" else "jnp Rosenbluth n_orient=8")
+        + ", f32",
         f"protocol: {EQUIL_BLOCKS}+{PROD_BLOCKS} blocks x {BLOCK_STEPS} "
         f"steps/chain, Ewald r_cut {r_cut:.1f} A (tuned: kappa_L {kl:.1f}, nk {nk})",
         f"rho_liquid = {rho_l:.4f} +- {sem_l:.4f} g/cc "
