@@ -30,6 +30,14 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache (same default as the validation runners):
+# first_call_s records the true cold wall only on a fresh cache; warm
+# re-invocations of the same config skip the minutes-long Mosaic
+# compile of the mega="full" exchange kernels.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("MMC_CACHE", "/tmp/mmc_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from metropolismontecarlo_tpu.io.configs import cubic_lattice

@@ -90,8 +90,12 @@ def main():
                   f"({time.time() - t0:.0f} s)", flush=True)
 
     # phase 1: full Gibbs moves
+    mega_mode = os.environ.get("GIBBS_MEGA", "full")
+    mega, n_or = {"full": ("full", 1),
+                  "jnp": (None, N_ORIENT)}[mega_mode]
+    out.append(f"transfers: {'IN-KERNEL unbiased (mega=full)' if mega else f'jnp Rosenbluth n_orient={n_or}'}")
     g = BinaryGibbsEnsemble(sys_, params, dv_max=0.04, p_transfer=0.35,
-                            dtype=jnp.float32, n_orient=N_ORIENT)
+                            dtype=jnp.float32, n_orient=n_or, mega=mega)
     prod_from = BLOCKS // 3
     acc = {"rho_liq": [], "rho_vap": [], "x": [], "p_liq": [],
            "p_vap": []}

@@ -83,6 +83,15 @@ def make_gibbs_binary(system, params, dv_max=0.05, p_transfer=0.3,
     block; per-species transfers + volume exchanges stay on the jnp
     path (recursive p_transfer=1 build, p_volume rescaled).  Requires
     dtype=float32; see mc/gibbs_mol.make_gibbs_mol.
+
+    mega="full" (or "interpret_full"): per-species TRANSFERS run
+    in-kernel too — both boxes fold into ONE kernel row and each
+    species block gets its own gibbs-kernel call carrying that
+    species' transfer attempts (moves.make_mega_gibbs_binary_fn,
+    ops.pallas.gibbs_kernel m_start/a_start), activity planes threaded
+    between the calls; volume exchanges stay jnp on a deterministic
+    cadence.  Requires n_orient=1, 0 < p_transfer < 1, charge-neutral
+    species, f32, lj_shift='none'.
     """
     ms = make_binary_slots(system, params, dtype)
     evs, caps, m0s, a0s, Ps = ms.evs, ms.caps, ms.m0s, ms.a0s, ms.Ps
@@ -418,11 +427,112 @@ def make_gibbs_binary(system, params, dv_max=0.05, p_transfer=0.3,
         if dtype != jnp.float32:
             raise ValueError("mega binary Gibbs requires dtype=float32 "
                              "(the whole-sweep kernel is f32)")
+        if mega not in (True, "interpret", "full", "interpret_full"):
+            raise ValueError("mega must be True, 'interpret', 'full' or "
+                             f"'interpret_full': {mega!r}")
         if px >= 1.0:
             raise ValueError("mega binary Gibbs needs p_transfer < 1")
         if px == 0.0 and p_v > 0:
             raise ValueError("mega binary Gibbs with p_transfer = 0 "
                              "cannot schedule volume moves")
+
+    if mega in ("full", "interpret_full"):
+        # FULLY in-kernel cycles (round 4): per-species gibbs-kernel
+        # calls on the both-boxes-in-one-row layout
+        # (moves.make_mega_gibbs_binary_fn / ops.pallas.gibbs_kernel
+        # m_start/a_start) — [2*M_tot displacement/rotation moves +
+        # x_half transfer attempts per species] per cycle, no jnp
+        # transfer scan; volume exchanges stay jnp on a deterministic
+        # cadence preserving params.p_volume.
+        if not 0.0 < px < 1.0:
+            raise ValueError("mega='full' needs 0 < p_transfer < 1")
+        if n_or != 1:
+            raise ValueError("in-kernel transfers run the unbiased "
+                             "algorithm (n_orient=1); use mega=True for "
+                             "Rosenbluth-biased transfers")
+        if any(abs(ev.q_t_tot) > 1e-5 for ev in evs):
+            raise ValueError("in-kernel binary transfers require "
+                             "charge-neutral species (the global charge "
+                             "term couples the two counts)")
+        from metropolismontecarlo_tpu.mc.moves import (
+            make_mega_gibbs_binary_fn,
+        )
+
+        M_tot = ms.M
+        x_half = max(1, int(round(2 * M_tot * 0.5 * px / (1.0 - px))))
+        sweep_g = make_mega_gibbs_binary_fn(
+            system, params, ms.kv, ms.kw,
+            interpret=(mega == "interpret_full"),
+            n_exch=(x_half, x_half))
+        att_pc = 2 * M_tot + 2 * x_half
+        if p_v > 0:
+            vol_pc = p_v * att_pc
+            if vol_pc >= 1.0:
+                k_vol, vol_every = max(1, int(round(vol_pc))), 1
+            else:
+                k_vol, vol_every = 1, max(1, int(round(1.0 / vol_pc)))
+        else:
+            k_vol, vol_every = 0, 1
+
+        def _vol_state(state):
+            carry = (state.com, state.quat, state.coords, state.active0,
+                     state.active1, state.box, state.sfac, state.energy,
+                     state.key, state.acc, state.att)
+            return BinaryGibbsState(*jax.vmap(_vol_step)(carry))
+
+        def _cycle_full(state):
+            C = state.com.shape[0]
+            keys2 = jax.vmap(jax.random.split)(state.key)
+            knext, sub = keys2[:, 0], keys2[:, 1]
+            ck = jax.lax.bitcast_convert_type(sub[:, 0], jnp.int32)
+            box_flat = state.box.reshape(2 * C)
+            si2s = tuple(
+                jax.vmap(ev.self_intra)(box_flat).reshape(C, 2)
+                for ev in evs)
+            wc2s = (jnp.zeros_like(state.box),) * 2
+            (com, quat, coords, a0, a1, sfac_o, d_e, acc4,
+             att4) = sweep_g(state.com, state.quat, state.coords,
+                             state.active0, state.active1, state.box,
+                             state.sfac, ck, jnp.zeros((), jnp.int32),
+                             si2s, wc2s)
+            zc = jnp.zeros_like(acc4[:, 0])
+            acc5 = jnp.stack([acc4[:, 0], acc4[:, 1], zc,
+                              acc4[:, 2], acc4[:, 3]], 1)
+            att5 = jnp.stack([att4[:, 0], att4[:, 1], zc,
+                              att4[:, 2], att4[:, 3]], 1)
+            return state._replace(
+                com=com, quat=quat, coords=coords,
+                active0=a0, active1=a1,
+                sfac=sfac_o if use_ewald else state.sfac,
+                energy=state.energy + d_e, key=knext,
+                acc=state.acc + acc5.astype(jnp.int32),
+                att=state.att + att5.astype(jnp.int32))
+
+        @partial(jax.jit, static_argnums=1)
+        def run_steps(state, n_steps):   # noqa: F811
+            n_cyc = max(1, int(round(n_steps / att_pc)))
+
+            def cyc(st, _):
+                return _cycle_full(st), None
+
+            if k_vol:
+                n_sup, rem = divmod(n_cyc, vol_every)
+            else:
+                n_sup, rem = 0, n_cyc
+            if n_sup:
+                def super_cycle(st, _):
+                    st, _ = jax.lax.scan(cyc, st, None, length=vol_every)
+                    for _i in range(k_vol):
+                        st = _vol_state(st)
+                    return st, None
+
+                state, _ = jax.lax.scan(super_cycle, state, None,
+                                        length=n_sup)
+            if rem:
+                state, _ = jax.lax.scan(cyc, state, None, length=rem)
+            return state
+
+    elif mega:
         from metropolismontecarlo_tpu.mc.moves import make_mega_sweep_fn
 
         sweep_act = make_mega_sweep_fn(

@@ -1365,6 +1365,228 @@ def make_mega_gibbs_fn(system, params, kvecs, kweights, interpret=False,
     return sweep_gibbs
 
 
+def make_mega_gibbs_binary_fn(system, params, kvecs, kweights,
+                              interpret=False, n_exch=(1, 1)):
+    """In-kernel BINARY Gibbs cycle: returns `sweep_gibbs_b(com, quat,
+    coords, active0, active1, box, sfac, chain_keys, seed, si2s,
+    wc2s)` on the BinaryGibbsState layout (mc/gibbs_binary.py): com
+    (C, 2, M, 3) with M = cap0 + cap1 total slots per box, coords
+    (C, 2, 3, A_pad), active0 (C, 2, cap0), active1 (C, 2, cap1), box
+    (C, 2), sfac (C, 2, K, 2); si2s/wc2s = per-species tuples of
+    (C, 2) per-box self+intra constants / reference-Wolf coefficients.
+
+    The muVT multi-block pattern on the round-4 both-boxes-in-one-row
+    layout: one gibbs-kernel call per species block (m_start/a_start
+    statics address the block, n_exch[s] transfer attempts of species
+    s per call), activity planes threaded between the calls,
+    per-species transfer counters by differencing the shared stats
+    columns.  Requires two internally uniform species blocks, site
+    cutoff, lj_shift='none', f32.
+
+    Returns (com, quat, coords, active0, active1, sfac, d_e (C, 2),
+    acc (C, 4) [trans, rot, transfer0, transfer1], att (C, 4))."""
+    from metropolismontecarlo_tpu.ops.pallas.gibbs_kernel import (
+        sweep_gibbs_pallas,
+    )
+
+    slices = system.species_slices
+    if len(slices) != 2 or not system.species_uniform:
+        raise ValueError("mega binary Gibbs requires exactly two "
+                         "internally uniform species blocks")
+    if params.cutoff_mode != "site" or params.lj_shift != "none":
+        raise ValueError("mega binary Gibbs requires site cutoff and "
+                         "lj_shift='none'")
+    _, m0_a, m1_a, P0, a0_a = slices[0]
+    _, m0_b, m1_b, P1, a0_b = slices[1]
+    assert m0_a == 0 and a0_a == 0
+    caps = (m1_a - m0_a, m1_b - m0_b)
+    m0s, a0s, Ps = (m0_a, m0_b), (a0_a, a0_b), (P0, P1)
+    M, A = system.n_mol, system.n_atoms
+    A_pad = system.n_atoms_padded
+    A2 = 2 * A_pad
+    m_pad = _round_up(M, 128)
+    M2 = 2 * m_pad
+    n_types = system.eps_table.shape[0]
+    t_pad = _round_up(n_types, 8)
+    tids_np = np.asarray(system.type_ids)
+    qs_np = np.asarray(system.charges)
+    bodies_np = np.asarray(system.body)
+    et = np.asarray(system.eps_table, np.float32)
+    st2 = np.asarray(system.sig_table, np.float32) ** 2
+
+    def species_tables(m0, P):
+        p_pad = _round_up(max(3 * P, P), 32)
+        body_row = np.zeros((1, p_pad), np.float32)
+        body_row[0, :3 * P] = bodies_np[m0, :P].reshape(-1)
+        qp_row = np.zeros((1, p_pad), np.float32)
+        qp_row[0, :P] = qs_np[m0, :P]
+        eps_pt = np.zeros((max(P, 8), t_pad), np.float32)
+        sig2_pt = np.zeros((max(P, 8), t_pad), np.float32)
+        for p in range(P):
+            eps_pt[p, :n_types] = et[tids_np[m0, p]]
+            sig2_pt[p, :n_types] = st2[tids_np[m0, p]]
+        has_lj = tuple(bool(np.any(et[tids_np[m0, p]] != 0.0))
+                       for p in range(P))
+        has_q = tuple(bool(qs_np[m0, p] != 0.0) for p in range(P))
+        return body_row, qp_row, eps_pt, sig2_pt, has_lj, has_q
+
+    # shared per-box rows (all species); box-1 ids offset by m_pad
+    tid_h = np.full(A_pad, -1.0, np.float32)
+    tid_h[:A] = system.flat(system.type_ids)
+    mol_h = np.full(A_pad, -1.0, np.float32)
+    mol_h[:A] = system.atom_mol_slot[0]
+    q_h = np.zeros(A_pad, np.float32)
+    q_h[:A] = system.flat(system.charges)
+    tid_row = np.concatenate([tid_h, tid_h])
+    mol_b1 = np.where(mol_h >= 0.0, mol_h + m_pad, -1.0)
+    molid_row = np.concatenate([mol_h, mol_b1]).astype(np.float32)
+    q_row = np.concatenate([q_h, q_h])
+
+    if kvecs is not None:
+        kx = jnp.asarray(kvecs[:, 0], jnp.float32)
+        ky = jnp.asarray(kvecs[:, 1], jnp.float32)
+        kz = jnp.asarray(kvecs[:, 2], jnp.float32)
+        kw_r = jnp.asarray(kweights, jnp.float32)
+        K = len(kweights)
+    else:
+        kx = ky = kz = kw_r = jnp.zeros((1,), jnp.float32)
+        K = 1
+
+    P_max = max(Ps)
+    per_chain = 4 * (2 * 3 * A2 + 2 * 7 * M2 + (2 * 4 + 2) * K
+                     + 2 * (A2 + M2) + 56)
+    shared = 4 * (3 * A2 + 4 * K + max(P_max, 8) * (2 * A2 + 2 * 128))
+    budget = 12 * 1024 * 1024 - shared
+    cb_fit = max(1, budget // per_chain)
+    cb = int(os.environ.get("MMC_MEGA_CB", "0")) \
+        or next(b for b in (128, 64, 32, 16, 8, 4, 2, 1) if b <= cb_fit)
+
+    lam_dummy = np.zeros((8, t_pad), np.float32)
+    blocks = []
+    for s in range(2):
+        body_row, qp_row, eps_pt, sig2_pt, has_lj, has_q = \
+            species_tables(m0s[s], Ps[s])
+        statics = dict(
+            M=caps[s], P=Ps[s], coulomb=_kernel_coulomb(params),
+            n_types=n_types, has_lj=has_lj, has_q=has_q,
+            rc2=float(params.r_cut**2), qrc2=float(params.qq_cut**2),
+            kappa_l=float(params.kappa_L),
+            d2_overlap=float(params.d2_overlap),
+            p_translate=float(params.p_translate),
+            use_rot=(Ps[s] > 1 and params.p_translate < 1.0),
+            lj_shift="none", cb=cb, interpret=interpret,
+            n_exch=int(n_exch[s]), m_start=m0s[s], a_start=a0s[s],
+        )
+        consts = (jnp.asarray(body_row), jnp.asarray(qp_row),
+                  jnp.asarray(eps_pt), jnp.asarray(sig2_pt),
+                  jnp.asarray(lam_dummy), jnp.asarray(lam_dummy),
+                  jnp.asarray(tid_row), jnp.asarray(molid_row),
+                  jnp.asarray(q_row), kx, ky, kz, kw_r)
+        blocks.append((statics, consts))
+
+    # per-atom repeat widths per box half (species blocks are packed:
+    # species-0 atoms [0, cap0*P0), species-1 from a0_b)
+    assert a0_b == caps[0] * P0
+
+    def sweep_gibbs_b(com, quat, coords, active0, active1, box, sfac,
+                      chain_keys, seed, si2s, wc2s):
+        C = com.shape[0]
+        if not interpret and C * A2 > 2048 * 2432 \
+                and not os.environ.get("MMC_MEGA_UNSAFE"):
+            raise ValueError(
+                f"mega binary Gibbs: C={C} x 2*A_pad={A2} is outside "
+                "the validated envelope (<= 2048x2432); see CLAUDE.md "
+                "known issues.")
+        f32 = jnp.float32
+
+        def aplane(k):
+            return jnp.concatenate(
+                [coords[:, 0, k, :], coords[:, 1, k, :]],
+                axis=1).astype(f32)
+
+        def mplane(arr):                      # (C, 2, M) -> (C, M2)
+            return jnp.concatenate(
+                [jnp.pad(arr[:, 0].astype(f32),
+                         ((0, 0), (0, m_pad - M))),
+                 jnp.pad(arr[:, 1].astype(f32),
+                         ((0, 0), (0, m_pad - M)))], axis=1)
+
+        act0f = active0.astype(f32)
+        act1f = active1.astype(f32)
+        actf = jnp.concatenate([act0f, act1f], axis=2)    # (C, 2, M)
+        act_halves = []
+        for b in range(2):
+            seg = jnp.concatenate(
+                [jnp.repeat(act0f[:, b], P0, axis=1),
+                 jnp.repeat(act1f[:, b], P1, axis=1)], axis=1)
+            act_halves.append(jnp.pad(seg, ((0, 0), (0, A_pad - A))))
+        act_a = jnp.concatenate(act_halves, axis=1)
+        actm = mplane(actf)
+        ones = jnp.ones((C, 1), f32)
+        planes = [
+            aplane(0), aplane(1), aplane(2),
+            mplane(com[..., 0]), mplane(com[..., 1]),
+            mplane(com[..., 2]),
+            mplane(quat[..., 0]), mplane(quat[..., 1]),
+            mplane(quat[..., 2]), mplane(quat[..., 3]),
+            sfac[:, 0, :, 0].astype(f32), sfac[:, 0, :, 1].astype(f32),
+            sfac[:, 1, :, 0].astype(f32), sfac[:, 1, :, 1].astype(f32),
+            act_a, actm,
+        ]
+        box_t = (box.astype(f32),
+                 float(params.temperature) * ones,
+                 float(params.dr_max) * ones,
+                 float(params.dphi_max) * ones)
+        stats = jnp.zeros((C, 8), f32)
+        seed = jnp.asarray(seed, jnp.int32)
+        moves_done = 0
+        xacc = []
+        xprev = jnp.zeros((C,), f32)
+        for s, (statics_s, consts_s) in enumerate(blocks):
+            out = sweep_gibbs_pallas(
+                *planes, *box_t,
+                si2s[s].astype(f32), wc2s[s].astype(f32), stats,
+                seed + moves_done, chain_keys.astype(jnp.int32),
+                *consts_s, **statics_s)
+            planes, stats = list(out[:16]), out[16]
+            moves_done += 2 * caps[s] + int(n_exch[s])
+            xacc.append(stats[:, 6] - xprev)
+            xprev = stats[:, 6]
+        (x, y, z, cx, cy, cz, qw, qx, qy, qz,
+         sre0, sim0, sre1, sim1, act_o, actm_o) = planes
+
+        def unfold_m(arr):                    # (C, M2) -> (C, 2, M)
+            return jnp.stack([arr[:, :M],
+                              arr[:, m_pad:m_pad + M]], axis=1)
+
+        com_o = jnp.stack([unfold_m(cx), unfold_m(cy), unfold_m(cz)],
+                          axis=-1)
+        quat_o = jnp.stack([unfold_m(qw), unfold_m(qx), unfold_m(qy),
+                            unfold_m(qz)], axis=-1)
+
+        def unfold_a(arr):                    # (C, A2) -> (C, 2, A_pad)
+            return jnp.stack([arr[:, :A_pad], arr[:, A_pad:]], axis=1)
+
+        coords_o = jnp.stack([unfold_a(x), unfold_a(y), unfold_a(z)],
+                             axis=2)          # (C, 2, 3, A_pad)
+        actm_2 = unfold_m(actm_o) > 0.5       # (C, 2, M)
+        active0_o = actm_2[:, :, :caps[0]]
+        active1_o = actm_2[:, :, caps[0]:caps[0] + caps[1]]
+        sfac_o = jnp.stack(
+            [jnp.stack([sre0, sim0], axis=-1),
+             jnp.stack([sre1, sim1], axis=-1)], axis=1)   # (C, 2, K, 2)
+        d_e = stats[:, 0:2]
+        acc = jnp.stack([stats[:, 2], stats[:, 3]] + xacc, axis=1)
+        att = jnp.stack(
+            [stats[:, 4], stats[:, 5],
+             jnp.full((C,), float(n_exch[0]), f32),
+             jnp.full((C,), float(n_exch[1]), f32)], axis=1)
+        return (com_o, quat_o, coords_o, active0_o, active1_o, sfac_o,
+                d_e, acc, att)
+
+    return sweep_gibbs_b
+
+
 def make_mega_flip_fn(system, params, kvecs, kweights, fugacity_ratio,
                       interpret=False, n_flip=1):
     """In-kernel semigrand identity flips: returns `flips(com, quat,

@@ -75,8 +75,14 @@ def _rot_apply(w, xq, yq, zq, bx, by, bz):
 
 def _make_gibbs_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                        kappa_l, d2_overlap, p_translate, use_rot, K,
-                       lj_shift, n_exch):
-    """Kernel body builder; M is the PER-BOX slot capacity.
+                       lj_shift, n_exch, m_start, a_start):
+    """Kernel body builder; M is the PER-BOX slot capacity of ONE
+    species BLOCK whose box-0 slots are [m_start, m_start+M) with atom
+    columns starting at a_start (box-1 ids/columns offset by
+    m_off/A_off) — m_start=a_start=0 with M = per-box capacity for a
+    uniform system; a binary mixture runs one call per species block
+    with the activity planes threaded between calls (the muVT
+    multi-block pattern, sweep_kernel.py).
 
     stats columns: [d_e0, d_e1, acc_trans, acc_rot, att_trans, att_rot,
     acc_transfer, unused] (att_transfer = n_exch statically)."""
@@ -188,7 +194,7 @@ def _make_gibbs_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
             q_sub = qrow_ref[0:1, csl]
 
             def move(mi, stats):
-                m = mi + b * m_off        # plane index == molecule id
+                m = mi + m_start + b * m_off   # plane index == mol id
                 bits = pltpu.prng_random_bits((cb, 128))
                 u = _uniform(bits)
                 u_sel = u[:, 0:1]
@@ -259,7 +265,7 @@ def _make_gibbs_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
 
                 other = (mol_sub != m.astype(jnp.float32)) & valid_sub
 
-                acol = b * A_off + mi * P
+                acol = b * A_off + a_start + mi * P
                 abase = jnp.minimum(acol // 128 * 128, A2 - W_a)
                 abase = pl.multiple_of(abase, 128)
                 aoff = acol - abase
@@ -431,12 +437,14 @@ def _make_gibbs_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
             P_f = float(P)
             mo_f = float(m_off)
             ao_f = float(A_off)
+            ms_f = float(m_start)
+            as_f = float(a_start)
             miota_f = jax.lax.broadcasted_iota(
                 jnp.int32, (1, M2), 1).astype(jnp.float32)
             aiota_f = jax.lax.broadcasted_iota(
                 jnp.int32, (1, A2), 1).astype(jnp.float32)
-            v0m = (miota_f >= 0.0) & (miota_f < M_f)
-            v1m = (miota_f >= mo_f) & (miota_f < mo_f + M_f)
+            v0m = (miota_f >= ms_f) & (miota_f < ms_f + M_f)
+            v1m = (miota_f >= mo_f + ms_f) & (miota_f < mo_f + ms_f + M_f)
             bc0f = (aiota_f < ao_f).astype(jnp.float32)     # (1, A2)
             bc1f = 1.0 - bc0f
             si2 = si2_ref[:]                                 # (cb, 2)
@@ -572,7 +580,8 @@ def _make_gibbs_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
 
                 # old pose of the deletion candidate: full-row one-hot
                 # column reads (slot/plane arithmetic per box half)
-                acol_d = (del_slot - srcf * mo_f) * P_f + srcf * ao_f
+                acol_d = (del_slot - srcf * mo_f - ms_f) * P_f \
+                    + as_f + srcf * ao_f
                 olds = []
                 for p in range(P):
                     opick = aiota_f == acol_d + float(p)
@@ -646,7 +655,8 @@ def _make_gibbs_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
                     (mol_row == del_slot) & ok, 0.0,
                     jnp.where((mol_row == ins_slot) & ok, 1.0, act_row))
                 wr = ok
-                acol_i = (ins_slot - dstf * mo_f) * P_f + dstf * ao_f
+                acol_i = (ins_slot - dstf * mo_f - ms_f) * P_f \
+                    + as_f + dstf * ao_f
                 xrow, yrow, zrow = x_o[:], y_o[:], z_o[:]
                 for p in range(P):
                     apick = (aiota_f == acol_i + float(p)) & wr
@@ -698,7 +708,8 @@ def _make_gibbs_kernel(M, P, coulomb, n_types, has_lj, has_q, rc2, qrc2,
     jax.jit,
     static_argnames=("M", "P", "coulomb", "n_types", "has_lj", "has_q",
                      "rc2", "qrc2", "kappa_l", "d2_overlap", "p_translate",
-                     "use_rot", "lj_shift", "cb", "interpret", "n_exch"),
+                     "use_rot", "lj_shift", "cb", "interpret", "n_exch",
+                     "m_start", "a_start"),
 )
 def sweep_gibbs_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz,
                        sre0, sim0, sre1, sim1, act, actm,
@@ -708,7 +719,7 @@ def sweep_gibbs_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz,
                        kx, ky, kz, kw, *, M, P, coulomb, n_types,
                        has_lj, has_q, rc2, qrc2, kappa_l, d2_overlap,
                        p_translate, use_rot, lj_shift="none", cb=64,
-                       interpret=False, n_exch=0):
+                       interpret=False, n_exch=0, m_start=0, a_start=0):
     """One Gibbs cycle: a displacement/rotation sweep of both boxes
     (2*M activity-masked moves) + n_exch in-kernel transfer attempts.
 
@@ -718,7 +729,12 @@ def sweep_gibbs_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz,
     q_tot^2); temp/drmax/dphi (C, 1); stats (C, 8).
     Returns (x, y, z, cx, cy, cz, qw, qx, qy, qz, sre0, sim0, sre1,
     sim1, act, actm, stats); stats columns [d_e0, d_e1, acc_t, acc_r,
-    att_t, att_r, acc_x, 0] (att_x = n_exch)."""
+    att_t, att_r, acc_x, 0] (att_x = n_exch).
+
+    m_start/a_start/M address ONE species block of a mixture (box-0
+    slots [m_start, m_start+M), atom columns from a_start; box-1
+    offset by m_off/A_off); a binary system runs one call per block
+    with act/actm threaded between calls."""
     C, A2 = x.shape
     K = sre0.shape[1]
     M2 = cx.shape[1]
@@ -730,7 +746,8 @@ def sweep_gibbs_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz,
 
     kern = _make_gibbs_kernel(M, P, coulomb, n_types, has_lj, has_q,
                               rc2, qrc2, kappa_l, d2_overlap, p_translate,
-                              use_rot, K, lj_shift, n_exch)
+                              use_rot, K, lj_shift, n_exch, m_start,
+                              a_start)
 
     cell = lambda n: pl.BlockSpec((cb, n), lambda c: (c, 0),  # noqa: E731
                                   memory_space=pltpu.VMEM)
