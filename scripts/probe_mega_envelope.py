@@ -33,8 +33,13 @@ PROBES = {
     "c4096cb16": (750, 4096, 16),
     "c3072": (750, 3072, None),           # 7.1e6 chain-lanes
     "c2560": (750, 2560, None),           # 5.9e6
-    "w375c4096": (375, 4096, None),       # 4.7e6 (under the envelope,
-                                          # but C=4096 with water P=3)
+    # DISCRIMINATORS: c2048cb32 runs the SAME grid length (64) as the
+    # faulting c4096/cb-auto=64 but at the validated size — if it
+    # faults, the mechanism is grid-step count, not total plane size;
+    # w375c4096 halves the system at the same C; w375c8192 reproduces
+    # the 9.4e6 chain-lane product with half-size planes.
+    "c2048cb32": (750, 2048, 32),         # grid 64 at validated size
+    "w375c4096": (375, 4096, None),       # 4.7e6 chain-lanes, C=4096
     "w375c8192": (375, 8192, None),       # 9.4e6 again, half-size system
 }
 
