@@ -518,13 +518,20 @@ def main(argv=None):
 
         from metropolismontecarlo_tpu.ops.ewald import tune_parameters
         # ensemble sections size the box themselves (no start section);
-        # Gibbs tunes at the SMALLER box — kappa = kappa_L/box tracks
-        # each box, and the smaller one needs the most k-vectors
+        # Gibbs tunes at the LARGEST box the volume exchange can reach
+        # ((V1+V2)^(1/3), one box absorbing all volume): kappa =
+        # kappa_L/box shrinks with box, so erfc(kappa*r_cut) — the
+        # real-space truncation the consistency guard checks — is worst
+        # in the big box, and tune_parameters' nk also grows with its
+        # box argument (docs/validation/run_gibbs_water.py uses the
+        # same l_max; gibbs_mol.check_ewald_consistency would reject a
+        # min-box tuning at the first volume exchange)
         ens0 = run_cfg.get("ensemble")
         if ens0 and "box" in ens0:
             box0 = float(ens0["box"])
         elif ens0 and "boxes" in ens0:
-            box0 = min(float(b) for b in ens0["boxes"])
+            box0 = float(sum(float(b) ** 3
+                             for b in ens0["boxes"])) ** (1.0 / 3.0)
         else:
             box0 = _start_box(run_cfg, system, base_dir)
         kl, nk, ksq = tune_parameters(box0, params.qq_cut,
