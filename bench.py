@@ -18,8 +18,10 @@ BENCH_STEPS control scale.  The JSON line records every knob that
 affects the number (config/chains/steps/dtype), so each record in
 docs/perf.md reproduces by copy-pasting one command; "first_call_s"
 records the COLD-START wall of the warmup call (compile + first
-execution — minutes for the mega="full" exchange kernels on a cold
-cache; see docs/perf.md).
+execution — ~10-25 s for the mega="full" exchange kernels on a cold
+Mosaic cache, 1-2 s warm; the minutes-long first-invocation walls
+observed in round 3 were axon-tunnel DEVICE ACQUISITION, which happens
+before this timer — see docs/perf.md cold-start section).
 """
 
 import json
@@ -31,9 +33,8 @@ import jax
 import jax.numpy as jnp
 
 # Persistent compile cache (same default as the validation runners):
-# first_call_s records the true cold wall only on a fresh cache; warm
-# re-invocations of the same config skip the minutes-long Mosaic
-# compile of the mega="full" exchange kernels.
+# first_call_s records the true cold compile wall only on a fresh
+# cache; warm re-invocations recompile nothing.
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("MMC_CACHE", "/tmp/mmc_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -253,7 +254,7 @@ def _setup_semigrand(n_chains):
 def main():
     config = os.environ.get("BENCH_CONFIG", "spce")
     default_chains = {"mixture": 256, "gcmc": 1024, "tmmc": 1024,
-                      "gibbs": 512, "semigrand": 1024}.get(config, 2048)
+                      "gibbs": 1024, "semigrand": 1024}.get(config, 2048)
     n_chains = int(os.environ.get("BENCH_CHAINS", str(default_chains)))
     # npt: the timed window must cover one full volume-attempt period
     # (round(1/p_volume) = 20 sweeps) or the O(A^2) volume recompute is
@@ -278,10 +279,9 @@ def main():
             return mc.run_steps(state, n_steps, False)
 
     # warmup & compile (same static n_steps as the timed call); its
-    # wall is the COLD-START cost users pay on the first invocation —
-    # minutes for the mega="full" exchange kernels on a cold Mosaic
-    # cache (recorded as first_call_s; a warm persistent cache shrinks
-    # it to seconds)
+    # wall is the compile + first-execution cost (first_call_s) — the
+    # per-process device-acquisition wall (up to minutes, tunnel-state
+    # dependent) is paid earlier, at the first device op
     t_c0 = time.perf_counter()
     warm = run(state, n_steps)
     jax.block_until_ready(warm.energy)
