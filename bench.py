@@ -261,8 +261,12 @@ def main():
     # never paid and the number is NVT in disguise.  lj: per-call launch
     # overhead dominates 2-step windows on a 70k+ sweeps/s config — time
     # a 50-sweep window (the steady-state regime users actually run).
-    default_steps = {"npt": 20, "lj": 50, "triatomic": 20, "gcmc": 4,
-                     "tmmc": 4, "gibbs": 4, "semigrand": 4}.get(config, 2)
+    # exchange-cycle configs: 16 cycles puts the timed window at
+    # ~0.4-2 s — the 4-cycle (~0.1 s) windows showed +-(5-10)%
+    # run-to-run variance (docs/perf.md cold-start section)
+    default_steps = {"npt": 20, "lj": 50, "triatomic": 20, "gcmc": 16,
+                     "tmmc": 16, "gibbs": 16,
+                     "semigrand": 16}.get(config, 2)
     n_steps = int(os.environ.get("BENCH_STEPS", str(default_steps)))
 
     if config == "gibbs":
