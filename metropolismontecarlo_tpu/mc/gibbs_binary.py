@@ -69,13 +69,29 @@ class BinaryGibbsState(NamedTuple):
 
 
 def make_gibbs_binary(system, params, dv_max=0.05, p_transfer=0.3,
-                      dtype=jnp.float64, n_orient=1, chunk=8, mega=None):
+                      dtype=jnp.float64, n_orient=1, chunk=8, mega=None,
+                      npt_pressure=None):
     """Build the binary Gibbs-ensemble step/energy functions.
 
     system: a two-species-block System; each block's molecule count is
     that species' PER-BOX slot capacity.  Returns (init, run_steps,
     full_energy, check_ewald_consistency).  Transfer attempts split
     p_transfer equally between the species.
+
+    npt_pressure (K/A^3): CONSTANT-PRESSURE Gibbs ensemble
+    (Panagiotopoulos's NPT-Gibbs variant, valid for MIXTURES only —
+    the phase rule over-determines a pure substance at fixed T and P):
+    instead of the coupled dV transfer between the boxes, each volume
+    attempt picks one box uniformly and samples it against the
+    pressure bath, min[1, exp(N_b ln(V_b'/V_b) - beta dU - beta P dV)]
+    — both boxes reach mechanical equilibrium with the bath, and
+    per-species transfers still equalize the chemical potentials, so
+    the system finds the coexistence COMPOSITIONS at the given (T, P).
+    dv_max is then the ln-V half-width of the chosen box's move
+    (matching the NPT driver's dlnv convention), not a fraction of the
+    total volume.
+    Exactness anchor: at eps = q = 0 with transfers off each box is an
+    ideal-gas NPT cell, V_b ~ Gamma(N_b + 1, kT/P) in closed form.
 
     mega (True or "interpret"): displacement/rotation sweeps through
     the activity-masked kernel — the two boxes fold over the chain
@@ -350,14 +366,30 @@ def make_gibbs_binary(system, params, dv_max=0.05, p_transfer=0.3,
         (com, quat, coords, active0, active1, box, sfac, e, key,
          acc, att) = carry
         key, k = jax.random.split(key)
-        k_pos, k_acc = jax.random.split(k)
+        k_pos, k_box, k_acc = jax.random.split(k, 3)
         n_tot = (jnp.sum(active0.astype(jnp.int32), axis=1)
                  + jnp.sum(active1.astype(jnp.int32), axis=1))  # (2,)
         nf = n_tot.astype(dtype)
         v = box**3
-        dv = (jax.random.uniform(k_pos, dtype=dtype) - 0.5) * 2.0 \
-            * dv_max * jnp.sum(v)
-        v_new = v + jnp.stack([dv, -dv])
+        if npt_pressure is None:
+            # NVT-Gibbs: dV transfers between the boxes (total V fixed)
+            dv = (jax.random.uniform(k_pos, dtype=dtype) - 0.5) * 2.0 \
+                * dv_max * jnp.sum(v)
+            v_new = v + jnp.stack([dv, -dv])
+            bath = jnp.zeros((), dtype)
+        else:
+            # NPT-Gibbs: one box per attempt against the pressure bath,
+            # proposed in ln V exactly like the NPT driver (mc/npt.py:
+            # dlnv uniform in +-dv_max; the ln-V measure contributes
+            # the +1 in the (N_b + 1) ln(V'/V) acceptance exponent,
+            # folded into `bath` below with a negative sign)
+            b = jax.random.bernoulli(k_box).astype(jnp.int32)
+            dlnv = (2.0 * jax.random.uniform(k_pos, dtype=dtype) - 1.0) \
+                * dv_max
+            v_b_new = v[b] * jnp.exp(dlnv)
+            v_new = v.at[b].set(v_b_new)
+            bath = beta * jnp.asarray(npt_pressure, dtype) \
+                * (v_b_new - v[b]) - dlnv
         box_new = jnp.cbrt(v_new)
         legal = jnp.all(box_new > wall) & jnp.all(v_new > 0.0)
         box_t = jnp.where(legal, box_new, box)
@@ -367,7 +399,7 @@ def make_gibbs_binary(system, params, dv_max=0.05, p_transfer=0.3,
         e_v, sf_v = jax.vmap(ms.full_one)(com_v, quat, coords_v,
                                           active0, active1, box_t)
         log_a = jnp.sum(nf * jnp.log(jnp.where(legal, v_new / v, 1.0))) \
-            - beta * jnp.sum(e_v - e)
+            - beta * jnp.sum(e_v - e) - jnp.where(legal, bath, 0.0)
         u = jax.random.uniform(k_acc, dtype=dtype)
         ok_v = legal & (jnp.log(jnp.maximum(u, 1e-300)) < log_a)
         com = jnp.where(ok_v, com_v, com)
@@ -717,13 +749,14 @@ class BinaryGibbsEnsemble:
     """
 
     def __init__(self, system, params, dv_max=0.05, p_transfer=0.3,
-                 dtype=jnp.float64, n_orient=1, chunk=8, mega=None):
+                 dtype=jnp.float64, n_orient=1, chunk=8, mega=None,
+                 npt_pressure=None):
         self.params = params
         (self._init, self.run_steps, self.full_energy,
          self._check_ewald, self.pressure_fd,
          self.widom_boltzmann) = make_gibbs_binary(
             system, params, dv_max, p_transfer, dtype, n_orient, chunk,
-            mega=mega)
+            mega=mega, npt_pressure=npt_pressure)
         sl = system.species_slices
         self.capacities = (sl[0][2] - sl[0][1], sl[1][2] - sl[1][1])
 

@@ -403,11 +403,16 @@ def _run_gibbs(cfg, system, params, dtype, args):
         from metropolismontecarlo_tpu.mc.gibbs_binary import (
             BinaryGibbsEnsemble,
         )
+        # optional "pressure" (K/A^3): constant-pressure Gibbs for
+        # mixtures — per-box volume moves against the bath instead of
+        # the coupled dV transfer (see make_gibbs_binary npt_pressure)
+        npt_p = ens.get("pressure")
         g = BinaryGibbsEnsemble(
             system, params, dv_max=float(ens.get("dv_max", 0.03)),
             p_transfer=float(ens.get("p_transfer", 0.3)), dtype=dtype,
             n_orient=int(ens.get("n_orient", 1)),
-            mega=ens.get("mega"))
+            mega=ens.get("mega"),
+            npt_pressure=float(npt_p) if npt_p is not None else None)
         state = g.init(jax.random.PRNGKey(int(run_cfg.get("seed", 0))),
                        boxes=tuple(float(b) for b in ens["boxes"]),
                        n_init=[[int(n) for n in row]

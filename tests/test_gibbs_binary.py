@@ -330,3 +330,57 @@ def test_gibbs_binary_mega_full_validates():
     with pytest.raises(ValueError, match="0 < p_transfer"):
         make_gibbs_binary(w2b(4, 4), params, p_transfer=0.0,
                           dtype=jnp.float32, mega="full")
+
+
+def test_gibbs_binary_npt_ideal_gamma_exact():
+    """NPT-Gibbs (constant-pressure binary Gibbs): at eps = q = 0 with
+    transfers off, each box is an independent ideal-gas NPT cell and
+    its volume is exactly Gamma(N_b + 1, kT/P) — mean (N_b+1)kT/P and
+    variance (N_b+1)(kT/P)^2 in closed form (same anchor family as the
+    NPT response functions; Gamma-shape facts are interaction-free)."""
+    params = _lj_params(p_translate=1.0, p_volume=0.25, temperature=1.3,
+                        dr_max=0.5)
+    sys2 = lj_two_blocks(10, 10, eps=0.0)
+    init, run, fe, _ = make_gibbs_binary(sys2, params, dv_max=0.4,
+                                         p_transfer=0.0,
+                                         npt_pressure=0.05)[:4]
+    n_b = (6, 4)   # molecules per box (3+3 / 2+2 per species)
+    st = init(jax.random.PRNGKey(3), boxes=(5.0, 5.0),
+              n_init=np.array([[3, 2], [3, 2]]), n_chains=64)
+    st = run(st, 4000)                         # equilibrate volumes
+    vs = []
+    for _ in range(6):
+        st = run(st, 1500)
+        vs.append(np.asarray(st.box, np.float64) ** 3)    # (C, 2)
+    v = np.stack(vs)                                      # (B, C, 2)
+    kt_over_p = 1.3 / 0.05
+    for b in (0, 1):
+        shape = n_b[b] + 1
+        mean_exact = shape * kt_over_p
+        var_exact = shape * kt_over_p**2
+        vb = v[:, :, b].reshape(-1)
+        sem = vb.std() / np.sqrt(64 * 6)       # blocks ~decorrelated
+        assert abs(vb.mean() - mean_exact) < 5 * sem, \
+            (b, vb.mean(), mean_exact, sem)
+        assert abs(vb.var() - var_exact) < 0.25 * var_exact, \
+            (b, vb.var(), var_exact)
+
+
+def test_gibbs_binary_npt_mega_full_drift():
+    """NPT-Gibbs composed with the in-kernel transfer path: volume
+    moves against the bath stay on the jnp cadence, transfers run in
+    the gibbs kernel; drift + per-species N conservation hold."""
+    from tests.test_gcmc_osmotic import lj_plus_trimer
+
+    params = _lj_params(p_translate=0.5, dphi_max=0.8, p_volume=0.02,
+                        temperature=2.0)
+    g = BinaryGibbsEnsemble(lj_plus_trimer(20, 12), params,
+                            dv_max=0.1, p_transfer=0.4,
+                            dtype=jnp.float32, mega="interpret_full",
+                            npt_pressure=0.2)
+    st = g.init(jax.random.PRNGKey(13), boxes=(5.5, 6.5),
+                n_init=[[10, 6], [4, 6]], n_chains=4)
+    st, stats = g.run_block(st, 200, drift_tol=2e-3)
+    assert (np.asarray(st.active0.sum(axis=(1, 2))) == 16).all()
+    assert (np.asarray(st.active1.sum(axis=(1, 2))) == 10).all()
+    assert stats["acc_vol"] > 0.0, stats
