@@ -512,3 +512,73 @@ class EnergyFluctuations:
         cv = excess_heat_capacity(e2_mean, e_mean, self._temp_sum / n)
         return dict(cv_excess=cv, e_mean=e_mean, e2_mean=e2_mean,
                     n_samples=n)
+
+
+def kirkwood_buff_integral(r, g_r, r_upper=None):
+    """Kirkwood-Buff integral G_ij = 4 pi int_0^R (g_ij(r) - 1) r^2 dr
+    from an RDF (e.g. `RDFAccumulator.result()` / masked variant).
+
+    KB integrals connect pair structure to mixture thermodynamics
+    (partial molar volumes, compressibility, activity derivatives —
+    Kirkwood & Buff 1951; Ben-Naim, *Molecular Theory of Solutions*).
+    The open-system definition integrates to infinity; a closed
+    simulation box's g(r) only reaches ~box/2, so R (default: the last
+    bin) acts as the truncation — report G(R) at a plateau of the
+    running integral, and remember closed-NVT RDFs carry O(1/N)
+    finite-size tails (the muVT/masked accumulators sample the open
+    ensemble and converge cleaner).
+
+    Trapezoidal quadrature on the binned centers; exact anchors: the
+    ideal gas (g == 1) gives exactly 0 at every R, and a hard unit
+    step g = Theta(r - sigma) gives -4/3 pi sigma^3 (the excluded
+    volume) in the R -> inf limit.
+
+    Returns G(R) (float) — pass `r_upper` to truncate earlier, e.g. at
+    a g(r) plateau.
+    """
+    r = np.asarray(r, np.float64)
+    g = np.asarray(g_r, np.float64)
+    if r_upper is not None:
+        keep = r <= r_upper
+        r, g = r[keep], g[keep]
+    integrand = (g - 1.0) * r * r
+    return float(4.0 * np.pi * np.trapezoid(integrand, r))
+
+
+def heat_of_vaporization(state, pressure_fd, masses=None):
+    """Molar enthalpy of vaporization from an equilibrated two-box
+    Gibbs state (MolGibbsState or BinaryGibbsState):
+
+        dH_vap = h_vap - h_liq,   h_box = U_box/N_box + P_box V_box/N_box
+
+    with each box's own exact dU/dV pressure (pass `pressure_fd` =
+    the ensemble's pressure_fd(state), shape (C, 2)) — enthalpy is a
+    per-box state function; at coexistence the two pressures agree and
+    this reduces to the textbook (u_v - u_l) + P (v_v - v_l).  Returns
+    per-chain values in K per molecule (multiply by R = 8.31446e-3
+    kJ/mol/K for kJ/mol).
+
+    Exact anchor: an ideal gas has U = 0 and P_box v_box = kT in each
+    box, so dH_vap == 0 identically even for boxes NOT at mutual
+    mechanical equilibrium (tests/test_io_observables.py).
+    """
+    import jax.numpy as _jnp
+
+    if hasattr(state, "active0"):
+        n = (_jnp.sum(state.active0, axis=2)
+             + _jnp.sum(state.active1, axis=2))          # (C, 2)
+    else:
+        n = _jnp.sum(state.active, axis=2)
+    n = np.asarray(n, np.float64)
+    v = np.asarray(state.box, np.float64) ** 3
+    e = np.asarray(state.energy, np.float64)
+    p = np.asarray(pressure_fd, np.float64)              # (C, 2)
+    rho = n / v
+    liq = rho.argmax(axis=1)
+    ch = np.arange(n.shape[0])
+    vap = 1 - liq
+    n_l = np.maximum(n[ch, liq], 1.0)
+    n_v = np.maximum(n[ch, vap], 1.0)
+    du = e[ch, vap] / n_v - e[ch, liq] / n_l
+    pv = p[ch, vap] * v[ch, vap] / n_v - p[ch, liq] * v[ch, liq] / n_l
+    return du + pv

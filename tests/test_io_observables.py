@@ -451,3 +451,40 @@ def test_blocking_analysis_ar1_closed_form():
 
     with pytest.raises(ValueError):
         blocking_analysis(np.ones(8))
+
+
+def test_kirkwood_buff_exact_anchors():
+    """G = 0 exactly for g == 1 (ideal gas) at every truncation; the
+    hard step g = Theta(r - sigma) gives -4/3 pi sigma^3 (excluded
+    volume) to quadrature accuracy."""
+    from metropolismontecarlo_tpu.observables import kirkwood_buff_integral
+
+    r = np.linspace(0.005, 8.0, 1600)
+    assert kirkwood_buff_integral(r, np.ones_like(r)) == 0.0
+    assert kirkwood_buff_integral(r, np.ones_like(r), r_upper=3.0) == 0.0
+    sigma = 1.5
+    g = (r >= sigma).astype(np.float64)
+    exact = -4.0 / 3.0 * np.pi * sigma**3
+    got = kirkwood_buff_integral(r, g)
+    assert abs(got - exact) < 0.02 * abs(exact), (got, exact)
+
+
+def test_heat_of_vaporization_ideal_zero():
+    """Ideal gas: U = 0 and P v = kT in both boxes, so dH_vap == 0
+    identically through the real Gibbs machinery (pressure_fd included)."""
+    from metropolismontecarlo_tpu.mc.gibbs_mol import MolGibbsEnsemble
+    from metropolismontecarlo_tpu.models.monatomic import lj_system
+    from metropolismontecarlo_tpu.models.system import RunParams
+    from metropolismontecarlo_tpu.observables import heat_of_vaporization
+
+    params = RunParams(temperature=1.4, r_cut=2.5, cutoff_mode="site",
+                       coulomb="none", p_translate=1.0, dr_max=0.4,
+                       use_lrc=False, p_volume=0.0,
+                       strict_min_image=False)
+    g = MolGibbsEnsemble(lj_system(24, eps=0.0), params,
+                         p_transfer=0.4)
+    st = g.init(jax.random.PRNGKey(0), boxes=(5.0, 7.0),
+                n_init=(10, 6), n_chains=4)
+    st, _ = g.run_block(st, 300)
+    dh = heat_of_vaporization(st, g.pressure_fd(st))
+    assert np.allclose(dh, 0.0, atol=1e-9), dh
