@@ -147,12 +147,15 @@ def main():
 
     nsum = np.zeros(2)
     vsum = np.zeros(2)
-    rls, rvs, dmu_blocks = [], [], []
+    rls, rvs, dmu_blocks, dh_blocks = [], [], [], []
     worst_sfac = 0.0
+    from metropolismontecarlo_tpu.observables import heat_of_vaporization
     for b in range(PROD_BLOCKS):
         st, stats = g.run_block(st, BLOCK_STEPS)
         worst = max(worst, stats["drift_max_rel"])
         worst_sfac = max(worst_sfac, stats["sfac_err_max"])
+        dh_blocks.append(float(np.mean(
+            heat_of_vaporization(st, g.pressure_fd(st)))))
         assert stats["full_frac"] == 0.0, stats
         # per-box liquid/vapor identification happens per chain inside
         # run_block; accumulate the box-resolved sums for mu-equality
@@ -220,6 +223,11 @@ def main():
         f"mu-equality (two-sided BAR): beta mu_liq - beta mu_vap = "
         f"{dmu:+.3f} +- {sem_mu:.3f} (tolerance {mu_tol:.2f}; "
         "coexistence requires 0)",
+        f"dH_vap = {np.mean(dh_blocks) * 8.31446e-3:.1f} +- "
+        f"{np.std(dh_blocks) / np.sqrt(len(dh_blocks)) * 8.31446e-3:.1f}"
+        " kJ/mol (reported, not gated: per-box-enthalpy estimator "
+        "observables.heat_of_vaporization; expt 39.6 at 450 K — the "
+        "r_cut-7.5 no-LRC truncation softens the liquid)",
         f"worst block drift: {worst:.2e} (f32 traversal residue; the "
         f"tight gate is sfac {worst_sfac:.2e} < 1e-3)",
         f"wall: {time.time() - t0:.0f} s",
