@@ -71,6 +71,26 @@ class BinaryGCMCState(NamedTuple):
     att: jnp.ndarray      # (C, 6)
 
 
+def binary_atom_ok(system, active0, active1):
+    """Per-atom activity mask for a two-species-block system, batched:
+    active0 (..., cap0) and active1 (..., cap1) -> (..., A_pad) bool.
+
+    The standalone (state-only) version of `make_binary_slots.
+    atom_ok_of` for observable accumulation over ensemble states
+    (e.g. MaskedRDFAccumulator over the liquid box of a binary Gibbs
+    run) without building the pose evaluators."""
+    slices = system.species_slices
+    _, m0_a, m1_a, _, _ = slices[0]
+    _, m0_b, m1_b, _, _ = slices[1]
+    mol = jnp.asarray(system.mol_of_atom_padded)
+    real = mol >= 0
+    col_b = (mol >= m0_b) & real
+    slot0 = jnp.clip(mol - m0_a, 0, (m1_a - m0_a) - 1)
+    slot1 = jnp.clip(mol - m0_b, 0, (m1_b - m0_b) - 1)
+    return real & jnp.where(col_b, active1[..., slot1],
+                            active0[..., slot0])
+
+
 def make_binary_slots(system, params, dtype=jnp.float64):
     """Shared two-species slot machinery for the binary ensembles
     (muVT here, two-box Gibbs in mc/gibbs_binary.py) — the two-species

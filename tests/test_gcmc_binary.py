@@ -249,3 +249,25 @@ def test_gcmc_binary_mega_full_in_kernel_exchanges():
     assert int(att[:, 4].sum()) > 0          # species-1 insert attempts
     # at least one insertion landed overall (empty slots + clear poses)
     assert int(np.asarray(st.acc)[:, [2, 4]].sum()) > 0
+
+
+def test_binary_atom_ok_matches_slots_and_batches():
+    """The standalone binary_atom_ok equals make_binary_slots'
+    atom_ok_of on random masks, and broadcasts over leading batch
+    dims (the observable-accumulation use)."""
+    from metropolismontecarlo_tpu.mc.gcmc_binary import (
+        binary_atom_ok,
+        make_binary_slots,
+    )
+
+    sys2 = water_two_blocks(5, 3)
+    params = _lj_params()
+    ms = make_binary_slots(sys2, params, jnp.float64)
+    key = jax.random.PRNGKey(0)
+    a0 = jax.random.bernoulli(key, 0.6, (4, 2, 5))
+    a1 = jax.random.bernoulli(jax.random.PRNGKey(1), 0.6, (4, 2, 3))
+    batched = binary_atom_ok(sys2, a0, a1)            # (4, 2, A_pad)
+    for c in range(4):
+        for b in range(2):
+            ref = ms.atom_ok_of(a0[c, b], a1[c, b])
+            assert bool(jnp.all(batched[c, b] == ref)), (c, b)
