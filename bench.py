@@ -189,7 +189,12 @@ def _setup_gibbs(n_chains):
     # modest (tuned Ewald K grows ~ (kappa*L)^3; the 0.015 g/cc
     # artifact box would need K ~ 6000)
     r_cut = min(7.5, 0.45 * box_l)
-    kl, nk, ksq = tune_parameters(1.15 * box_v, r_cut, 1e-3)
+    # tune at the largest volume-exchange-reachable box, (V_l+V_v)^(1/3)
+    # (one box absorbing all volume) — the box-consistency bound the
+    # repo documents for truncated multi-box models; 1.15*box_v = 20.7 A
+    # was marginally UNDER that bound (20.8 A)
+    box_max = (box_l**3 + box_v**3) ** (1.0 / 3.0)
+    kl, nk, ksq = tune_parameters(box_max, r_cut, 1e-3)
     params = RunParams(temperature=450.0, r_cut=r_cut, cutoff_mode="site",
                        coulomb="ewald", kappa_L=kl, nk=nk, ksq_max=ksq,
                        p_translate=0.5, dr_max=0.3, dphi_max=0.4,

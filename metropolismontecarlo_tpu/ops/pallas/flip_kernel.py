@@ -305,7 +305,11 @@ def _make_flip_kernel(cap_a, cap_b, P0, P1, a0_b, coulomb, n_types,
             ln_acc = jnp.where(is_a, jnp.float32(ln_xi),
                                jnp.float32(-ln_xi)) - beta * du
             ln_u = jnp.log(jnp.maximum(u_acc, jnp.float32(1e-30)))
-            ok = room & (ln_u < ln_acc)
+            # smax >= 0 guards the empty-active-set degenerate pick
+            # (score is -1 everywhere when no molecule is active, and
+            # the argmax would land on slot 0 — a flip of an inactive
+            # slot must never be acceptable)
+            ok = room & (ln_u < ln_acc) & (smax >= 0.0)
             okf = ok.astype(jnp.float32)
 
             # ---- state updates ----

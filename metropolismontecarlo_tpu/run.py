@@ -537,6 +537,14 @@ def main(argv=None):
         elif ens0 and "boxes" in ens0:
             box0 = float(sum(float(b) ** 3
                              for b in ens0["boxes"])) ** (1.0 / 3.0)
+            if "pressure" in ens0:
+                # NPT-Gibbs: per-box ln-V moves against the bath are NOT
+                # bounded by the initial total volume — tune with head-
+                # room (1.4x the larger initial box, matching the
+                # validation runner's hand-tuning margin) so a growing
+                # box cannot trip check_ewald_consistency mid-run
+                box0 = max(box0,
+                           1.4 * max(float(b) for b in ens0["boxes"]))
         else:
             box0 = _start_box(run_cfg, system, base_dir)
         kl, nk, ksq = tune_parameters(box0, params.qq_cut,
