@@ -33,10 +33,17 @@ choose capacity >> z V (Poisson tail ~ exp(-capacity ln(capacity/zV)))
 so truncation is below statistical noise.  `run_block` reports
 `full_frac` so saturation is observable, never silent.
 
-Model notes: cut (optionally linearly shifted) LJ only; `use_lrc` must
-be False (an N-dependent tail would have to enter the insertion rule
-too, and the Widom cross-check is exact only for the bare truncated
-model).  Single species, P = 1 (`models/monatomic.lj_system`).
+Model notes: cut (optionally linearly shifted) LJ only.  `use_lrc=True`
+(unshifted only) adds the standard tail correction U_lrc = g(V) N^2 to
+the sampled potential: since it is QUADRATIC in N, every exchange delta
+is the closed form g*((N+dn)^2 - N^2) — affine in N — entering the
+insertion/deletion acceptance, the carried energy, and the dense
+recompute consistently (drift-gated), and riding the in-kernel exchange
+path's quadratic constant lane (`wc`).  The reference carries tail
+corrections only in NVT (`/root/reference/Ewald/energy.jl:514-614`);
+here they extend to every fluctuating-N ensemble.  Exact anchor: the
+mean-field quadrature gate in tests/test_lrc_exchange.py.  Single
+species, P = 1 (`models/monatomic.lj_system`).
 """
 
 from typing import NamedTuple
@@ -62,9 +69,6 @@ def _lj_coeffs(system, params, dtype):
     if system.atoms_per_mol != 1 or len(system.species_slices) != 1:
         raise ValueError("GCMC app supports single-species monatomic "
                          "systems (models/monatomic.lj_system)")
-    if params.use_lrc:
-        raise ValueError("GCMC requires use_lrc=False (the N-dependent "
-                         "tail would have to enter the insertion rule)")
     eps = float(np.asarray(system.eps_table)[0, 0])
     sig = float(np.asarray(system.sig_table)[0, 0])
     lam1 = lam2 = 0.0
@@ -79,17 +83,33 @@ def _lj_coeffs(system, params, dtype):
 def make_slot_lj(system, params, capacity, dtype):
     """Masked-slot LJ energy closures shared by the muVT and Gibbs apps.
 
-    Returns (site_energy, full_energy_one, nth_active):
+    Returns (site_energy, full_energy_one, nth_active, lrc_g):
       site_energy(com (cap,3), active (cap,), box, pos (3,), exclude)
           -> energy of one site with every active slot != exclude;
-      full_energy_one(com, active, box) -> total active-pair energy;
-      nth_active(mask, n_idx) -> slot index of the (n_idx+1)-th True.
+      full_energy_one(com, active, box) -> total active-pair energy
+          (+ the tail term g(box) N^2 when LRC is on);
+      nth_active(mask, n_idx) -> slot index of the (n_idx+1)-th True;
+      lrc_g — None when LRC is off (LRC-off builds stay bit-identical),
+          else box -> g with U_lrc = g N^2 (ops/tail.mol_tail_coeff);
+          exchange deltas are then g*((N+dn)^2 - N^2), affine in N, and
+          ride the exchange kernels' wc constant lane.
     """
     eps, sig2, lam1, lam2 = _lj_coeffs(system, params, dtype)
     rc2 = jnp.asarray(params.r_cut**2, dtype)
     cap = int(capacity)
     floor = jnp.asarray(1e-4, dtype)
     shifted = params.lj_shift == "linear"
+
+    lrc_g = None
+    if params.use_lrc and not shifted:
+        from metropolismontecarlo_tpu.ops import tail as tail_ops
+        c_mm = tail_ops.mol_tail_coeff(
+            [1.0], [1.0], np.asarray(system.eps_table)[:1, :1],
+            np.asarray(system.sig_table)[:1, :1], params.r_cut)
+
+        def lrc_g(box):     # noqa: F811
+            return jnp.asarray(tail_ops.LRC_PREFACTOR * c_mm, dtype) \
+                / box**3
 
     def _pair_pot(d2, mask):
         d2s = jnp.where(mask, jnp.maximum(d2, floor), jnp.ones((), dtype))
@@ -111,13 +131,17 @@ def make_slot_lj(system, params, capacity, dtype):
         d2 = jnp.sum(dr * dr, axis=-1)
         pair = active[:, None] & active[None, :] & (d2 < rc2)
         iu = jnp.triu(jnp.ones((cap, cap), bool), k=1)
-        return jnp.sum(_pair_pot(d2, pair & iu))
+        e = jnp.sum(_pair_pot(d2, pair & iu))
+        if lrc_g is not None:
+            nf = jnp.sum(active.astype(dtype))
+            e = e + lrc_g(box) * nf * nf
+        return e
 
     def nth_active(mask, n_idx):
         c = jnp.cumsum(mask.astype(jnp.int32))
         return jnp.argmax(c >= n_idx + 1)
 
-    return site_energy, full_energy_one, nth_active
+    return site_energy, full_energy_one, nth_active, lrc_g
 
 
 def capacity_system(system, cap):
@@ -173,7 +197,7 @@ def make_gcmc(system, params, activity, capacity, dtype=jnp.float64,
                          "ladder")
     p_t = float(params.p_translate)
     cap = int(capacity)
-    _site_energy, _full_energy_one, _nth_active = make_slot_lj(
+    _site_energy, _full_energy_one, _nth_active, _lrc_g = make_slot_lj(
         system, params, cap, dtype)
 
     def _one_step(carry, _):
@@ -210,6 +234,14 @@ def make_gcmc(system, params, activity, capacity, dtype=jnp.float64,
 
         vol = box**3
         nf = n.astype(dtype)
+        # LJ tail-correction deltas (affine in N, see make_slot_lj);
+        # statically zero-cost when LRC is off
+        if _lrc_g is not None:
+            g = _lrc_g(box)
+            dl_i = g * (2.0 * nf + 1.0)
+            dl_d = g * (-2.0 * nf + 1.0)
+        else:
+            dl_i = dl_d = jnp.zeros((), dtype)
         u = jax.random.uniform(k_acc, dtype=dtype)
         if move_on:
             ok_t = (mt == 0) & (n > 0) \
@@ -217,9 +249,9 @@ def make_gcmc(system, params, activity, capacity, dtype=jnp.float64,
         else:
             ok_t = jnp.asarray(False)
         ok_i = (mt == 1) & ~full & (
-            u < z * vol / (nf + 1.0) * jnp.exp(-beta * u_ins))
+            u < z * vol / (nf + 1.0) * jnp.exp(-beta * (u_ins + dl_i)))
         ok_d = (mt == 2) & (n > 0) & (
-            u < nf / (z * vol) * jnp.exp(beta * u_old))
+            u < nf / (z * vol) * jnp.exp(beta * u_old - beta * dl_d))
 
         if move_on:
             com = com.at[idx].set(jnp.where(ok_t, new_pos, com[idx]))
@@ -227,8 +259,8 @@ def make_gcmc(system, params, activity, capacity, dtype=jnp.float64,
         com = com.at[slot].set(jnp.where(ok_i, pos_i, com[slot]))
         active = active.at[slot].set(ok_i | active[slot])
         active = active.at[idx].set(active[idx] & ~ok_d)
-        e = e + jnp.where(ok_i, u_ins, 0.0) \
-              + jnp.where(ok_d, -u_old, 0.0)
+        e = e + jnp.where(ok_i, u_ins + dl_i, 0.0) \
+              + jnp.where(ok_d, -u_old + dl_d, 0.0)
         a_row = jnp.stack([ok_t, ok_i, ok_d]).astype(jnp.int32)
         t_row = (jnp.arange(3) == mt).astype(jnp.int32)
         return (com, active, box, e, key, acc + a_row, att + t_row,
@@ -296,10 +328,14 @@ def make_gcmc(system, params, activity, capacity, dtype=jnp.float64,
                 sfac = jnp.zeros((C, 1, 2), jnp.float32)
                 zeros = jnp.zeros((C,), jnp.float32)
                 zc = jnp.broadcast_to(z_arr.astype(jnp.float32), (C,))
+                # LRC coefficient rides the kernel's quadratic-in-N
+                # constant (wc) lane; zero when LRC is off
+                wc_c = jax.vmap(_lrc_g)(state.box.astype(jnp.float32)) \
+                    if _lrc_g is not None else zeros
                 com, _, _, active, _, d_e, acc4, att4 = sweep_x(
                     state.com.astype(jnp.float32), quat_id, coords,
                     state.active, state.box.astype(jnp.float32), sfac,
-                    ck, jnp.zeros((), jnp.int32), zc, zeros, zeros)
+                    ck, jnp.zeros((), jnp.int32), zc, zeros, wc_c)
                 # acc4/att4 are [trans, rot, ins, del]; rot is empty
                 # for point particles — map to the (C, 3) counters
                 sel = jnp.asarray([0, 2, 3])

@@ -34,7 +34,11 @@ Exactness anchors (tests/test_gcmc_binary.py):
   * Ewald drift + structure-factor drift through mixed two-species
     exchanges (the framework-wide invariant).
 
-Capacity truncation and `use_lrc=False` as in gcmc.py.
+Capacity truncation as in gcmc.py.  `use_lrc=True` adds the full
+two-species quadratic tail U_lrc = (8 pi/3V) sum_ss' N_s N_s' c_ss'
+(`ops/tail.mol_tail_coeff`) to the exchange constants and recompute;
+the in-kernel path carries the own-species term on the wc lane and the
+cross term through the live-count si fold (mc/moves.sweep_x lrc_cross).
 """
 
 from functools import partial
@@ -120,10 +124,6 @@ def make_binary_slots(system, params, dtype=jnp.float64):
                          f"blocks; got {[s[0] for s in slices]}")
     if not system.species_uniform:
         raise ValueError("each species block must be internally uniform")
-    if params.use_lrc:
-        raise ValueError("binary ensembles require use_lrc=False (the "
-                         "N-dependent tail would enter the exchange "
-                         "rules)")
     if params.ewald_surface or params.nlist_width != 0:
         raise ValueError("ewald_surface / neighbor lists are not "
                          "supported in binary ensembles")
@@ -170,6 +170,25 @@ def make_binary_slots(system, params, dtype=jnp.float64):
         new = jnp.where(keep, ra.T, cur)
         return jax.lax.dynamic_update_slice(coords, new, (0, a0))
 
+    # species-level LJ tail coefficient matrix: U_lrc = (8 pi / 3V)
+    # sum_ss' N_s N_s' c_lrc[s, s'] (ops/tail.mol_tail_coeff); active
+    # only for use_lrc with the unshifted potential (evs gate it)
+    use_lrc = evs[0].use_lrc
+    if use_lrc:
+        from metropolismontecarlo_tpu.ops import tail as tail_ops
+        c_lrc = np.asarray(
+            [[tail_ops.mol_tail_coeff(evs[a].t_vec, evs[b].t_vec,
+                                      system.eps_table, system.sig_table,
+                                      params.r_cut)
+              for b in (0, 1)] for a in (0, 1)])
+
+        def lrc_gmat(box):
+            """(2, 2) per-volume coefficients g_ss'(box)."""
+            return jnp.asarray(tail_ops.LRC_PREFACTOR * c_lrc, dtype) \
+                / box**3
+    else:
+        lrc_gmat = None
+
     def exchange_const(box, n0, n1, s, dn):
         """Position-independent delta of changing species s by dn."""
         c = evs[s].self_intra(box) * dn
@@ -179,6 +198,13 @@ def make_binary_slots(system, params, dtype=jnp.float64):
             dq = dn * (q1 if s else q0)
             c = c + evs[s].wolf_const_coeff(box) \
                 * ((q_tot + dq) ** 2 - q_tot**2)
+        if use_lrc:
+            g = lrc_gmat(box)
+            nf_s = (n1 if s else n0).astype(dtype)
+            nf_o = (n0 if s else n1).astype(dtype)
+            o = 1 - s
+            c = c + g[s, s] * ((nf_s + dn) ** 2 - nf_s**2) \
+                + 2.0 * g[s, o] * dn * nf_o
         return c
 
     def pose_batch(s, com_t, quats, coords, com, box, a_ok, excl,
@@ -218,6 +244,10 @@ def make_binary_slots(system, params, dtype=jnp.float64):
             + nf[1] * evs[1].self_intra(box)
         q_tot = nf[0] * evs[0].q_t_tot + nf[1] * evs[1].q_t_tot
         e = e + evs[0].wolf_const_coeff(box) * q_tot * q_tot
+        if use_lrc:
+            g = lrc_gmat(box)
+            e = e + g[0, 0] * nf[0] * nf[0] + g[1, 1] * nf[1] * nf[1] \
+                + 2.0 * g[0, 1] * nf[0] * nf[1]
         if use_ewald:
             kappa = jnp.asarray(params.kappa_L, dtype) / box
             cf = ewald_ops.cfac_coeffs(kv, kw, kappa, box, dtype)
@@ -252,7 +282,8 @@ def make_binary_slots(system, params, dtype=jnp.float64):
         atom_ok_of=atom_ok_of, write_pose=write_pose,
         exchange_const=exchange_const, pose_batch=pose_batch,
         full_one=full_one, pose_lattice_init=pose_lattice_init,
-        trial_quats=trial_quats, rosenbluth=rosenbluth)
+        trial_quats=trial_quats, rosenbluth=rosenbluth,
+        use_lrc=use_lrc, lrc_gmat=lrc_gmat)
 
 
 def make_gcmc_binary(system, params, activities, p_exchange=0.4,
@@ -561,10 +592,20 @@ def make_gcmc_binary(system, params, activities, p_exchange=0.4,
                 z_b = tuple(jnp.broadcast_to(z, (C,)) for z in zs)
                 si_b = tuple(jax.vmap(ev.self_intra)(state.box)
                              for ev in evs)
-                wc_b = (jnp.zeros((C,), jnp.float32),) * 2
+                if ms.use_lrc:
+                    # own-species tail term rides the wc quadratic lane;
+                    # the cross term folds into si from the LIVE other-
+                    # species count inside sweep_x (moves.py lrc_cross)
+                    g_c = jax.vmap(ms.lrc_gmat)(state.box)     # (C, 2, 2)
+                    wc_b = (g_c[:, 0, 0], g_c[:, 1, 1])
+                    lrc_cross = (g_c[:, 0, 1], g_c[:, 1, 0])
+                else:
+                    wc_b = (jnp.zeros((C,), jnp.float32),) * 2
+                    lrc_cross = None
                 out = sweep_x(state.com, state.quat, state.coords,
                               active, state.box, state.sfac, ck,
-                              jnp.zeros((), jnp.int32), z_b, si_b, wc_b)
+                              jnp.zeros((), jnp.int32), z_b, si_b, wc_b,
+                              lrc_cross=lrc_cross)
                 (com, quat, coords, active_o, sfac_o, d_e, acc6,
                  att6) = out
                 return state._replace(

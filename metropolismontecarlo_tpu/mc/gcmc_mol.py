@@ -43,8 +43,10 @@ Exactness anchors (tests/test_gcmc_mol.py):
   * SPC/E water + Ewald: carried energy AND carried structure factors
     vs dense recompute after thousands of mixed moves (drift check).
 
-Capacity truncation and `use_lrc=False` as in gcmc.py (an N-dependent
-tail would have to enter the exchange rules).
+Capacity truncation as in gcmc.py.  `use_lrc=True` (unshifted LJ only)
+adds the species-level tail U_lrc = g(box) N^2 (`ops/tail.
+mol_tail_coeff`) to the exchange constants, the dense recompute, and
+the in-kernel exchange path's quadratic constant lane — see mc/gcmc.py.
 """
 
 from functools import partial
@@ -119,9 +121,6 @@ def make_mol_slots(system, params, dtype=jnp.float64):
     if not system.is_uniform:
         raise ValueError("molecular GCMC requires a uniform single-"
                          "species system (n_mol == slot capacity)")
-    if params.use_lrc:
-        raise ValueError("GCMC requires use_lrc=False (the N-dependent "
-                         "tail would have to enter the exchange rules)")
     if params.ewald_surface:
         raise ValueError("ewald_surface is not supported in GCMC (the "
                          "whole-system dipole term would need deltas on "
@@ -162,14 +161,18 @@ def make_mol_slots(system, params, dtype=jnp.float64):
 
     def exchange_const(box, n_old, dn):
         """Position-independent energy delta of changing N by dn:
-        per-molecule self+intra, plus the reference-Wolf c*Q^2 term.
-        Box-dependent (kappa = kappa_L / box), so transfers between
+        per-molecule self+intra, the reference-Wolf c*Q^2 term, and the
+        LJ tail correction U_lrc = g(box) N^2 (both quadratic in N, so
+        the delta is affine and kernel-friendly).  Box-dependent
+        (kappa = kappa_L / box and g ~ 1/V), so transfers between
         different-sized boxes do NOT cancel it."""
         c = ev.self_intra(box) * dn
+        nf = n_old.astype(dtype)
+        dn2 = (nf + dn) ** 2 - nf**2
         if q_t2 != 0.0:
-            nf = n_old.astype(dtype)
-            c = c + ev.wolf_const_coeff(box) * q_t2 \
-                * ((nf + dn) ** 2 - nf**2)
+            c = c + ev.wolf_const_coeff(box) * q_t2 * dn2
+        if ev.use_lrc:
+            c = c + ev.lrc_self_coeff(box) * dn2
         return c
 
     def full_one(com, quat, coords, active, box):
@@ -187,6 +190,8 @@ def make_mol_slots(system, params, dtype=jnp.float64):
         e = e + nf * ev.self_intra(box)
         if q_t2 != 0.0:
             e = e + ev.wolf_const_coeff(box) * q_t2 * nf * nf
+        if ev.use_lrc:
+            e = e + ev.lrc_self_coeff(box) * nf * nf
         if use_ewald:
             kappa = jnp.asarray(params.kappa_L, dtype) / box
             cf = ewald_ops.cfac_coeffs(kv, kw, kappa, box, dtype)
@@ -617,6 +622,11 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
                         * ms.q_t2
                 else:
                     wc_c = jnp.zeros_like(state.box)
+                if ev.use_lrc:
+                    # LRC rides the kernel's quadratic-in-N constant
+                    # lane: du_exch = ... + wc_c*(2n +- 1) is exactly
+                    # g*((N+dn)^2 - N^2) for dn = +-1
+                    wc_c = wc_c + jax.vmap(ev.lrc_self_coeff)(state.box)
                 out = sweep_x(state.com, state.quat, state.coords,
                               state.active, state.box, state.sfac, ck,
                               jnp.zeros((), jnp.int32), _z_of(state),

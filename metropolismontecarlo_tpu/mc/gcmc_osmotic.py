@@ -90,10 +90,6 @@ def make_gcmc_osmotic(system, params, activity, p_exchange=0.3,
                          f"{[s[0] for s in slices]}")
     if not system.species_uniform:
         raise ValueError("each species block must be internally uniform")
-    if params.use_lrc:
-        raise ValueError("osmotic GCMC requires use_lrc=False (the "
-                         "N-dependent tail would enter the exchange "
-                         "rules)")
     if params.ewald_surface or params.nlist_width != 0:
         raise ValueError("ewald_surface / neighbor lists are not "
                          "supported in osmotic GCMC")
@@ -150,6 +146,25 @@ def make_gcmc_osmotic(system, params, activity, p_exchange=0.3,
     def solute_a0(slot):
         return a0_u + slot * P1
 
+    # LJ tail coefficients (ops/tail.mol_tail_coeff): solute-solute
+    # quadratic + solute-solvent cross with the FIXED solvent count
+    use_lrc = ev1.use_lrc
+    if use_lrc:
+        from metropolismontecarlo_tpu.ops import tail as tail_ops
+        c_uu = tail_ops.mol_tail_coeff(ev1.t_vec, ev1.t_vec,
+                                       system.eps_table,
+                                       system.sig_table, params.r_cut)
+        c_uv = tail_ops.mol_tail_coeff(ev1.t_vec, ev0.t_vec,
+                                       system.eps_table,
+                                       system.sig_table, params.r_cut)
+        c_vv = tail_ops.mol_tail_coeff(ev0.t_vec, ev0.t_vec,
+                                       system.eps_table,
+                                       system.sig_table, params.r_cut)
+
+        def lrc_g(box, c):
+            return jnp.asarray(tail_ops.LRC_PREFACTOR * c, dtype) \
+                / box**3
+
     def exchange_const(box, n_old, dn):
         c = ev1.self_intra(box) * dn
         if q_t2 != 0.0:
@@ -159,6 +174,10 @@ def make_gcmc_osmotic(system, params, activity, p_exchange=0.3,
             q_tot = ns * ev0.q_t_tot + n_old.astype(dtype) * ev1.q_t_tot
             c = c + ev1.wolf_const_coeff(box) \
                 * ((q_tot + dn * ev1.q_t_tot) ** 2 - q_tot**2)
+        if use_lrc:
+            nf = n_old.astype(dtype)
+            c = c + lrc_g(box, c_uu) * ((nf + dn) ** 2 - nf**2) \
+                + 2.0 * lrc_g(box, c_uv) * dn * ns
         return c
 
     trial_quats = make_trial_quats(P1, dtype)
@@ -382,6 +401,10 @@ def make_gcmc_osmotic(system, params, activity, p_exchange=0.3,
         q_tot = ns * ev0.q_t_tot + nf * ev1.q_t_tot
         # the wolf_const_coeff is species-independent (style/box only)
         e = e + ev1.wolf_const_coeff(box) * q_tot * q_tot
+        if use_lrc:
+            e = e + lrc_g(box, c_uu) * nf * nf \
+                + 2.0 * lrc_g(box, c_uv) * nf * ns \
+                + lrc_g(box, c_vv) * float(ns) ** 2
         if use_ewald:
             kappa = jnp.asarray(params.kappa_L, dtype) / box
             cf = ewald_ops.cfac_coeffs(kv, kw, kappa, box, dtype)
@@ -446,10 +469,19 @@ def make_gcmc_osmotic(system, params, activity, p_exchange=0.3,
                 zeros = jnp.zeros((C,), jnp.float32)
                 zc = jnp.broadcast_to(z.astype(jnp.float32), (C,))
                 si1 = jax.vmap(ev1.self_intra)(state.box)
+                if use_lrc:
+                    # solute-solute tail on the wc quadratic lane; the
+                    # solvent cross term 2 g_uv ns is a CONSTANT (fixed
+                    # solvent count) folded into the si lane directly
+                    si1 = si1 + 2.0 * float(ns) \
+                        * jax.vmap(lambda b: lrc_g(b, c_uv))(state.box)
+                    wc1 = jax.vmap(lambda b: lrc_g(b, c_uu))(state.box)
+                else:
+                    wc1 = zeros
                 out = sweep_x(state.com, state.quat, state.coords,
                               act_full, state.box, state.sfac, ck,
                               jnp.zeros((), jnp.int32),
-                              (zeros, zc), (zeros, si1), (zeros, zeros))
+                              (zeros, zc), (zeros, si1), (zeros, wc1))
                 (com, quat, coords, active_o, sfac_o, d_e, acc6,
                  att6) = out
                 sel = jnp.asarray([0, 1, 4, 5])   # [tr, rot, ins1, del1]

@@ -71,7 +71,7 @@ def make_gibbs(system, params, capacity, dv_max=0.05, dtype=jnp.float64,
     p_v = float(params.p_volume)
     cap = int(capacity)
     rc = float(params.r_cut)
-    site_energy, full_energy_one, nth_active = make_slot_lj(
+    site_energy, full_energy_one, nth_active, lrc_g = make_slot_lj(
         system, params, cap, dtype)
 
     # volume moves follow the mc/npt.py discipline: a DETERMINISTIC
@@ -127,8 +127,16 @@ def make_gibbs(system, params, capacity, dv_max=0.05, dtype=jnp.float64,
         pos_d = jax.random.uniform(k_pos, (3,), dtype) * box[d]
         u_in = site_energy(com[d], active[d], box[d], pos_d, -1)
         slot_d = jnp.argmax(~active[d])
+        # per-box LJ tail deltas (U_lrc = g(box) N^2; mc/gcmc.py):
+        # insertion into d gains g_d(2N_d+1), deletion from s gains
+        # -g_s(2N_s-1) — box-dependent, so they do NOT cancel
+        if lrc_g is not None:
+            dl_in = lrc_g(box[d]) * (2.0 * nf[d] + 1.0)
+            dl_rm = lrc_g(box[s]) * (-2.0 * nf[s] + 1.0)
+        else:
+            dl_in = dl_rm = jnp.zeros((), dtype)
         a_x = nf[s] * v[d] / ((nf[d] + 1.0) * v[s]) \
-            * jnp.exp(-beta * (u_in - u_rm))
+            * jnp.exp(-beta * (u_in + dl_in - u_rm + dl_rm))
         ok_x = (mt == 2) & (n[s] > 0) & (n[d] < cap) & (u < a_x)
 
         # --- apply (mutually exclusive branches) ------------------------
@@ -140,8 +148,8 @@ def make_gibbs(system, params, capacity, dv_max=0.05, dtype=jnp.float64,
                                               com[d, slot_d]))
         active = active.at[d, slot_d].set(ok_x | active[d, slot_d])
         active = active.at[s, idx_s].set(active[s, idx_s] & ~ok_x)
-        e = e.at[d].add(jnp.where(ok_x, u_in, 0.0))
-        e = e.at[s].add(jnp.where(ok_x, -u_rm, 0.0))
+        e = e.at[d].add(jnp.where(ok_x, u_in + dl_in, 0.0))
+        e = e.at[s].add(jnp.where(ok_x, -u_rm + dl_rm, 0.0))
 
         a_row = jnp.stack([ok_t, jnp.zeros((), bool), ok_x]) \
             .astype(jnp.int32)

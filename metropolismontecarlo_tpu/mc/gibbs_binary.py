@@ -521,12 +521,23 @@ def make_gibbs_binary(system, params, dv_max=0.05, p_transfer=0.3,
             si2s = tuple(
                 jax.vmap(ev.self_intra)(box_flat).reshape(C, 2)
                 for ev in evs)
-            wc2s = (jnp.zeros_like(state.box),) * 2
+            if ms.use_lrc:
+                # per-box tail coefficients: own-species quadratic on
+                # the wc lane, cross term threaded from the LIVE other-
+                # species counts inside sweep_g (moves.py lrc_cross)
+                g_c = jax.vmap(ms.lrc_gmat)(box_flat)   # (2C, 2, 2)
+                wc2s = (g_c[:, 0, 0].reshape(C, 2),
+                        g_c[:, 1, 1].reshape(C, 2))
+                lrc_cross = (g_c[:, 0, 1].reshape(C, 2),
+                             g_c[:, 1, 0].reshape(C, 2))
+            else:
+                wc2s = (jnp.zeros_like(state.box),) * 2
+                lrc_cross = None
             (com, quat, coords, a0, a1, sfac_o, d_e, acc4,
              att4) = sweep_g(state.com, state.quat, state.coords,
                              state.active0, state.active1, state.box,
                              state.sfac, ck, jnp.zeros((), jnp.int32),
-                             si2s, wc2s)
+                             si2s, wc2s, lrc_cross=lrc_cross)
             zc = jnp.zeros_like(acc4[:, 0])
             acc5 = jnp.stack([acc4[:, 0], acc4[:, 1], zc,
                               acc4[:, 2], acc4[:, 3]], 1)

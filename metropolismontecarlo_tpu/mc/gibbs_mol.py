@@ -446,6 +446,11 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
                     .reshape(C, 2) * ms.q_t2
             else:
                 wc2 = jnp.zeros_like(state.box)
+            if ev.use_lrc:
+                # per-box LRC coefficient rides the kernel's quadratic
+                # constant lane (see mc/gcmc_mol._cycle_full)
+                wc2 = wc2 + jax.vmap(ev.lrc_self_coeff)(box_flat) \
+                    .reshape(C, 2)
             (com, quat, coords, active, sfac_o, d_e, acc3,
              att3) = sweep_g(state.com, state.quat, state.coords,
                              state.active, state.box, state.sfac, ck,

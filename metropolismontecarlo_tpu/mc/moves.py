@@ -1046,7 +1046,8 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
             return sweep_act
 
         def sweep_x(com, quat, coords, active, box, sfac, chain_keys,
-                    seed, zact, si, wc, energy=None, eta=None):
+                    seed, zact, si, wc, energy=None, eta=None,
+                    lrc_cross=None):
             """One kernel call per species block = [block-M-move
             activity-masked sweep + n_exchs[b] in-kernel muVT exchange
             attempts of that species] on the molecular-GCMC state
@@ -1115,8 +1116,22 @@ def make_mega_sweep_fn(system, params, kvecs, kweights, interpret=False,
                 extra = dict(n_exch=n_exchs[b], tmmc=tmmc_exch,
                              n_widom=n_widoms[b])
                 if n_exchs[b] or n_widoms[b]:
+                    si_eff = si_b[b].astype(f32)
+                    if lrc_cross is not None and nb > 1:
+                        # cross-species LJ tail term: inserting a block-b
+                        # molecule adds 2 g_bo N_o to the quadratic tail
+                        # (ops/tail.mol_tail_coeff) — the OTHER blocks'
+                        # counts are frozen during block b's call, so the
+                        # term folds into the +-si constant lane, read
+                        # from the LIVE activity plane (block calls
+                        # earlier in this cycle may have changed N_o)
+                        _, m0b, m1b, _, _ = system.species_slices[b]
+                        n_oth = (jnp.sum(actm[:, :M], axis=1)
+                                 - jnp.sum(actm[:, m0b:m1b], axis=1))
+                        si_eff = si_eff + 2.0 \
+                            * lrc_cross[b].astype(f32) * n_oth
                     extra.update(actm=actm, zact=z_b[b].astype(f32),
-                                 si=si_b[b].astype(f32),
+                                 si=si_eff,
                                  wc=wc_b[b].astype(f32))
                     if tmmc_exch:
                         eta_row = jnp.pad(eta.astype(f32).reshape(-1),
@@ -1497,7 +1512,7 @@ def make_mega_gibbs_binary_fn(system, params, kvecs, kweights,
     assert a0_b == caps[0] * P0
 
     def sweep_gibbs_b(com, quat, coords, active0, active1, box, sfac,
-                      chain_keys, seed, si2s, wc2s):
+                      chain_keys, seed, si2s, wc2s, lrc_cross=None):
         C = com.shape[0]
         if not interpret:
             _check_mega_envelope(C, A2, "mega binary Gibbs")
@@ -1547,9 +1562,23 @@ def make_mega_gibbs_binary_fn(system, params, kvecs, kweights,
         xacc = []
         xprev = jnp.zeros((C,), f32)
         for s, (statics_s, consts_s) in enumerate(blocks):
+            si_eff = si2s[s].astype(f32)
+            if lrc_cross is not None:
+                # cross-species LJ tail term per box: inserting a
+                # species-s molecule into box b adds 2 g_so(box_b) N_o^b
+                # — the other species' counts are frozen during this
+                # species' call, read LIVE from the folded activity
+                # plane (the earlier species call may have moved them)
+                o = 1 - s
+                actm_live = planes[15]
+                n_oth = jnp.stack(
+                    [jnp.sum(actm_live[:, b * m_pad + m0s[o]:
+                                       b * m_pad + m0s[o] + caps[o]],
+                             axis=1) for b in (0, 1)], axis=1)
+                si_eff = si_eff + 2.0 * lrc_cross[s].astype(f32) * n_oth
             out = sweep_gibbs_pallas(
                 *planes, *box_t,
-                si2s[s].astype(f32), wc2s[s].astype(f32), stats,
+                si_eff, wc2s[s].astype(f32), stats,
                 seed + moves_done, chain_keys.astype(jnp.int32),
                 *consts_s, **statics_s)
             planes, stats = list(out[:16]), out[16]
@@ -1692,9 +1721,12 @@ def make_mega_flip_fn(system, params, kvecs, kweights, fugacity_ratio,
               jnp.asarray(q_row), kx, ky, kz, kw_r)
 
     def flips(com, quat, coords, active, box, sfac, chain_keys, seed,
-              si2):
+              si2, lrc3=None):
         C = com.shape[0]
         f32 = jnp.float32
+        use_lrc = lrc3 is not None
+        if lrc3 is None:
+            lrc3 = jnp.zeros((C, 3), f32)
         actf = active.astype(f32)
         act_a = jnp.repeat(actf[:, :cap_a], P0, axis=1)
         act_b = jnp.repeat(actf[:, cap_a:], P1, axis=1)
@@ -1717,9 +1749,11 @@ def make_mega_flip_fn(system, params, kvecs, kweights, fugacity_ratio,
             act_row, actm,
             box.reshape(C, 1).astype(f32),
             float(params.temperature) * ones,
-            si2.astype(f32), jnp.zeros((C, 8), f32),
+            si2.astype(f32), lrc3.astype(f32),
+            jnp.zeros((C, 8), f32),
             jnp.asarray(seed, jnp.int32),
-            chain_keys.astype(jnp.int32), *consts, **statics)
+            chain_keys.astype(jnp.int32), *consts, use_lrc=use_lrc,
+            **statics)
         (x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act_o, actm_o,
          stats) = out
         com_o = jnp.stack([cx[:, :M], cy[:, :M], cz[:, :M]], axis=-1)

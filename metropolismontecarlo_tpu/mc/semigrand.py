@@ -91,8 +91,6 @@ def make_semigrand(system, params, fugacity_ratio, p_flip=0.3,
                          f"blocks; got {[s[0] for s in slices]}")
     if not system.species_uniform:
         raise ValueError("each species block must be internally uniform")
-    if params.use_lrc:
-        raise ValueError("semigrand MC requires use_lrc=False")
     if params.ewald_surface or params.nlist_width != 0:
         raise ValueError("ewald_surface / neighbor lists are not "
                          "supported in semigrand MC")
@@ -155,6 +153,37 @@ def make_semigrand(system, params, fugacity_ratio, p_flip=0.3,
 
     def species_const(ev_s, box):
         return ev_s.self_intra(box)
+
+    # LJ tail coefficients: U_lrc = (8 pi / 3V)(c00 n_a^2 +
+    # 2 c01 n_a n_b + c11 n_b^2); a flip changes (n_a, n_b) by -+1 so
+    # the delta is affine in the LIVE per-species counts
+    # (ops/tail.mol_tail_coeff).  For identical species c00 = c01 = c11
+    # and the flip delta cancels EXACTLY — the closed-form Binomial
+    # anchor gates the cross-term algebra (tests/test_lrc_exchange.py).
+    use_lrc = ev0.use_lrc
+    if use_lrc:
+        from metropolismontecarlo_tpu.ops import tail as tail_ops
+        c00 = tail_ops.mol_tail_coeff(ev0.t_vec, ev0.t_vec,
+                                      system.eps_table,
+                                      system.sig_table, params.r_cut)
+        c01 = tail_ops.mol_tail_coeff(ev0.t_vec, ev1.t_vec,
+                                      system.eps_table,
+                                      system.sig_table, params.r_cut)
+        c11 = tail_ops.mol_tail_coeff(ev1.t_vec, ev1.t_vec,
+                                      system.eps_table,
+                                      system.sig_table, params.r_cut)
+
+        def lrc_g(box):
+            return jnp.asarray(tail_ops.LRC_PREFACTOR, dtype) / box**3
+
+        def lrc_flip_delta(box, is_a, n_a, n_b):
+            """U_lrc delta of flipping a->b (is_a) or b->a."""
+            g = lrc_g(box)
+            d_ab = -(2.0 * n_a - 1.0) * c00 + (2.0 * n_b + 1.0) * c11 \
+                + 2.0 * (n_a - n_b - 1.0) * c01
+            d_ba = (2.0 * n_a + 1.0) * c00 - (2.0 * n_b - 1.0) * c11 \
+                + 2.0 * (n_b - n_a - 1.0) * c01
+            return g * jnp.where(is_a, d_ab, d_ba)
 
     def pose_batch(ev_s, com_t, quats, coords, com, box, a_ok, excl,
                    sfac_base, cf):
@@ -291,6 +320,10 @@ def make_semigrand(system, params, fugacity_ratio, p_flip=0.3,
         c0 = species_const(ev0, box)
         c1 = species_const(ev1, box)
         dconst = jnp.where(is_a, c1 - c0, c0 - c1)
+        if use_lrc:
+            n_a_f = jnp.sum(active[:cap_a].astype(dtype))
+            n_b_f = jnp.sum(active[cap_a:].astype(dtype))
+            dconst = dconst + lrc_flip_delta(box, is_a, n_a_f, n_b_f)
         du_flip = u_n[j_sel] - u_exist + dconst
         # target slot: first free slot of the OTHER block
         free_b = jnp.argmax(~active[cap_a:]) + cap_a
@@ -373,6 +406,9 @@ def make_semigrand(system, params, fugacity_ratio, p_flip=0.3,
             + n_b * species_const(ev1, box)
         q_tot = n_a * ev0.q_t_tot + n_b * ev1.q_t_tot
         e = e + ev1.wolf_const_coeff(box) * q_tot * q_tot
+        if use_lrc:
+            e = e + lrc_g(box) * (c00 * n_a * n_a + c11 * n_b * n_b
+                                  + 2.0 * c01 * n_a * n_b)
         if use_ewald:
             kappa = jnp.asarray(params.kappa_L, dtype) / box
             cf = ewald_ops.cfac_coeffs(kv, kw, kappa, box, dtype)
@@ -448,10 +484,17 @@ def make_semigrand(system, params, fugacity_ratio, p_flip=0.3,
                 [jax.vmap(lambda b: species_const(ev0, b))(st.box),
                  jax.vmap(lambda b: species_const(ev1, b))(st.box)],
                 axis=1)
+            if use_lrc:
+                # in-kernel flip tail delta coefficients [g c00, g c01,
+                # g c11] (flip_kernel reads live per-species counts)
+                g = jax.vmap(lrc_g)(st.box)
+                lrc3 = jnp.stack([g * c00, g * c01, g * c11], axis=1)
+            else:
+                lrc3 = None
             (com, quat, coords, active, sfac_o, d_ef, accf,
              attf) = flips(st.com, st.quat, st.coords, st.active,
                            st.box, st.sfac, ck_f,
-                           jnp.zeros((), jnp.int32), si2)
+                           jnp.zeros((), jnp.int32), si2, lrc3=lrc3)
             acc4 = jnp.concatenate([acc2, accf], axis=1)
             att4 = jnp.concatenate([att2, attf], axis=1)
             return st._replace(

@@ -74,7 +74,7 @@ def make_tmmc(system, params, activity, capacity, dtype=jnp.float64,
     z = jnp.asarray(activity, dtype)
     p_t = float(params.p_translate)
     cap = int(capacity)
-    site_energy, full_energy_one, nth_active = make_slot_lj(
+    site_energy, full_energy_one, nth_active, lrc_g = make_slot_lj(
         system, params, cap, dtype)
 
     def _one_step(carry, _):
@@ -110,8 +110,17 @@ def make_tmmc(system, params, activity, capacity, dtype=jnp.float64,
         # entries); a full chain's insertion is a hard reject — its
         # probability in the CAPPED ensemble is 0, and ln Pi is only
         # read below the cap
-        r_i = z * vol / (nf + 1.0) * jnp.exp(-beta * u_ins)
-        r_d = nf / (z * vol) * jnp.exp(beta * u_old)
+        # LJ tail-correction deltas (affine in N; see mc/gcmc.py) enter
+        # the UNBIASED ratios, so the collection-matrix deposits carry
+        # them too; statically zero-cost when LRC is off
+        if lrc_g is not None:
+            g = lrc_g(box)
+            dl_i = g * (2.0 * nf + 1.0)
+            dl_d = g * (-2.0 * nf + 1.0)
+        else:
+            dl_i = dl_d = jnp.zeros((), dtype)
+        r_i = z * vol / (nf + 1.0) * jnp.exp(-beta * (u_ins + dl_i))
+        r_d = nf / (z * vol) * jnp.exp(beta * u_old - beta * dl_d)
         pa_i = jnp.where(full, 0.0, jnp.minimum(1.0, r_i))
         pa_d = jnp.where(n > 0, jnp.minimum(1.0, r_d), 0.0)
 
@@ -136,8 +145,8 @@ def make_tmmc(system, params, activity, capacity, dtype=jnp.float64,
         com = com.at[slot].set(jnp.where(ok_i, pos_i, com[slot]))
         active = active.at[slot].set(ok_i | active[slot])
         active = active.at[idx].set(active[idx] & ~ok_d)
-        e = e + jnp.where(ok_i, u_ins, 0.0) \
-              + jnp.where(ok_d, -u_old, 0.0)
+        e = e + jnp.where(ok_i, u_ins + dl_i, 0.0) \
+              + jnp.where(ok_d, -u_old + dl_d, 0.0)
         a_row = jnp.stack([ok_t, ok_i, ok_d]).astype(jnp.int32)
         t_row = (jnp.arange(3) == mt).astype(jnp.int32)
 
@@ -227,11 +236,13 @@ def make_tmmc(system, params, activity, capacity, dtype=jnp.float64,
                 sfac = jnp.zeros((C, 1, 2), jnp.float32)
                 zeros = jnp.zeros((C,), jnp.float32)
                 zc = jnp.broadcast_to(z.astype(jnp.float32), (C,))
+                wc_c = jax.vmap(lrc_g)(state.box.astype(jnp.float32)) \
+                    if lrc_g is not None else zeros
                 (com, _, _, active, _, d_e, acc4, att4, cm,
                  uh) = sweep_x(
                     state.com.astype(jnp.float32), quat_id, coords,
                     state.active, state.box.astype(jnp.float32), sfac,
-                    ck, jnp.zeros((), jnp.int32), zc, zeros, zeros,
+                    ck, jnp.zeros((), jnp.int32), zc, zeros, wc_c,
                     energy=state.energy, eta=eta)
                 sel = jnp.asarray([0, 2, 3])
                 st = state._replace(

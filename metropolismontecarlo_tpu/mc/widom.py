@@ -229,11 +229,31 @@ def make_pose_eval(system, params, kvecs, kweights, dtype=jnp.float32,
                 - tail_ops.lrc_energy(counts, eps_tab, sig_tab,
                                       params.r_cut, vol))
 
+    # fluctuating-N LRC machinery: per-molecule type-count vector and
+    # the species self-coefficient g(box) with U_lrc = g N^2 (see
+    # ops/tail.mol_tail_coeff).  Same gating as lrc_delta: active only
+    # for use_lrc with the unshifted potential.
+    t_vec = np.bincount(tm, minlength=np.asarray(system.eps_table)
+                        .shape[0]).astype(np.float64)
+    c_mm = tail_ops.mol_tail_coeff(t_vec, t_vec, system.eps_table,
+                                   system.sig_table, params.r_cut) \
+        if use_lrc else 0.0
+
+    def lrc_self_coeff(box):
+        """g(box) = (8 pi / 3 box^3) c_mm, the LRC analog of
+        wolf_const_coeff: U_lrc = g * N^2 for N molecules of this
+        species, so exchange deltas are g*((N+dn)^2 - N^2) and ride
+        the same affine (si, wc) lanes in the exchange kernels."""
+        if c_mm == 0.0:
+            return jnp.zeros((), dtype)
+        return jnp.asarray(tail_ops.LRC_PREFACTOR * c_mm, dtype) / box**3
+
     return SimpleNamespace(
         P=P, q_t=q_t, q_t_tot=q_t_tot, q_sys_tot=q_sys_tot, body_t=body_t,
         pose_atoms=pose_atoms, pair_energy=pair_energy, pose_sfac=pose_sfac,
         self_intra=self_intra, wolf_const_coeff=wolf_const_coeff,
-        lrc_delta=lrc_delta, mol_of_atom=mol_of_atom, real=real,
+        lrc_delta=lrc_delta, lrc_self_coeff=lrc_self_coeff, t_vec=t_vec,
+        use_lrc=use_lrc, mol_of_atom=mol_of_atom, real=real,
         charges_flat=charges_flat)
 
 

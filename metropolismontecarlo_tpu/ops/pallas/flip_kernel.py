@@ -53,7 +53,7 @@ _FACTOR = float(COULOMB_FACTOR)
 
 def _make_flip_kernel(cap_a, cap_b, P0, P1, a0_b, coulomb, n_types,
                       has_lj0, has_q0, has_lj1, has_q1, rc2, qrc2,
-                      kappa_l, d2_overlap, K, ln_xi, n_flip):
+                      kappa_l, d2_overlap, K, ln_xi, n_flip, use_lrc):
     """stats columns: [d_e, acc_ab, acc_ba, att_ab, att_ba, 0, 0, 0]."""
     M = cap_a + cap_b
     Ps = (P0, P1)
@@ -66,7 +66,7 @@ def _make_flip_kernel(cap_a, cap_b, P0, P1, a0_b, coulomb, n_types,
          tid_ref, molid_ref, qrow_ref, kx_ref, ky_ref, kz_ref, kw_ref,
          x_in, y_in, z_in, cx_in, cy_in, cz_in,
          qw_in, qx_in, qy_in, qz_in, sre_in, sim_in, act_in, actm_in,
-         box_ref, temp_ref, si2_ref, stats_in,
+         box_ref, temp_ref, si2_ref, lrc3_ref, stats_in,
          x_o, y_o, z_o, cx_o, cy_o, cz_o, qw_o, qx_o, qy_o, qz_o,
          sre_o, sim_o, act_o, actm_o, stats_o,
          eps_rows, sig2_rows, cfac_s) = refs
@@ -280,6 +280,26 @@ def _make_flip_kernel(cap_a, cap_b, P0, P1, a0_b, coulomb, n_types,
             dconst = jnp.where(is_a, si_s[1] - si_s[0],
                                si_s[0] - si_s[1])
             du = u_new - u_exist + dconst
+            if use_lrc:
+                # LJ tail flip delta, affine in the LIVE per-species
+                # counts (U_lrc quadratic form; mc/semigrand.py
+                # lrc_flip_delta is the jnp counterpart): lrc3 carries
+                # [g*c00, g*c01, g*c11] per chain
+                lrc3 = lrc3_ref[:]
+                g00 = lrc3[:, 0:1]
+                g01 = lrc3[:, 1:2]
+                g11 = lrc3[:, 2:3]
+                n_a = jnp.sum(jnp.where(va, actm, 0.0), axis=1,
+                              keepdims=True)
+                n_b = jnp.sum(jnp.where(vb, actm, 0.0), axis=1,
+                              keepdims=True)
+                d_ab = -(2.0 * n_a - 1.0) * g00 \
+                    + (2.0 * n_b + 1.0) * g11 \
+                    + 2.0 * (n_a - n_b - 1.0) * g01
+                d_ba = (2.0 * n_a + 1.0) * g00 \
+                    - (2.0 * n_b - 1.0) * g11 \
+                    + 2.0 * (n_b - n_a - 1.0) * g01
+                du = du + jnp.where(is_a, d_ab, d_ba)
             if coulomb == "ewald":
                 do0 = xsfac(0, olds0)
                 do1 = xsfac(1, olds1)
@@ -370,19 +390,22 @@ def _make_flip_kernel(cap_a, cap_b, P0, P1, a0_b, coulomb, n_types,
     static_argnames=("cap_a", "cap_b", "P0", "P1", "a0_b", "coulomb",
                      "n_types", "has_lj0", "has_q0", "has_lj1", "has_q1",
                      "rc2", "qrc2", "kappa_l", "d2_overlap", "ln_xi",
-                     "n_flip", "cb", "interpret"),
+                     "n_flip", "cb", "interpret", "use_lrc"),
 )
 def flip_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act, actm,
-                box, temp, si2, stats, seed, chain_keys,
+                box, temp, si2, lrc3, stats, seed, chain_keys,
                 body0, qp0, body1, qp1, eps0_pt, sig20_pt, eps1_pt,
                 sig21_pt, tid_row, molid_row, q_row, kx, ky, kz, kw, *,
                 cap_a, cap_b, P0, P1, a0_b, coulomb, n_types,
                 has_lj0, has_q0, has_lj1, has_q1, rc2, qrc2, kappa_l,
-                d2_overlap, ln_xi, n_flip, cb=64, interpret=False):
+                d2_overlap, ln_xi, n_flip, cb=64, interpret=False,
+                use_lrc=False):
     """n_flip in-kernel semigrand identity flips on the standard
     two-block slot layout (see _make_flip_kernel).  Planes
     (C, A_pad)/(C, M_pad)/(C, K); box/temp (C, 1); si2 (C, 2)
-    per-species self+intra constants; stats (C, 8).
+    per-species self+intra constants; lrc3 (C, 3) per-chain LJ-tail
+    coefficients [g*c00, g*c01, g*c11] (read only when use_lrc — pass
+    zeros otherwise); stats (C, 8).
     Returns (x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act, actm,
     stats); stats columns [d_e, acc_ab, acc_ba, att_ab, att_ba, 0,0,0].
     """
@@ -396,7 +419,7 @@ def flip_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act, actm,
     kern = _make_flip_kernel(cap_a, cap_b, P0, P1, a0_b, coulomb,
                              n_types, has_lj0, has_q0, has_lj1, has_q1,
                              rc2, qrc2, kappa_l, d2_overlap, K, ln_xi,
-                             n_flip)
+                             n_flip, use_lrc)
 
     cell = lambda n: pl.BlockSpec((cb, n), lambda c: (c, 0),  # noqa: E731
                                   memory_space=pltpu.VMEM)
@@ -416,7 +439,7 @@ def flip_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act, actm,
         cell(M_pad), cell(M_pad), cell(M_pad),
         cell(M_pad), cell(M_pad), cell(M_pad), cell(M_pad),
         cell(K), cell(K), cell(A_pad), cell(M_pad),
-        cell(1), cell(1), cell(2), cell(8),
+        cell(1), cell(1), cell(2), cell(3), cell(8),
     ]
     operands = [
         seed.reshape(1, 1), chain_keys.reshape(C, 1).astype(jnp.int32),
@@ -427,7 +450,7 @@ def flip_pallas(x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act, actm,
         kx.reshape(1, K), ky.reshape(1, K), kz.reshape(1, K),
         kw.reshape(1, K),
         x, y, z, cx, cy, cz, qw, qx, qy, qz, sre, sim, act, actm,
-        box, temp, si2, stats,
+        box, temp, si2, lrc3, stats,
     ]
     out_specs = [cell(A_pad)] * 3 + [cell(M_pad)] * 7 + [cell(K)] * 2 \
         + [cell(A_pad), cell(M_pad), cell(8)]

@@ -15,6 +15,40 @@ standard corrections assuming g(r)=1 beyond the cutoff are
 """
 
 import jax.numpy as jnp
+import numpy as np
+
+
+def mol_tail_coeff(tvec_a, tvec_b, eps_table, sig_table, r_cut):
+    """Molecular (species-level) tail coefficient c_ab, NumPy, static.
+
+    With per-molecule atom-type counts t_s (T,) for each species, the
+    atom-type counts of a configuration are N^at = sum_s N_s t_s, so
+
+        U_lrc = (8 pi / 3V) sum_ss' N_s N_s' c_ss',
+        c_ss' = t_s^T C t_s',
+        C_ab  = eps_ab sigma_ab^3 [ (1/3)(sigma_ab/r_cut)^9
+                                    - (sigma_ab/r_cut)^3 ]
+
+    — U_lrc is QUADRATIC in the molecule counts, which makes every
+    exchange/transfer/flip delta affine in N and lets the in-kernel
+    acceptance paths carry it through the same (si, wc) constant lanes
+    as the reference-Wolf c*Q^2 term (`mc/widom.py:wolf_const_coeff`).
+    The fluctuating-N ensembles (gcmc/gibbs/semigrand/tmmc families)
+    use this; fixed-N code uses `lrc_energy` directly.  Exactly
+    consistent: lrc_energy(sum_s N_s t_s, ...) ==
+    (8 pi/3V) sum_ss' N_s N_s' mol_tail_coeff(t_s, t_s') (gated in
+    tests/test_lrc_exchange.py).
+    """
+    eps = np.asarray(eps_table, np.float64)
+    sig = np.asarray(sig_table, np.float64)
+    sc3 = (sig / float(r_cut)) ** 3
+    C = eps * sig**3 * (sc3**3 / 3.0 - sc3)
+    ta = np.asarray(tvec_a, np.float64)
+    tb = np.asarray(tvec_b, np.float64)
+    return float(ta @ C @ tb)
+
+
+LRC_PREFACTOR = 8.0 * np.pi / 3.0
 
 
 def _species_sum(counts, eps_table, sig_table, r_cut):
