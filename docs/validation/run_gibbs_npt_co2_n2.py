@@ -19,8 +19,10 @@ Gates:
     (generous +-50% relative bands — compositions are the observable);
   * rho_liq within +-10% of 0.918 g/cc;
   * mechanical equilibrium with the bath: production-averaged
-    pressure_fd of EACH box equals P_bath within error (the defining
-    self-check of the constant-pressure ensemble);
+    pressure_fd of the VAPOR box equals P_bath within max(3 sem, 5%)
+    — the constraining number (sem ~ 0.4 bar).  The liquid box's FD
+    pressure is reported unguarded: its error bar at this run length
+    (~8 bar) would make any gate vacuous (round-4 verdict);
   * drift / structure-factor invariants (per-block, production resync).
 
 Transfers run IN-KERNEL (mega="full", ops/pallas/gibbs_kernel.py).
@@ -149,10 +151,16 @@ def main():
     ok_x = 0.5 * X_N2_REF < x < 1.5 * X_N2_REF
     ok_y = 0.5 * Y_N2_REF < y < 1.5 * Y_N2_REF
     ok_rho = abs(rho_l - RHO_L_REF) < 0.10 * RHO_L_REF
-    # bath equilibrium: the liquid box's FD pressure is noisy (stiff
-    # dense phase), the vapor box's is tight
-    ok_p = abs(p_v - P_BAR) < max(4 * sem_pv, 0.10 * P_BAR) \
-        and abs(p_l - P_BAR) < max(4 * sem_pl, 0.30 * P_BAR)
+    # bath equilibrium is gated on the VAPOR box only: its FD pressure
+    # is tight (sem ~ 0.4 bar) and genuinely constrains equality with
+    # the bath to ~5%.  The liquid box's FD pressure is reported but
+    # NOT gated: a ~90-molecule dense phase has dP = kT/(V kappa_T)
+    # fluctuations of tens of bar, so at this run length its +-8-ish
+    # bar error bar would span ~2 sigma of almost anything — a gate on
+    # it is vacuous (round-4 verdict, weak item 1), and making it
+    # informative (+-2-3 bar) costs ~12x the wall for no extra physics
+    # discrimination beyond the vapor-box gate.
+    ok_p = abs(p_v - P_BAR) < max(3 * sem_pv, 0.05 * P_BAR)
     ok = ok_x and ok_y and ok_rho and ok_p
     out += [
         f"production ({BLOCKS - prod_from} blocks):",
@@ -162,9 +170,12 @@ def main():
         f"[{'PASS' if ok_x else 'FAIL'}]",
         f"vapor  y_N2 = {y:.4f} (anchor {Y_N2_REF}; band +-50% rel)  "
         f"[{'PASS' if ok_y else 'FAIL'}]",
-        f"bath equilibrium: P_vap = {p_v:.1f} +- {sem_pv:.1f} bar, "
-        f"P_liq = {p_l:.1f} +- {sem_pl:.1f} bar vs bath {P_BAR}  "
+        f"bath equilibrium (GATED vapor-only, band max(3 sem, 5%)): "
+        f"P_vap = {p_v:.1f} +- {sem_pv:.1f} bar vs bath {P_BAR}  "
         f"[{'PASS' if ok_p else 'FAIL'}]",
+        f"P_liq = {p_l:.1f} +- {sem_pl:.1f} bar (reported, NOT gated: "
+        "the stiff ~90-molecule liquid's FD-pressure error bar is "
+        "uninformative at this run length — see runner comment)",
         f"wall: {time.time() - t0:.0f} s",
         f"RESULT: {'PASS' if ok else 'FAIL'}",
     ]

@@ -66,8 +66,31 @@ N_CHAINS = int(os.environ.get("GIBBS_CHAINS", 96))
 EQUIL_BLOCKS = int(os.environ.get("GIBBS_EQUIL", 3))
 PROD_BLOCKS = int(os.environ.get("GIBBS_PROD", 24))
 BLOCK_STEPS = int(os.environ.get("GIBBS_STEPS", 6000))
-RHO_L_BAND = (0.68, 0.92)
-RHO_V_BAND = (0.0, 0.06)
+# GIBBS_LRC=1 (default, round 5): sample the TAIL-CORRECTED model —
+# the in-kernel LJ long-range corrections enter every transfer
+# acceptance (U_lrc = g(box) N^2 per box) — and gate against the
+# PUBLISHED SPC/E MODEL coexistence window instead of experiment.
+# Model basis for the 450 K bands (model-vs-model, not model-vs-world):
+# the SPC/E coexistence literature (Guissani & Guillot JCP 98, 8221
+# (1993) saturation-line study; Alejandre, Tildesley & Chapela JCP 102,
+# 4574 (1995) interfacial MD with full Ewald; NIST SRSW SAT-TMMC SPC/E
+# tables, all with long-range-corrected LJ) places the 450 K liquid
+# branch a few percent below the experimental 0.890 g/cc, at ~0.85-0.89
+# g/cc, the vapor branch near 0.003-0.006 g/cc (model Psat ~ 0.6 MPa
+# underestimates the experimental 0.93 MPa), and dH_vap near ~38-40
+# kJ/mol (U_liq(SPC/E, 450 K) ~ -36 kJ/mol + RT).  GIBBS_LRC=0
+# reproduces the round-4 truncated-model artifact (loose bands, and a
+# liquid measured 0.823 g/cc — OUTSIDE the model band below, which is
+# exactly the point: the band discriminates the corrected model).
+USE_LRC = os.environ.get("GIBBS_LRC", "1") == "1"
+if USE_LRC:
+    RHO_L_BAND = (0.84, 0.91)
+    RHO_V_BAND = (0.002, 0.008)
+    DH_BAND = (36.0, 42.0)
+else:
+    RHO_L_BAND = (0.68, 0.92)
+    RHO_V_BAND = (0.0, 0.06)
+    DH_BAND = None
 
 
 def g_per_cc(n_density):
@@ -93,7 +116,7 @@ def main():
     kl, nk, ksq = tune_parameters(l_max, r_cut, 1e-3)
     params = RunParams(temperature=T, r_cut=r_cut, cutoff_mode="site",
                        coulomb="ewald", kappa_L=kl, nk=nk, ksq_max=ksq,
-                       use_lrc=False,
+                       use_lrc=USE_LRC,
                        p_translate=0.5, p_volume=0.01, dr_max=0.4,
                        dphi_max=0.6)
     mega_mode = os.environ.get("GIBBS_MEGA", "full")
@@ -202,11 +225,23 @@ def main():
     sem_mu = float(dmu_blocks.std() / np.sqrt(len(dmu_blocks)))
     mu_tol = max(0.2, 4.0 * sem_mu)
 
+    dh = float(np.mean(dh_blocks) * 8.31446e-3)
+    dh_sem = float(np.std(dh_blocks) / np.sqrt(len(dh_blocks))
+                   * 8.31446e-3)
     ok = (RHO_L_BAND[0] < rho_l < RHO_L_BAND[1]
           and RHO_V_BAND[0] < rho_v < RHO_V_BAND[1]
           and rho_l / max(rho_v, 1e-9) > 8.0
           and abs(dmu) < mu_tol
           and worst_sfac < 1e-3 and worst < 5e-3)
+    if DH_BAND is not None:
+        ok = ok and DH_BAND[0] < dh < DH_BAND[1]
+    model_note = (
+        "model = SPC/E + LJ tail corrections IN the transfer acceptance "
+        "(round-5 in-kernel LRC); bands are PUBLISHED SPC/E MODEL "
+        "windows (Guissani-Guillot 1993 / Alejandre 1995 / NIST SRSW "
+        "SAT-TMMC — see runner docstring)" if USE_LRC else
+        "model = bare r_cut-truncated SPC/E (GIBBS_LRC=0 legacy; loose "
+        "bands, truncation softens the liquid)")
     lines = [
         "SPC/E liquid-vapor coexistence at 450 K: Gibbs-ensemble MC (TPU)",
         f"device: {dev.device_kind}, {N_CHAINS} chains x 2 boxes, "
@@ -216,18 +251,19 @@ def main():
         + ", f32",
         f"protocol: {EQUIL_BLOCKS}+{PROD_BLOCKS} blocks x {BLOCK_STEPS} "
         f"steps/chain, Ewald r_cut {r_cut:.1f} A (tuned: kappa_L {kl:.1f}, nk {nk})",
+        model_note,
         f"rho_liquid = {rho_l:.4f} +- {sem_l:.4f} g/cc "
-        f"(band {RHO_L_BAND}; experiment 0.890)",
+        f"(GATED band {RHO_L_BAND}; experiment 0.890)",
         f"rho_vapor  = {rho_v:.4f} +- {sem_v:.4f} g/cc "
-        f"(experiment 0.0048)",
+        f"(GATED band {RHO_V_BAND}; experiment 0.0048)",
         f"mu-equality (two-sided BAR): beta mu_liq - beta mu_vap = "
         f"{dmu:+.3f} +- {sem_mu:.3f} (tolerance {mu_tol:.2f}; "
         "coexistence requires 0)",
-        f"dH_vap = {np.mean(dh_blocks) * 8.31446e-3:.1f} +- "
-        f"{np.std(dh_blocks) / np.sqrt(len(dh_blocks)) * 8.31446e-3:.1f}"
-        " kJ/mol (reported, not gated: per-box-enthalpy estimator "
-        "observables.heat_of_vaporization; expt 39.6 at 450 K — the "
-        "r_cut-7.5 no-LRC truncation softens the liquid)",
+        f"dH_vap = {dh:.1f} +- {dh_sem:.1f} kJ/mol "
+        + (f"(GATED band {DH_BAND}; expt 39.6 at 450 K)"
+           if DH_BAND is not None else
+           "(reported, not gated; expt 39.6 at 450 K — the r_cut-7.5 "
+           "no-LRC truncation softens the liquid)"),
         f"worst block drift: {worst:.2e} (f32 traversal residue; the "
         f"tight gate is sfac {worst_sfac:.2e} < 1e-3)",
         f"wall: {time.time() - t0:.0f} s",
@@ -237,8 +273,9 @@ def main():
     print(out)
     if os.environ.get("GIBBS_SMOKE"):
         return
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "gibbs_water.txt")
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "gibbs_water_lrc.txt" if USE_LRC else "gibbs_water.txt")
     with open(path, "w") as f:
         f.write(out)
     assert ok, out

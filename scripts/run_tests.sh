@@ -22,7 +22,8 @@ shard a tests/test_fep.py tests/test_gcmc.py tests/test_gcmc_binary.py \
     tests/test_gcmc_mol.py tests/test_gcmc_osmotic.py \
     tests/test_gibbs.py tests/test_gibbs_binary.py \
     tests/test_gibbs_mol.py tests/test_io_observables.py
-shard b tests/test_linear.py tests/test_mbar.py tests/test_mc.py \
+shard b tests/test_linear.py tests/test_lrc_exchange.py \
+    tests/test_mbar.py tests/test_mc.py \
     tests/test_mixture.py tests/test_nist_golden.py tests/test_ops.py \
     tests/test_pallas_kernel.py
 shard c tests/test_parallel.py tests/test_polyatomic.py \
