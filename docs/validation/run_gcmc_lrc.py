@@ -56,22 +56,41 @@ def params(use_lrc):
 
 
 def run(use_lrc, mega, seed):
+    """Returns (hist, q98_drift, max_drift).  History note: the FIRST
+    run of this artifact showed O(1)-O(10) drift on the jnp legs (TPU
+    only; CPU identical-trajectory replays were clean) — bisected to
+    an XLA:TPU miscompilation that DROPPED the bool activity scatter
+    of an accepted insertion while applying its com write and energy
+    delta (docs/perf.md "TPU bool-scatter hazard"; fixed repo-wide by
+    the one-hot where-select updates in utils/activity.py).  With the
+    fix, all three legs sit at ~1e-6 drift and both quantile and max
+    are gated."""
     sysm = dataclasses.replace(
         lj_system(1), eps_table=np.full((1, 1), 0.5),
         sig_table=np.full((1, 1), 2.2))
-    dtype = jnp.float32 if mega else jnp.float64
     g = GCMC(sysm, params(use_lrc), activity=Z, capacity=CAP,
-             dtype=dtype, mega=mega)
+             dtype=jnp.float32, mega=mega)
     st = g.init(jax.random.PRNGKey(seed), box=BOX, n_init=8,
                 n_chains=CHAINS)
     st, _ = g.run_block(st, 2500)                       # equil
     hist = np.zeros(CAP + 1)
-    worst = 0.0
+    q98 = 0.0
+    wmax = 0.0
     for _ in range(BLOCKS):
-        st, stats = g.run_block(st, STEPS)
-        worst = max(worst, stats["drift_max_rel"])
+        # run_steps (NOT run_block: run_block resyncs state.energy to
+        # the recompute before returning, which would compare the
+        # recompute to itself) — then the per-chain carried-vs-dense
+        # residual, then resync for the next block
+        st = g.run_steps(st, STEPS)
+        e = np.asarray(g.full_energy(st), np.float64)
+        carried = np.asarray(st.energy, np.float64)
+        scale = np.maximum(np.abs(e), 1.0)
+        rel = np.abs(e - carried) / scale
+        q98 = max(q98, float(np.quantile(rel, 0.98)))
+        wmax = max(wmax, float(rel.max()))
+        st = st._replace(energy=jnp.asarray(e, jnp.float32))
         hist += n_counts(st, CAP)
-    return hist, worst
+    return hist, q98, wmax
 
 
 def moments(hist):
@@ -91,9 +110,9 @@ def main():
     g_val = float(make_slot_lj(sysm, params(True), CAP,
                                jnp.float64)[3](jnp.asarray(BOX)))
 
-    h_off, w_off = run(False, None, 0)
-    h_jnp, w_jnp = run(True, None, 1)
-    h_krn, w_krn = run(True, "full", 2)
+    h_off, q_off, w_off = run(False, None, 0)
+    h_jnp, q_jnp, w_jnp = run(True, None, 1)
+    h_krn, q_krn, w_krn = run(True, "full", 2)
 
     n = np.arange(CAP + 1)
     logw = -(1.0 / T) * g_val * n.astype(np.float64) ** 2
@@ -115,7 +134,8 @@ def main():
           and abs(m_krn - mean_pred) < tol
           and abs(v_jnp - var_pred) < 0.35 * var_pred + 0.5
           and abs(v_krn - var_pred) < 0.35 * var_pred + 0.5
-          and w_off < 1e-6 and w_jnp < 1e-6 and w_krn < 2e-3)
+          and q_off < 1e-4 and q_jnp < 1e-4 and q_krn < 2e-3
+          and w_off < 1e-4 and w_jnp < 1e-4 and w_krn < 2e-3)
     lines = [
         "LJ tail corrections in muVT exchange acceptance: exact-"
         "reweight gate (TPU)",
@@ -131,8 +151,12 @@ def main():
         f"KERNEL LRC-on <N> = {m_krn:.3f} (var {v_krn:.2f})  "
         f"(mega='full', wc-lane coefficient, on-core PRNG)  "
         f"[{'PASS' if abs(m_krn - mean_pred) < tol else 'FAIL'}]",
-        f"worst drift: off {w_off:.1e}, jnp-on {w_jnp:.1e} (f64), "
-        f"kernel-on {w_krn:.1e} (f32)",
+        f"drift q98 (GATED < 1e-4 jnp / 2e-3 kernel): off {q_off:.1e}, "
+        f"jnp-on {q_jnp:.1e}, kernel-on {q_krn:.1e}; max (same gates): "
+        f"off {w_off:.1e}, jnp-on {w_jnp:.1e}, kernel-on {w_krn:.1e}",
+        "(this drift gate caught the XLA:TPU dropped-bool-scatter "
+        "miscompile before the fix — docs/perf.md 'TPU bool-scatter "
+        "hazard')",
         f"wall: {time.time() - t0:.0f} s",
         f"RESULT: {'PASS' if ok else 'FAIL'}",
     ]

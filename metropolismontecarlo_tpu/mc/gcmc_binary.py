@@ -58,6 +58,7 @@ from metropolismontecarlo_tpu.ops.quaternions import (
     random_quaternion,
     random_rotate_quaternion,
 )
+from metropolismontecarlo_tpu.utils.activity import clear_slot, set_slot
 from metropolismontecarlo_tpu.utils.chunking import chunked_vmap
 
 
@@ -508,9 +509,10 @@ def make_gcmc_binary(system, params, activities, p_exchange=0.4,
                                                 quat[mol_i]))
             coords = write_pose(coords, a0s[s] + i_s["slot"] * Ps[s],
                                 Ps[s], i_s["ra"], ok_i[s])
-            act = actives[s].at[i_s["slot"]].set(
-                ok_i[s] | actives[s][i_s["slot"]])
-            act = act.at[d_s["slot"]].set(act[d_s["slot"]] & ~ok_d[s])
+            # one-hot where-selects, never bool scatters
+            # (utils/activity.py: the TPU bool-scatter hazard)
+            act = set_slot(actives[s], i_s["slot"], ok_i[s])
+            act = clear_slot(act, d_s["slot"], ok_d[s])
             new_actives.append(act)
             sfac = sfac + jnp.where(ok_i[s], 1.0, 0.0) * i_s["sfac"] \
                 - jnp.where(ok_d[s], 1.0, 0.0) * d_s["sfac"]

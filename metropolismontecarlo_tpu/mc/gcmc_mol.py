@@ -62,6 +62,7 @@ from metropolismontecarlo_tpu.ops.quaternions import (
     random_quaternion,
     random_rotate_quaternion,
 )
+from metropolismontecarlo_tpu.utils.activity import clear_slot, set_slot
 from metropolismontecarlo_tpu.utils.chunking import chunked_vmap
 
 
@@ -520,8 +521,10 @@ def make_gcmc_mol(system, params, activity, p_exchange=0.3,
         com = com.at[slot].set(jnp.where(ok_i, com_ins, com[slot]))
         quat = quat.at[slot].set(jnp.where(ok_i, quat_ins, quat[slot]))
         coords = write_pose(coords, slot, ra_ins, ok_i)
-        active = active.at[slot].set(ok_i | active[slot])
-        active = active.at[idx].set(active[idx] & ~ok_d)
+        # one-hot where-selects, never bool scatters (utils/activity.py:
+        # the TPU bool-scatter hazard)
+        active = set_slot(active, slot, ok_i)
+        active = clear_slot(active, idx, ok_d)
         sfac = sfac \
             + jnp.where(ok_i, 1.0, 0.0) * s_ins \
             - jnp.where(ok_d, 1.0, 0.0) * s_old

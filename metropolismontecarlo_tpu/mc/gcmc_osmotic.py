@@ -47,6 +47,7 @@ from metropolismontecarlo_tpu.ops.quaternions import (
     random_quaternion,
     random_rotate_quaternion,
 )
+from metropolismontecarlo_tpu.utils.activity import clear_slot, set_slot
 from metropolismontecarlo_tpu.utils.chunking import chunked_vmap
 
 
@@ -357,8 +358,10 @@ def make_gcmc_osmotic(system, params, activity, p_exchange=0.3,
         quat = quat.at[ns + slot].set(jnp.where(ok_i, quat_ins,
                                                 quat[ns + slot]))
         coords = write_pose(coords, solute_a0(slot), P1, ra_ins, ok_i)
-        active = active.at[slot].set(ok_i | active[slot])
-        active = active.at[slot_del].set(active[slot_del] & ~ok_d)
+        # one-hot where-selects, never bool scatters (utils/activity.py:
+        # the TPU bool-scatter hazard)
+        active = set_slot(active, slot, ok_i)
+        active = clear_slot(active, slot_del, ok_d)
         sfac = sfac + jnp.where(ok_i, 1.0, 0.0) * s_ins \
             - jnp.where(ok_d, 1.0, 0.0) * s_d
         e = e + jnp.where(ok_i, du_ins, 0.0) \

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from metropolismontecarlo_tpu.mc.gcmc import make_slot_lj
+from metropolismontecarlo_tpu.utils.activity import clear_slot2, set_slot2
 
 
 class GibbsState(NamedTuple):
@@ -146,8 +147,10 @@ def make_gibbs(system, params, capacity, dv_max=0.05, dtype=jnp.float64,
             e = e.at[b].add(jnp.where(ok_t, u_new_b - u_old_b, 0.0))
         com = com.at[d, slot_d].set(jnp.where(ok_x, pos_d,
                                               com[d, slot_d]))
-        active = active.at[d, slot_d].set(ok_x | active[d, slot_d])
-        active = active.at[s, idx_s].set(active[s, idx_s] & ~ok_x)
+        # one-hot where-selects, never bool scatters (utils/activity.py:
+        # the TPU bool-scatter hazard)
+        active = set_slot2(active, d, slot_d, ok_x)
+        active = clear_slot2(active, s, idx_s, ok_x)
         e = e.at[d].add(jnp.where(ok_x, u_in + dl_in, 0.0))
         e = e.at[s].add(jnp.where(ok_x, -u_rm + dl_rm, 0.0))
 

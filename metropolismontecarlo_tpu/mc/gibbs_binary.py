@@ -49,6 +49,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from metropolismontecarlo_tpu.mc.gcmc_binary import make_binary_slots
+from metropolismontecarlo_tpu.utils.activity import clear_slot2, set_slot2
 from metropolismontecarlo_tpu.ops import ewald as ewald_ops
 from metropolismontecarlo_tpu.ops.quaternions import random_rotate_quaternion
 from metropolismontecarlo_tpu.utils.chunking import chunked_vmap
@@ -325,11 +326,10 @@ def make_gibbs_binary(system, params, dv_max=0.05, p_transfer=0.3,
             coords = coords.at[d].set(ms.write_pose(
                 coords[d], a0s[s] + x["slot_d"] * Ps[s], Ps[s],
                 x["ra_in"], x["ok"]))
-            act = new_actives[s]
-            act = act.at[d, x["slot_d"]].set(x["ok"]
-                                             | act[d, x["slot_d"]])
-            act = act.at[b, x["slot_s"]].set(act[b, x["slot_s"]]
-                                             & ~x["ok"])
+            # one-hot where-selects, never bool scatters
+            # (utils/activity.py: the TPU bool-scatter hazard)
+            act = set_slot2(new_actives[s], d, x["slot_d"], x["ok"])
+            act = clear_slot2(act, b, x["slot_s"], x["ok"])
             new_actives[s] = act
             sfac = sfac.at[d].add(w_x * x["s_in"])
             sfac = sfac.at[b].add(-w_x * x["s_s"])

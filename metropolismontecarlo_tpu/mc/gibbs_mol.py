@@ -40,6 +40,7 @@ import numpy as np
 from metropolismontecarlo_tpu.mc.gcmc_mol import make_mol_slots
 from metropolismontecarlo_tpu.ops import ewald as ewald_ops
 from metropolismontecarlo_tpu.ops.quaternions import random_rotate_quaternion
+from metropolismontecarlo_tpu.utils.activity import clear_slot2, set_slot2
 from metropolismontecarlo_tpu.utils.chunking import chunked_vmap
 
 
@@ -275,9 +276,10 @@ def make_gibbs_mol(system, params, dv_max=0.05, p_transfer=0.3,
             jnp.where(ok_x, quat_d, quat[d_box, slot_d]))
         coords = coords.at[d_box].set(
             ms.write_pose(coords[d_box], slot_d, ra_in, ok_x))
-        active = active.at[d_box, slot_d].set(ok_x
-                                              | active[d_box, slot_d])
-        active = active.at[s_box, idx].set(active[s_box, idx] & ~ok_x)
+        # one-hot where-selects, never bool scatters (utils/activity.py:
+        # the TPU bool-scatter hazard)
+        active = set_slot2(active, d_box, slot_d, ok_x)
+        active = clear_slot2(active, s_box, idx, ok_x)
         w_x = jnp.where(ok_x, 1.0, 0.0)
         if move_on:
             w_m = jnp.where(ok_m, 1.0, 0.0)

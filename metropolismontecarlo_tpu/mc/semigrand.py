@@ -47,6 +47,7 @@ from metropolismontecarlo_tpu.ops.quaternions import (
     random_quaternion,
     random_rotate_quaternion,
 )
+from metropolismontecarlo_tpu.utils.activity import clear_slot, set_slot
 from metropolismontecarlo_tpu.utils.chunking import chunked_vmap
 
 
@@ -363,8 +364,10 @@ def make_semigrand(system, params, fugacity_ratio, p_flip=0.3,
         ra_f1 = ev1.pose_atoms(com_i, q_new1[j_sel])
         coords = write_pose1(coords, t_in_b, ra_f1, ok_f & is_a)
         coords = write_pose0(coords, t_in_a, ra_f0, ok_f & ~is_a)
-        active = active.at[tgt].set(ok_f | active[tgt])
-        active = active.at[idx].set(active[idx] & ~ok_f)
+        # one-hot where-selects, never bool scatters (utils/activity.py:
+        # the TPU bool-scatter hazard)
+        active = set_slot(active, tgt, ok_f)
+        active = clear_slot(active, idx, ok_f)
         w_f = jnp.where(ok_f, 1.0, 0.0)
         sfac = sfac + w_f * (s_flip - s_old)
         e = e + jnp.where(ok_f, du_flip, 0.0)

@@ -46,6 +46,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from metropolismontecarlo_tpu.mc.gcmc import GCMCState, make_slot_lj
+from metropolismontecarlo_tpu.utils.activity import clear_slot, set_slot
 
 
 def make_tmmc(system, params, activity, capacity, dtype=jnp.float64,
@@ -143,8 +144,10 @@ def make_tmmc(system, params, activity, capacity, dtype=jnp.float64,
             com = com.at[idx].set(jnp.where(ok_t, new_pos, com[idx]))
             e = e + jnp.where(ok_t, u_new - u_old, 0.0)
         com = com.at[slot].set(jnp.where(ok_i, pos_i, com[slot]))
-        active = active.at[slot].set(ok_i | active[slot])
-        active = active.at[idx].set(active[idx] & ~ok_d)
+        # one-hot where-selects, never bool scatters (utils/activity.py:
+        # the TPU bool-scatter hazard)
+        active = set_slot(active, slot, ok_i)
+        active = clear_slot(active, idx, ok_d)
         e = e + jnp.where(ok_i, u_ins + dl_i, 0.0) \
               + jnp.where(ok_d, -u_old + dl_d, 0.0)
         a_row = jnp.stack([ok_t, ok_i, ok_d]).astype(jnp.int32)
