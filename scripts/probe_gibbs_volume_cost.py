@@ -39,7 +39,7 @@ N_CHAINS = int(os.environ.get("PROBE_CHAINS", 512))
 CYCLES = int(os.environ.get("PROBE_CYCLES", 8))
 
 
-def build(p_volume):
+def build(p_volume, chunk=8):
     cap, px = 128, 0.3
     n_l, n_v = (2 * cap) // 3, cap // 6
     box_l = (n_l / 0.0267) ** (1.0 / 3.0)
@@ -54,7 +54,7 @@ def build(p_volume):
                        strict_min_image=False)
     init, run_steps = make_gibbs_mol(
         spce_system(cap), params, dv_max=0.03, p_transfer=px,
-        dtype=jnp.float32, mega="full")[:2]
+        dtype=jnp.float32, mega="full", chunk=chunk)[:2]
     st = init(jax.random.PRNGKey(0), boxes=(box_l, box_v),
               n_init=(n_l, n_v), n_chains=N_CHAINS)
     x_per = max(1, int(round(2 * cap * px / (1.0 - px))))
@@ -62,8 +62,8 @@ def build(p_volume):
     return run_steps, st, att_pc
 
 
-def time_one(p_volume):
-    run_steps, st, att_pc = build(p_volume)
+def time_one(p_volume, chunk=8):
+    run_steps, st, att_pc = build(p_volume, chunk)
     n_steps = CYCLES * att_pc
     t0 = time.time()
     st = run_steps(st, n_steps)
@@ -83,13 +83,14 @@ def main():
           f"{CYCLES} cycles/call")
     dt_off, c_off, att = time_one(0.0)
     print(f"p_volume = 0    : {dt_off:.3f} s/call (compile {c_off:.0f} s)")
-    dt_on, c_on, _ = time_one(0.01)
-    n_vol = max(1, int(round(0.01 * att * CYCLES)))
-    share = (dt_on - dt_off) / dt_on
-    print(f"p_volume = 0.01 : {dt_on:.3f} s/call (compile {c_on:.0f} s, "
-          f"~{n_vol} volume attempts/call)")
-    print(f"volume-move share of cycle wall: {share * 100:.1f}%  "
-          f"({(dt_on - dt_off) * 1e3 / n_vol:.1f} ms per volume attempt)")
+    for chunk in (8, 32, 128):
+        dt_on, c_on, _ = time_one(0.01, chunk)
+        n_vol = max(1, int(round(0.01 * att * CYCLES)))
+        share = (dt_on - dt_off) / dt_on
+        print(f"p_volume = 0.01 chunk {chunk:3d}: {dt_on:.3f} s/call "
+              f"(compile {c_on:.0f} s, ~{n_vol} volume attempts/call), "
+              f"volume share {share * 100:.1f}%, "
+              f"{(dt_on - dt_off) * 1e3 / n_vol:.1f} ms/attempt")
 
 
 if __name__ == "__main__":

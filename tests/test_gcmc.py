@@ -82,11 +82,12 @@ def test_gcmc_widom_chemical_potential_consistency():
 def test_gcmc_capacity_guard_and_validation():
     params = RunParams(strict_min_image=False, temperature=1.0, r_cut=2.5,
                        cutoff_mode="site", coulomb="none", use_lrc=False)
-    with pytest.raises(ValueError, match="use_lrc"):
-        GCMC(lj_system(1),
-             RunParams(strict_min_image=False, temperature=1.0, r_cut=2.5,
-                       cutoff_mode="site", coulomb="none", use_lrc=True),
-             activity=0.1, capacity=8)
+    # use_lrc=True is SUPPORTED since round 5 (tail corrections in the
+    # exchange rules — tests/test_lrc_exchange.py); building must succeed
+    GCMC(lj_system(1),
+         RunParams(strict_min_image=False, temperature=1.0, r_cut=2.5,
+                   cutoff_mode="site", coulomb="none", use_lrc=True),
+         activity=0.1, capacity=8)
     g = GCMC(lj_system(1), params, activity=0.1, capacity=8)
     with pytest.raises(ValueError, match="capacity"):
         g.init(jax.random.PRNGKey(0), box=5.0, n_init=9, n_chains=2)

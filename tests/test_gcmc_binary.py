@@ -191,9 +191,9 @@ def test_binary_ragged_species_widths():
 
 def test_binary_validation_guards():
     sys2 = lj_two_blocks(8, 8)
-    with pytest.raises(ValueError, match="use_lrc"):
-        BinaryGCMC(sys2, _lj_params(use_lrc=True),
-                   activities=(0.1, 0.1))
+    # use_lrc=True is SUPPORTED since round 5; building must succeed
+    BinaryGCMC(sys2, _lj_params(use_lrc=True, lj_shift="none"),
+               activities=(0.1, 0.1))
     with pytest.raises(ValueError, match="two species"):
         from metropolismontecarlo_tpu.models.monatomic import lj_system
         BinaryGCMC(lj_system(8), _lj_params(), activities=(0.1, 0.1))

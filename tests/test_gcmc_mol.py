@@ -184,9 +184,9 @@ def test_gcmc_mol_spce_ewald_drift_through_exchanges():
 
 
 def test_gcmc_mol_validation_guards():
-    params = _water_params(use_lrc=True)
-    with pytest.raises(ValueError, match="use_lrc"):
-        MolGCMC(spce_system(8), params, activity=1e-4)
+    # use_lrc=True is SUPPORTED since round 5 (tail corrections in the
+    # exchange rules); building must succeed
+    MolGCMC(spce_system(8), _water_params(use_lrc=True), activity=1e-4)
     with pytest.raises(ValueError, match="minimum-image"):
         g = MolGCMC(spce_system(8), _water_params(), activity=1e-4)
         g.init(jax.random.PRNGKey(0), box=12.0, n_init=4, n_chains=2)

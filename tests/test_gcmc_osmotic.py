@@ -168,11 +168,11 @@ def test_osmotic_validation_guards():
                        coulomb="ewald", use_lrc=False)
     with pytest.raises(ValueError, match="two species"):
         OsmoticGCMC(spce_system(8), params, activity=1e-4)
-    with pytest.raises(ValueError, match="use_lrc"):
-        OsmoticGCMC(water_plus_water(4, 4),
-                    RunParams(temperature=300.0, r_cut=5.0,
-                              cutoff_mode="site", coulomb="ewald",
-                              use_lrc=True), activity=1e-4)
+    # use_lrc=True is SUPPORTED since round 5; building must succeed
+    OsmoticGCMC(water_plus_water(4, 4),
+                RunParams(temperature=300.0, r_cut=5.0,
+                          cutoff_mode="site", coulomb="ewald",
+                          use_lrc=True), activity=1e-4)
 
 
 def test_masked_rdf_matches_unmasked_when_all_active():

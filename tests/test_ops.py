@@ -178,3 +178,35 @@ def test_dense_recompute_has_no_gathers():
     gathers = [ln.strip()[:120] for ln in txt.splitlines()
                if re.search(r"\bgather\(", ln)]
     assert not gathers, gathers
+
+
+def test_structure_factor_recurrence_matches_direct():
+    """The eik-recurrence structure factor (ops/ewald.structure_factor,
+    the reference's eikx/eiky/eikz tables via static one-hot MXU
+    selection) must agree with the direct cos/sin path to roundoff —
+    f64 here (~1e-13 measured); the f32 agreement (~1.4e-6 rel) and
+    the 12x TPU speedup are recorded in docs/perf.md."""
+    import jax
+    import jax.numpy as jnp
+
+    from metropolismontecarlo_tpu.ops.ewald import (
+        make_kvectors,
+        structure_factor,
+        structure_factor_direct,
+    )
+
+    kv, _ = make_kvectors(6, 36)
+    assert len(kv) >= 16
+    coords = jax.random.uniform(jax.random.PRNGKey(0), (3, 120, 3),
+                                jnp.float64) * 17.0
+    q = jax.random.normal(jax.random.PRNGKey(1), (120,), jnp.float64)
+    box = jnp.float64(17.0)
+    a = structure_factor(coords, q, jnp.asarray(kv), box)
+    b = structure_factor_direct(coords, q, jnp.asarray(kv), box)
+    assert a.shape == b.shape == (3, len(kv), 2)
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-10
+    # the small-A pose-row fallback still goes through (same answer)
+    a4 = structure_factor(coords[:, :4], q[:4], jnp.asarray(kv), box)
+    b4 = structure_factor_direct(coords[:, :4], q[:4], jnp.asarray(kv),
+                                 box)
+    assert float(jnp.max(jnp.abs(a4 - b4))) == 0.0
