@@ -99,7 +99,7 @@ def structure_factor_direct(coords, charges, kvecs, box):
 
     coords (..., A, 3), charges (..., A) or (A,).  One (A,3)@(3,K) phase
     matmul + two (A,)@(A,K) contractions — MXU-shaped, but the K*A
-    cos/sin grid is transcendental-bound on the VPU (measured 88 ms for
+    cos/sin grid is transcendental-bound on the VPU (22.4 ms for
     1024 x (384, 783) on v5e — the Gibbs volume-move wall); prefer
     `structure_factor` (the recurrence path) for large A.
     """
@@ -130,7 +130,8 @@ def structure_factor(coords, charges, kvecs, box):
     complex products (~nk eps, same order as the direct path's
     eps*|phase|); exact agreement with `structure_factor_direct` is
     gated in tests/test_ops.py.  Measured v5e, 1024 x (A=384, K=783):
-    88 ms direct -> 3.6 ms (24x).
+    22.4 ms direct -> 7.2 ms (3.1x; end-to-end Gibbs volume attempt
+    33.4 -> 13.9 ms).
 
     Falls back to the direct path for small A (pose rows: the tables
     would cost more than they save).
@@ -149,6 +150,12 @@ def structure_factor(coords, charges, kvecs, box):
     nx = int(kv[:, 0].max())
     ny = int(np.abs(kv[:, 1]).max())
     nz = int(np.abs(kv[:, 2]).max())
+    # extreme-K guard: the baked selection one-hot below is
+    # (ngrid, K) f32 HLO; past ~4M entries (16 MB) the constant bloats
+    # the program (and at ~75M overflows the axon remote-compile
+    # request limit) — such rebuilds fall back to the direct path
+    if (nx + 1) * (2 * ny + 1) * (2 * nz + 1) * kv.shape[0] > 4_000_000:
+        return structure_factor_direct(coords, charges, kvecs, box)
     ang = (2.0 * jnp.pi / box) * coords                  # (..., A, 3)
 
     def axis_tables(a, n):
@@ -201,11 +208,23 @@ def structure_factor(coords, charges, kvecs, box):
     grid_r = jnp.stack(t_r, -3)                  # (..., nx+1, NY, NZ)
     grid_i = jnp.stack(t_i, -3)
 
-    # static one-hot pick of the K valid k-vectors from the grid (MXU)
+    # pick of the K valid k-vectors from the grid by a BAKED one-hot
+    # matmul: XLA constant-folds the selection into the dot and the
+    # whole rebuild lands at 7.2 ms (vs 22.4 direct).  Alternatives
+    # measured and rejected on v5e at the bench shapes (1024 x A=384,
+    # K=783): last-axis jnp.take 93 ms (gathers — the round-2 lesson),
+    # runtime-built one-hot 89 ms (cannot be folded), static
+    # slice+concat runs 92 ms (the per-kx skinny (2ny+1, A)@(A, 2nz+1)
+    # matmuls then dominate at ~3% MXU tile utilization).  The baked
+    # constant is (ngrid, K) f32 — fine for common K, but ~300 MB of
+    # HLO at tuned cap-256 Gibbs shapes (K ~ 6e3, ngrid ~ 1.3e4),
+    # which overflows the axon remote-compile request limit — the
+    # caller-level guard at the top of this function routes such
+    # extreme-K cases to the direct path instead.
     ngrid = (nx + 1) * (2 * ny + 1) * (2 * nz + 1)
-    flat_idx = (kv[:, 0] * (2 * ny + 1) + (kv[:, 1] + ny)) \
-        * (2 * nz + 1) + (kv[:, 2] + nz)
-    onehot = np.zeros((ngrid, kv.shape[0]))
+    flat_idx = (kv[:, 0].astype(np.int64) * (2 * ny + 1)
+                + (kv[:, 1] + ny)) * (2 * nz + 1) + (kv[:, 2] + nz)
+    onehot = np.zeros((ngrid, kv.shape[0]), np.float32)
     onehot[flat_idx, np.arange(kv.shape[0])] = 1.0
     onehot = jnp.asarray(onehot, dtype)
     shp = grid_r.shape[:-3] + (ngrid,)

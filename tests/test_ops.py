@@ -185,7 +185,7 @@ def test_structure_factor_recurrence_matches_direct():
     the reference's eikx/eiky/eikz tables via static one-hot MXU
     selection) must agree with the direct cos/sin path to roundoff —
     f64 here (~1e-13 measured); the f32 agreement (~1.4e-6 rel) and
-    the 12x TPU speedup are recorded in docs/perf.md."""
+    the 3.1x TPU rebuild speedup are recorded in docs/perf.md."""
     import jax
     import jax.numpy as jnp
 
