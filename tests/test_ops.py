@@ -210,3 +210,44 @@ def test_structure_factor_recurrence_matches_direct():
     b4 = structure_factor_direct(coords[:, :4], q[:4], jnp.asarray(kv),
                                  box)
     assert float(jnp.max(jnp.abs(a4 - b4))) == 0.0
+
+
+def test_activity_slot_helpers():
+    """utils/activity.py one-hot where-select updates == the scatter
+    semantics they replace (the TPU bool-scatter hazard fix must be a
+    pure reformulation)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from metropolismontecarlo_tpu.utils.activity import (
+        clear_slot,
+        clear_slot2,
+        set_slot,
+        set_slot2,
+    )
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        a = jnp.asarray(rng.random(17) < 0.4)
+        i = int(rng.integers(17))
+        on = bool(rng.random() < 0.5)
+        ref = np.asarray(a).copy()
+        ref[i] = on | ref[i]
+        assert np.array_equal(np.asarray(set_slot(a, i, jnp.asarray(on))),
+                              ref)
+        off = bool(rng.random() < 0.5)
+        ref2 = np.asarray(a).copy()
+        ref2[i] = ref2[i] & ~off
+        assert np.array_equal(
+            np.asarray(clear_slot(a, i, jnp.asarray(off))), ref2)
+    a2 = jnp.asarray(rng.random((2, 9)) < 0.5)
+    for b in (0, 1):
+        for i in (0, 4, 8):
+            r = np.asarray(a2).copy()
+            r[b, i] = True
+            assert np.array_equal(
+                np.asarray(set_slot2(a2, b, i, jnp.asarray(True))), r)
+            r2 = np.asarray(a2).copy()
+            r2[b, i] = False
+            assert np.array_equal(
+                np.asarray(clear_slot2(a2, b, i, jnp.asarray(True))), r2)
