@@ -251,3 +251,67 @@ def test_activity_slot_helpers():
             r2[b, i] = False
             assert np.array_equal(
                 np.asarray(clear_slot2(a2, b, i, jnp.asarray(True))), r2)
+
+
+def test_structure_factor_fallback_paths(monkeypatch):
+    """The recurrence path must ROUTE AROUND itself in the three cases
+    where it cannot or should not run, and each fallback must still be
+    the correct answer:
+
+    * extreme K (ngrid * K > 4M): the baked selection one-hot would be
+      tens-to-hundreds of MB of HLO constant (observed HTTP 413 from the
+      axon remote-compile endpoint at tuned cap-256 Gibbs shapes) — must
+      call `structure_factor_direct`;
+    * traced kvecs (e.g. `energy_breakdown_jit` passes them as jit
+      operands): the recurrence indexes tables at trace time, so a
+      tracer must fall back;
+    * small A (pose rows): tables cost more than they save.
+    """
+    from metropolismontecarlo_tpu.ops import ewald
+
+    calls = []
+    real_direct = ewald.structure_factor_direct
+
+    def spy(coords, charges, kvecs, box):
+        calls.append(coords.shape)
+        return real_direct(coords, charges, kvecs, box)
+
+    monkeypatch.setattr(ewald, "structure_factor_direct", spy)
+
+    # -- extreme-K guard: nk=16, ksq<=256 -> K ~ 8.5k, ngrid ~ 18.5k,
+    # product ~ 1.6e8 >> 4M --
+    kv_big, _ = ewald.make_kvectors(16, 256)
+    nx = int(kv_big[:, 0].max())
+    ny = int(np.abs(kv_big[:, 1]).max())
+    nz = int(np.abs(kv_big[:, 2]).max())
+    assert (nx + 1) * (2 * ny + 1) * (2 * nz + 1) * len(kv_big) \
+        > 4_000_000
+    box = jnp.float64(17.0)
+    coords = jax.random.uniform(jax.random.PRNGKey(7), (40, 3),
+                                jnp.float64) * 17.0
+    q = jax.random.normal(jax.random.PRNGKey(8), (40,), jnp.float64)
+    out = ewald.structure_factor(coords, q, jnp.asarray(kv_big), box)
+    assert len(calls) == 1        # guard routed to the direct path
+    assert out.shape == (len(kv_big), 2)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+    # -- traced kvecs: a jit operand cannot be np.asarray'd at trace
+    # time -> TracerArrayConversionError branch --
+    calls.clear()
+    kv, _ = ewald.make_kvectors(6, 36)
+
+    @jax.jit
+    def through_jit(c, ch, kvecs, b):
+        return ewald.structure_factor(c, ch, kvecs, b)
+
+    a = through_jit(coords, q, jnp.asarray(kv), box)
+    assert len(calls) == 1        # traced-kvecs fallback taken
+    b_ref = real_direct(coords, q, jnp.asarray(kv), box)
+    assert float(jnp.max(jnp.abs(a - b_ref))) < 1e-10
+
+    # -- small-A pose row --
+    calls.clear()
+    a4 = ewald.structure_factor(coords[:4], q[:4], jnp.asarray(kv), box)
+    assert len(calls) == 1
+    assert float(jnp.max(jnp.abs(
+        a4 - real_direct(coords[:4], q[:4], jnp.asarray(kv), box)))) == 0.0
