@@ -228,3 +228,52 @@ def test_gcmc_mega_full_in_kernel_exchanges():
     assert int(jnp.sum(st.att[:, 0])) > 0      # kernel displacements
     assert int(jnp.sum(st.att[:, 1:])) > 0     # kernel exchanges
     assert int(jnp.sum(st.acc[:, 1])) > 0      # an insertion landed
+
+
+def test_cli_gcmc_lrc_end_to_end(tmp_path):
+    """Round-5 regression: `use_lrc: true` through the CLI config layer
+    on an open ensemble.  Every fluctuating-N app REFUSED tail
+    corrections before round 5 (`use_lrc=False` enforced at init), so a
+    JSON config with the flag used to raise here; now the tail enters
+    every exchange acceptance (ops/tail.mol_tail_coeff — exactness gates
+    in tests/test_lrc_exchange.py).  This checks the config->app wiring:
+    the run completes, bookkeeping stays drift-consistent with the tail
+    folded into carried energies, and the attractive tail raises <N>
+    vs the uncorrected run at the same activity."""
+    import json
+
+    from metropolismontecarlo_tpu.run import main
+
+    def run(use_lrc, out):
+        cfg = {
+            "model": {"kind": "lj", "n_mol": 1},
+            "params": {"temperature": 1.5, "r_cut": 2.5,
+                       "cutoff_mode": "site", "coulomb": "none",
+                       "p_translate": 0.6, "dr_max": 0.3,
+                       "use_lrc": use_lrc, "strict_min_image": False},
+            "run": {"n_chains": 32, "n_blocks": 4, "n_steps": 400,
+                    "equil_blocks": 2, "seed": 3, "dtype": "float64",
+                    "ensemble": {"kind": "gcmc", "activity": 0.08,
+                                 "capacity": 64, "box": 6.0,
+                                 "n_init": 20},
+                    "output": {"dir": str(tmp_path / out)}},
+        }
+        p = tmp_path / f"{out}.json"
+        p.write_text(json.dumps(cfg))
+        main([str(p), "--quiet"])
+        lines = [json.loads(l) for l in
+                 (tmp_path / out / "metrics.jsonl").read_text()
+                 .splitlines()]
+        assert all(np.isfinite(l["energy_mean"]) for l in lines)
+        assert all(l["drift_max_rel"] < 1e-6 for l in lines)
+        prod = [l for l in lines if l.get("phase") == "prod"]
+        return np.mean([l["n_mean"] for l in prod])
+
+    n_on = run(True, "lrc_on")
+    n_off = run(False, "lrc_off")
+    # z = 0.08 in a 216 sigma^3 box sits well into the interacting
+    # regime; the attractive tail deepens the effective field, so the
+    # corrected run must hold measurably more particles (the exact
+    # reweighting identity is gated in test_lrc_exchange.py — this is
+    # only a wiring-direction check, hence the loose margin)
+    assert n_on > n_off + 0.5, (n_on, n_off)
