@@ -203,3 +203,41 @@ def test_semigrand_mega_full_validates():
     with pytest.raises(ValueError, match="p_flip"):
         Semigrand(water_two_blocks(8, 8), params, fugacity_ratio=1.0,
                   p_flip=0.0, dtype=jnp.float32, mega="interpret_full")
+
+
+def test_mega_flip_empty_active_set_guard():
+    """ADVICE-r4 guard, kernel-level: with ZERO active molecules the
+    argmax-of-uniforms pick degenerates to slot 0, and the `smax >= 0`
+    term must make acceptance impossible (an accepted flip of an
+    inactive slot would CREATE a molecule).  Unreachable through the
+    Semigrand app (init requires n_a + n_b >= 1), so this drives
+    moves.make_mega_flip_fn directly with an all-inactive chain.  The
+    interpret-mode PRNG returns zeros, which makes the log-uniform
+    maximally permissive (ln 1e-30 = -69) — acceptance here hinges
+    exactly on the guard, not on luck."""
+    from metropolismontecarlo_tpu.mc.moves import make_mega_flip_fn
+
+    sys2 = two_block_lj(8, 8)
+    params = RunParams(strict_min_image=False, temperature=2.0,
+                       r_cut=2.5, cutoff_mode="site", coulomb="none",
+                       p_translate=0.5, dr_max=0.3, dphi_max=0.5,
+                       use_lrc=False)
+    flips = make_mega_flip_fn(sys2, params, None, None,
+                              fugacity_ratio=2.0, interpret=True,
+                              n_flip=4)
+    C, M, A_pad = 2, sys2.n_mol, sys2.n_atoms_padded
+    com = jnp.zeros((C, M, 3), jnp.float32)
+    quat = jnp.zeros((C, M, 4), jnp.float32).at[..., 0].set(1.0)
+    coords = jnp.zeros((C, 3, A_pad), jnp.float32)
+    active = jnp.zeros((C, M), bool)
+    box = jnp.full((C,), 9.0, jnp.float32)
+    sfac = jnp.zeros((C, 1, 2), jnp.float32)
+    si2 = jnp.zeros((C, 2), jnp.float32)
+    out = flips(com, quat, coords, active, box, sfac,
+                jnp.arange(C, dtype=jnp.int32), jnp.zeros((), jnp.int32),
+                si2)
+    com_o, quat_o, coords_o, active_o, sfac_o, d_e, acc, att = out
+    assert not bool(jnp.any(active_o)), "flip created a molecule"
+    assert int(np.sum(np.asarray(acc))) == 0
+    assert float(np.max(np.abs(np.asarray(d_e)))) == 0.0
+    np.testing.assert_array_equal(np.asarray(com_o), np.asarray(com))
